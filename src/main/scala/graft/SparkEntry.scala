@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{AdsbQueries, EmbeddingQueries, PipelineQueries, QueryDef, RelationalQueries}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory
+  * each query key maps to.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val allDefs: Seq[QueryDef] =
+    RelationalQueries.defs ++ AdsbQueries.defs ++
+      PipelineQueries.defs ++ EmbeddingQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Latest-position board: current state per aircraft (user), moving
+    * only, nearest-first — the reference's flagship dashboard query.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    operators.CurrentState.latestBy(
+        sources.Tables.events(spark, "/root/testdata/sf0.001"),
+        Seq("user_id"), "ts", "event_id")
+      .filter(col("value") > 0)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("value")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.run).toMap
+
+  /** DuckDB-runnable oracle per query (absent → rows-only check). */
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(d => d.oracle.map(o => d.name -> o)).toMap
 }

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static hash kernel shared by the Catalyst expression and tests.
+  *
+  * `md5Prefix64(s)` = first 15 hex chars of md5(utf8(s)) parsed as a
+  * base-16 long (60 bits, always non-negative). The same value is
+  * expressible in any SQL engine with an md5 function — e.g.
+  * DuckDB `('0x' || substr(md5(s), 1, 15))::BIGINT` or Spark SQL
+  * `conv(substring(md5(s), 1, 15), 16, 10)` — which is what makes
+  * the MinHash/SimHash/LSH operators reproducible across engines.
+  */
+object HashUtil {
+  /** Modulus of the universal-hash family (prime, fits seeded products in i64). */
+  final val P: Long = 1000000007L
+
+  def md5Prefix64(s: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes)
+    // First 15 hex chars = 7 full bytes + the high nibble of the 8th.
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Universal-hash family over the md5 base: (a*(base mod P)+b) mod P. */
+  def affine(base: Long, a: Long, b: Long): Long = (a * (base % P) + b) % P
+}
+
+/** Codegen'd 60-bit md5-prefix hash of a string column.
+  *
+  * The shingle/token hash of the MinHash, SimHash and LSH operators
+  * (graft.operators.Dedup / Embeddings). A native Expression rather
+  * than a UDF so it stays inside whole-stage codegen.
+  */
+case class Md5Prefix64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.md5Prefix64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.md5Prefix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix64 =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  /** 60-bit md5-prefix hash as a Column (native expression, codegen'd). */
+  def md5prefix64(c: Column): Column =
+    ColumnBridge.column(Md5Prefix64(ColumnBridge.expression(c)))
+
+  /** Seeded hash h_i(s) = (a*(md5prefix64(s) mod P) + b) mod P. */
+  def seededHash(c: Column, a: Long, b: Long): Column =
+    (lit(a) * (md5prefix64(c) % lit(HashUtil.P)) + lit(b)) % lit(HashUtil.P)
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Current-state / storage-layout semantics of the reference:
+  *
+  * - ReplacingMergeTree + FINAL + `LIMIT 1 BY key` → [[latestBy]]
+  *   (/root/reference/schema/schema-local.sql:370-372,455-460)
+  * - recency-window filter before dedup (the reference's MVs only
+  *   feed rows newer than 2h into the replacing table,
+  *   schema-local.sql:446) → [[recentOnly]]
+  * - Distributed-table shard/source union → [[distributedUnion]]
+  * - `PARTITION BY toYYYYMMDD(ts)` day layout → [[withDayPartition]] /
+  *   [[writePartitionedByDay]] (schema-local.sql:184)
+  * - TTL retention (schema-local.sql:186) → [[applyTtl]]
+  * - Grafana decimation `rowNumberInAllBlocks() % n = 0`
+  *   (dashboards/examples/Current_Positions_Regional.json) →
+  *   [[nthSample]] (exact) / [[moduloSample]] (shuffle-free scale path)
+  *
+  * Scale notes: latestBy is one hash shuffle on the key + per-partition
+  * sort (window), never a global sort; recentOnly is applied *before*
+  * the shuffle so at 100 TB only the live window of data moves.
+  */
+object CurrentState {
+
+  /** Latest row per key by (orderCol, tieBreak) — ReplacingMergeTree
+    * FINAL + `ORDER BY key, ts DESC LIMIT 1 BY key` semantics.
+    */
+  def latestBy(df: DataFrame, keys: Seq[String], orderCol: String,
+               tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** argMax-style latest via one aggregate (no window): CH `argMax`. */
+  def latestByAgg(df: DataFrame, key: String, orderCol: String,
+                  valueCols: Seq[String]): DataFrame =
+    df.groupBy(col(key))
+      .agg(max(col(orderCol)).as(s"max_$orderCol"),
+        valueCols.map(v => max_by(col(v), col(orderCol)).as(s"last_$v")): _*)
+
+  /** Keep only rows within `interval` of the dataset's max(orderCol).
+    * The scalar max is computed once and broadcast (no second scan of
+    * a shuffled side, no collect).
+    */
+  def recentOnly(df: DataFrame, orderCol: String, interval: String): DataFrame = {
+    val mx = df.agg(max(col(orderCol)).as("__max_ts"))
+    df.crossJoin(broadcast(mx))
+      .filter(col(orderCol) >= col("__max_ts") - expr(s"INTERVAL $interval"))
+      .drop("__max_ts")
+  }
+
+  /** TTL: drop rows older than `interval` before max(orderCol). */
+  def applyTtl(df: DataFrame, orderCol: String, interval: String): DataFrame =
+    recentOnly(df, orderCol, interval)
+
+  /** Distributed-table semantics: union of per-shard/per-source frames
+    * by column name (missing columns are an error — shards share one
+    * schema, like `AS positions_local` in the reference).
+    */
+  def distributedUnion(shards: Seq[DataFrame]): DataFrame =
+    shards.reduce(_ unionByName _)
+
+  /** toYYYYMMDD partition column. */
+  def withDayPartition(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn("day", date_format(col(tsCol), "yyyyMMdd"))
+
+  /** Day-partitioned, key-clustered parquet layout — the MergeTree
+    * `PARTITION BY toYYYYMMDD(ts) ORDER BY (key, ts)` equivalent.
+    * Readers then prune partitions on day and benefit from key
+    * locality within files.
+    */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, keyCol: String,
+                            path: String): Unit =
+    withDayPartition(df, tsCol)
+      .repartition(col("day"), col(keyCol))
+      .sortWithinPartitions(col("day"), col(keyCol), col(tsCol))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+
+  /** Exact every-nth-row decimation in a total order. Needs a global
+    * row_number (single-partition window) — oracle/parity path only.
+    */
+  def nthSample(df: DataFrame, n: Int, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") % n === 0)
+  }
+
+  /** Shuffle-free decimation on a unique id column — the 100 TB path
+    * (the reference's rowNumberInAllBlocks() % n is equally
+    * order-arbitrary; only the sampling rate matters to the dashboard).
+    */
+  def moduloSample(df: DataFrame, n: Int, idCol: String): DataFrame =
+    df.filter(col(idCol) % n === 0)
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** G-group similarity search + F5 embedding near-dup (SURVEY §2).
+  *
+  * Scale notes: brute force is O(|Q|·N) — right for small fixed query
+  * sets (queries broadcast, one pass over the corpus, no shuffle of
+  * the big side). The all-pairs path goes through deterministic
+  * random-hyperplane LSH buckets so work is Σ bucket² ≪ N²; the
+  * hyperplanes are derived from md5 (VectorFunctions.hyperplane), so
+  * there is no driver-side randomness and any engine reproduces the
+  * same buckets.
+  */
+object Embeddings {
+
+  /** Exact cosine top-k of each query vector against the corpus. */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cos")
+  }
+
+  /** Corpus with its LSH bucket id attached. */
+  def withBucket(df: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame =
+    df.withColumn("bucket", VectorFunctions.lshBucket(col(vecCol), planes, dim))
+
+  /** ANN: restrict candidates to the query's bucket, then exact
+    * cosine rerank top-k inside it.
+    */
+  def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, planes: Int, dim: Int, k: Int): DataFrame = {
+    val c = withBucket(corpus, vecCol, planes, dim)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("bucket"))
+    val q = withBucket(queries, vecCol, planes, dim)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "bucket", "cos")
+  }
+
+  /** Near-dup pairs: bucket-cogrouped all-pairs with exact cosine,
+    * top `topN` by similarity (set a threshold filter for the real
+    * dedup path; top-N keeps the oracle check non-degenerate on
+    * random test vectors).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   planes: Int, dim: Int, topN: Int): DataFrame = {
+    val b = withBucket(df, vecCol, planes, dim)
+    val l = b.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"))
+    val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("va"), col("vb")))
+      .select("a", "b", "bucket", "cos")
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** H-group text analysis + the tokenize/shingle machinery shared by
+  * the dedup family (SURVEY §2 F/H). All higher-order-function based
+  * (no UDFs) so the same transforms run unchanged in a streaming plan.
+  */
+object TextOps {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => w =!= "")
+
+  /** Sliding word n-gram shingles joined by single spaces. A doc with
+    * fewer than n words yields one shingle (its whole token string) —
+    * mirrors list-slice clamping so oracle SQL matches exactly.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(ws) - n, lit(0))),
+      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+  }
+
+  /** Distinct (id, shingle) pairs — the input to Jaccard and MinHash. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), n)).as("sh")).distinct()
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Collapse whitespace, lowercase — canonical form for fingerprints. */
+  def normalizeWs(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Aggressive normalization: lowercase, strip non-alnum, collapse. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Content fingerprint (md5 of the whitespace-normalized text). */
+  def fingerprint(text: Column): Column = md5(normalizeWs(text))
+
+  /** 60-bit numeric fingerprint via the codegen'd Md5Prefix64 expr. */
+  def fingerprint64(text: Column): Column =
+    HashFunctions.md5prefix64(normalizeWs(text))
+
+  val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopwordsEs = Seq("el", "la", "de", "que", "los", "se")
+  val StopwordsDe = Seq("der", "die", "und", "das", "ist")
+  val StopwordsFr = Seq("le", "la", "et", "les", "des")
+
+  def stopwordHits(ws: Column, stopwords: Seq[String]): Column =
+    size(filter(ws, w => w.isin(stopwords: _*)))
+
+  /** Language-ID heuristic: stopword hit counts per language, argmax
+    * with a fixed preference order (en > es > de > fr) on ties.
+    */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    Seq("en" -> stopwordHits(ws, StopwordsEn),
+      "es" -> stopwordHits(ws, StopwordsEs),
+      "de" -> stopwordHits(ws, StopwordsDe),
+      "fr" -> stopwordHits(ws, StopwordsFr))
+  }
+
+  def langPredict(en: Column, es: Column, de: Column, fr: Column): Column =
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+}

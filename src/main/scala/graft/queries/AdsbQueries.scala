@@ -1,0 +1,307 @@
+package graft.queries
+
+import graft.operators.{AdsbNormalize, CurrentState}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A/B/C/D groups of SURVEY §2 — the reference's ingest-normalization,
+  * storage-layout, current-state and dashboard semantics, exercised on
+  * the `events` table (user_id≈icao24, ts≈scrape_time, event_type≈
+  * source, value≈speed/altitude, props≈raw JSON payload — SURVEY §3).
+  */
+object AdsbQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // A1: raw JSON payload → typed column (the Kafka-consumer parse).
+    QueryDef("a1_json_ingest",
+      (s, dir) => ev(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events ORDER BY event_id""")),
+
+    // A2: ifNull sentinel fills (-9999 / '').
+    QueryDef("a2_sentinel_fill",
+      (s, dir) => ev(s, dir)
+        .select(col("event_id"),
+          AdsbNormalize.fillInt(
+            when(col("event_type") === "error", lit(null))
+              .otherwise(get_json_object(col("props"), "$.k").cast("int"))).as("k_filled"),
+          AdsbNormalize.fillString(
+            when(col("event_type") === "view", lit(null)).otherwise(col("event_type")))
+            .as("type_filled"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        coalesce(CASE WHEN event_type = 'error' THEN NULL
+                      ELSE CAST(json_extract_string(props, '$.k') AS INT) END, -9999) AS k_filled,
+        coalesce(CASE WHEN event_type = 'view' THEN NULL ELSE event_type END, '') AS type_filled
+        FROM events ORDER BY event_id""")),
+
+    // A3: the alt_baro CASE parse ('ground'→0, NULL→-9999, else cast).
+    QueryDef("a3_alt_parse",
+      (s, dir) => {
+        val altStr = when(col("event_type") === "signup", lit("ground"))
+          .when(col("event_type") === "error", lit(null))
+          .otherwise(col("value").cast("int").cast("string"))
+        ev(s, dir)
+          .select(col("event_id"), AdsbNormalize.parseAltBaro(altStr).as("alt_baro"))
+          .orderBy("event_id")
+      },
+      Some("""WITH raw AS (
+          SELECT event_id,
+            CASE WHEN event_type = 'signup' THEN 'ground'
+                 WHEN event_type = 'error' THEN NULL
+                 ELSE CAST(CAST(trunc(value) AS INT) AS VARCHAR) END AS alt_str
+          FROM events)
+        SELECT event_id,
+          CASE WHEN alt_str = 'ground' THEN 0
+               WHEN alt_str IS NULL THEN -9999
+               ELSE CAST(alt_str AS INT) END AS alt_baro
+        FROM raw ORDER BY event_id""")),
+
+    // A4: trimBoth(lower(x)) key normalization.
+    QueryDef("a4_string_norm",
+      (s, dir) => ev(s, dir)
+        .select(col("event_id"),
+          AdsbNormalize.normKey(concat(lit("  "), upper(col("event_type")), lit("\t")))
+            .as("norm_key"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        lower(trim('  ' || upper(event_type) || chr(9))) AS norm_key
+        FROM events ORDER BY event_id""")),
+
+    // A5: position validity filter (lat/lon bounds, keys non-null).
+    QueryDef("a5_validity_filter",
+      (s, dir) => {
+        val withPos = ev(s, dir)
+          .withColumn("lat", col("value") - 100.0)
+          .withColumn("lon", col("value") * 3.0 - 200.0)
+        AdsbNormalize.validPosition(withPos, "user_id", "lat", "lon")
+          .select("event_id", "lat", "lon")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, value - 100.0 AS lat, value * 3.0 - 200.0 AS lon
+        FROM events
+        WHERE user_id IS NOT NULL
+        AND value - 100.0 BETWEEN -90 AND 90
+        AND value * 3.0 - 200.0 BETWEEN -180 AND 180
+        ORDER BY event_id""")),
+
+    // A6: OpenSky metric→imperial conversions, truncating int casts.
+    QueryDef("a6_unit_convert",
+      (s, dir) => ev(s, dir)
+        .select(col("event_id"),
+          AdsbNormalize.metersToFeet(col("value")).as("alt_ft"),
+          AdsbNormalize.msToKnots(col("value")).as("speed_kn"),
+          AdsbNormalize.msToFpm(col("value")).as("rate_fpm"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        CAST(trunc(value * 3.28084) AS INT) AS alt_ft,
+        value * 1.94384 AS speed_kn,
+        CAST(trunc(value * 196.85) AS INT) AS rate_fpm
+        FROM events ORDER BY event_id""")),
+
+    // A7: Enum8 position_source decode.
+    QueryDef("a7_enum_decode",
+      (s, dir) => ev(s, dir)
+        .select(AdsbNormalize.decodePositionSource(col("user_id") % 4).as("position_source"))
+        .groupBy("position_source").agg(count(lit(1)).as("n"))
+        .orderBy("position_source"),
+      Some("""SELECT CASE user_id % 4 WHEN 0 THEN 'ADS-B' WHEN 1 THEN 'ASTERIX'
+          WHEN 2 THEN 'MLAT' WHEN 3 THEN 'FLARM' ELSE 'UNKNOWN' END AS position_source,
+        COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY position_source""")),
+
+    // A8: epoch seconds → timestamp (fromUnixTimestamp).
+    QueryDef("a8_epoch_ts",
+      (s, dir) => ev(s, dir)
+        .select(col("event_id"),
+          unix_micros(AdsbNormalize.epochToTs(col("user_id") * 1000L + 1700000000L))
+            .as("ts_us"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+        epoch_us(CAST(to_timestamp(user_id * 1000 + 1700000000) AS TIMESTAMP)) AS ts_us
+        FROM events ORDER BY event_id""")),
+
+    // A9: arrayFilter(≠'', arrayMap(trim∘lower)) over a token array.
+    QueryDef("a9_array_clean",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          AdsbNormalize.cleanArray(split(col("text"), " ")).as("arr"))
+        .select(col("doc_id"), size(col("arr")).as("n_words"),
+          element_at(col("arr"), 1).as("first_word"),
+          element_at(col("arr"), -1).as("last_word"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+          SELECT doc_id,
+            list_filter(list_transform(string_split(text, ' '), w -> lower(trim(w))),
+                        w -> w != '') AS arr
+          FROM documents)
+        SELECT doc_id, CAST(len(arr) AS INT) AS n_words,
+          arr[1] AS first_word, arr[-1] AS last_word
+        FROM c ORDER BY doc_id""")),
+
+    // B1: PARTITION BY toYYYYMMDD(ts) day bucketing.
+    QueryDef("b1_partition_day",
+      (s, dir) => CurrentState.withDayPartition(ev(s, dir), "ts")
+        .groupBy("day").agg(count(lit(1)).as("n"))
+        .orderBy("day"),
+      Some("""SELECT strftime(ts, '%Y%m%d') AS day, COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    // B3: TTL retention relative to dataset max(ts).
+    QueryDef("b3_ttl_retention",
+      (s, dir) => CurrentState.applyTtl(ev(s, dir), "ts", "7 DAYS")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+        WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // B4: Distributed-table union of shards.
+    QueryDef("b4_distributed_union",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val shard0 = e.filter(col("user_id") % 2 === 0)
+        val shard1 = e.filter(col("user_id") % 2 === 1)
+        CurrentState.distributedUnion(Seq(shard0, shard1))
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n FROM (
+          SELECT * FROM events WHERE user_id % 2 = 0
+          UNION ALL SELECT * FROM events WHERE user_id % 2 = 1) u
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // C1: ReplacingMergeTree FINAL / LIMIT 1 BY key.
+    QueryDef("c1_latest_state",
+      (s, dir) => CurrentState.latestBy(ev(s, dir), Seq("user_id"), "ts", "event_id")
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, event_type, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    // C2: latest view with recency window (filter BEFORE the shuffle).
+    QueryDef("c2_latest_recent",
+      (s, dir) => CurrentState.latestBy(
+          CurrentState.recentOnly(ev(s, dir), "ts", "1 HOUR"),
+          Seq("user_id"), "ts", "event_id")
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR) t
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    // C3: combined-sources union → latest per key (the combined MVs).
+    QueryDef("c3_combined_latest",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val txn = e.filter(col("event_type").isin("purchase", "signup"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+            lit("txn").as("source"))
+        val web = e.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+            lit("web").as("source"))
+        CurrentState.latestBy(
+            CurrentState.distributedUnion(Seq(txn, web)),
+            Seq("user_id"), "ts", "event_id")
+          .select("user_id", "source", "event_id", "value")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, source, event_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM (
+            SELECT user_id, ts, event_id, value, 'txn' AS source FROM events
+              WHERE event_type IN ('purchase', 'signup')
+            UNION ALL
+            SELECT user_id, ts, event_id, value, 'web' AS source FROM events
+              WHERE event_type IN ('click', 'view')) u) t
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    // C4: argMax aggregation (CH argMax ≈ Spark max_by).
+    QueryDef("c4_argmax",
+      (s, dir) => ev(s, dir)
+        .groupBy("user_id")
+        .agg(max_by(col("event_id"), col("ts")).as("last_event_id"),
+          max_by(col("value"), col("ts")).as("last_value"),
+          unix_micros(max(col("ts"))).as("last_ts_us"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+        arg_max(event_id, ts) AS last_event_id,
+        arg_max(value, ts) AS last_value,
+        epoch_us(CAST(max(ts) AS TIMESTAMP)) AS last_ts_us
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // D1: dashboard moving-aircraft filter over latest state.
+    QueryDef("d1_moving_filter",
+      (s, dir) => CurrentState.latestBy(ev(s, dir), Seq("user_id"), "ts", "event_id")
+        .filter(col("value") > 50)
+        .select("event_id", "user_id", "value")
+        .orderBy(col("value"), col("event_id")),
+      Some("""SELECT event_id, user_id, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 AND value > 50 ORDER BY value, event_id""")),
+
+    // D2: per-key time series inside a dashboard time range.
+    QueryDef("d2_time_series",
+      (s, dir) => ev(s, dir)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-12 00:00:00").cast("timestamp") &&
+          col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("ts_us", "event_id"),
+      Some("""SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+        AND event_type = 'click'
+        ORDER BY ts_us, event_id""")),
+
+    // D3: every-nth-row decimation (exact total-order variant).
+    QueryDef("d3_nth_sample",
+      (s, dir) => CurrentState.nthSample(ev(s, dir), 4, Seq(col("ts"), col("event_id")))
+        .select("event_id", "rn")
+        .orderBy("rn"),
+      Some("""SELECT event_id, rn FROM (
+          SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events) t
+        WHERE rn % 4 = 0 ORDER BY rn""")),
+
+    // D5: time-bucketed rates (Grafana timeseries panels).
+    QueryDef("d5_time_bucket",
+      (s, dir) => ev(s, dir)
+        .groupBy(unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour_us", "event_type"),
+      Some("""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_us,
+        event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""")),
+
+    // D6: top-N per group (LIMIT n BY analog).
+    QueryDef("d6_topn_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))
+        ev(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("event_type", "rn", "event_id", "value")
+          .orderBy("event_type", "rn")
+      },
+      Some("""SELECT event_type, rn, event_id, value FROM (
+          SELECT event_type, event_id, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+          FROM events) t
+        WHERE rn <= 3 ORDER BY event_type, rn"""))
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.operators.Embeddings
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** G-group similarity search + F5 embedding near-dup. The DuckDB
+  * oracles reproduce the exact same arithmetic: per-element promotion
+  * to double, strict left-fold summation (list_reduce ≡ Spark
+  * `aggregate` with 0.0 init), IEEE sqrt/divide — so cosines are
+  * bit-identical across engines.
+  */
+object EmbeddingQueries {
+
+  /** DuckDB strict-left-fold dot product of two list<float> exprs. */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"""
+
+  private def sqlNormSq(a: String): String =
+    s"""list_reduce(list_transform($a, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)),
+        (x, y) -> x + y)"""
+
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlNormSq(a)}) * sqrt(${sqlNormSq(b)}))"
+
+  /** DuckDB mirror of VectorFunctions.hyperplane(plane, 64). */
+  private def sqlHyperplane(plane: Int): String =
+    s"""list_transform(range(0, 64), i ->
+        CAST((('0x' || substr(md5('$plane' || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+          % 2001 - 1000) AS DOUBLE) / 1000.0)"""
+
+  /** DuckDB mirror of VectorFunctions.lshBucket(v, 8, 64). */
+  private def sqlBucket(v: String): String =
+    (0 until 8).map { j =>
+      s"(CASE WHEN ${sqlDot(v, sqlHyperplane(j))} > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // G1: brute-force cosine top-5 for a fixed query set.
+    QueryDef("g1_knn_bruteforce",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.knnBruteForce(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 5)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings),
+        scored AS (
+          SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
+          FROM c CROSS JOIN q WHERE qid != cid)
+        SELECT qid, rank, cid, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM scored) t
+        WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // G2: LSH-bucketed ANN (8 deterministic hyperplanes) + rerank.
+    QueryDef("g2_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annLsh(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 8, 64, 3)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH b AS (
+          SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 3),
+        c AS (SELECT vec_id AS cid, embedding AS cvec, bucket FROM b),
+        scored AS (
+          SELECT qid, cid, bucket, ${sqlCos("qvec", "cvec")} AS cos
+          FROM c JOIN q USING (bucket) WHERE qid != cid)
+        SELECT qid, rank, cid, bucket, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM scored) t
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // F5: embedding near-dup — bucket-cogrouped pairs, top-20 by cosine.
+    QueryDef("f5_dedup_embedding",
+      (s, dir) => Embeddings.nearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 8, 64, 20),
+      Some(s"""WITH b AS (
+          SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        pairs AS (
+          SELECT x.vec_id AS a, y.vec_id AS b, x.bucket,
+            ${sqlCos("x.embedding", "y.embedding")} AS cos
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT a, b, bucket, cos FROM pairs
+        ORDER BY cos DESC, a, b LIMIT 20"""))
+  )
+}

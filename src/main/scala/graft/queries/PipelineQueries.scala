@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.functions.HashFunctions
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** F/H/I groups of SURVEY §2 — dedup family, text analysis and
+  * multimodal metadata over the `documents` table. Oracle SQL mirrors
+  * the exact same (md5-based, integer-exact) algorithms in DuckDB.
+  */
+object PipelineQueries {
+
+  /** DuckDB CTE producing the distinct word-4-gram shingle set
+    * (mirror of TextOps.shingleSet with n=4).
+    */
+  private val ShingleCte =
+    """words AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+         FROM documents),
+       sh0 AS (
+         SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 3, 1) + 1),
+           i -> array_to_string(ws[i:i+3], ' '))) AS sh
+         FROM words),
+       sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
+
+  private val hexBase = "('0x' || substr(md5(sh), 1, 15))::BIGINT"
+
+  private def minhashSql: String = {
+    val aList = Dedup.MinhashA.mkString("[", ", ", "]")
+    val bList = Dedup.MinhashB.mkString("[", ", ", "]")
+    s"""WITH $ShingleCte,
+       hx AS (SELECT doc_id, $hexBase % 1000000007 AS b FROM sh),
+       mh AS (
+         SELECT doc_id, t.i,
+           min(($aList[CAST(t.i + 1 AS INT)] * b + $bList[CAST(t.i + 1 AS INT)]) % 1000000007) AS mh
+         FROM hx CROSS JOIN generate_series(0, 15) t(i)
+         GROUP BY doc_id, t.i),
+       bands AS (
+         SELECT doc_id, CAST(i // 4 AS INT) AS band,
+           string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+         FROM mh GROUP BY doc_id, i // 4)
+       SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
+       FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+       GROUP BY 1, 2 ORDER BY a, b"""
+  }
+
+  private def simhashSql: String = {
+    val sums = (0 until 32)
+      .map(b => s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
+      .mkString(", ")
+    val recompose = (0 until 32)
+      .map(b => s"(CASE WHEN s_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH words AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws
+         FROM documents),
+       tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+       th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 4294967296 AS th FROM tok),
+       s AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
+       SELECT doc_id, $recompose AS simhash FROM s ORDER BY doc_id"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // F1: exact dedup groups by content hash.
+    QueryDef("f1_dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("h"),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY md5(text) ORDER BY h""")),
+
+    // F2: n-gram Jaccard near-dup candidates, top-20 by similarity.
+    QueryDef("f2_dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", 4, 100)
+        .orderBy(col("jac").desc, col("a"), col("b"))
+        .limit(20),
+      Some(s"""WITH $ShingleCte,
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        rare AS (SELECT sh FROM (SELECT sh, COUNT(*) c FROM sh GROUP BY sh) dfq WHERE c <= 100),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+          FROM (SELECT * FROM sh WHERE sh IN (SELECT sh FROM rare)) x
+          JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, n_common,
+          CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jac
+        FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        ORDER BY jac DESC, a, b LIMIT 20""")),
+
+    // F3: MinHash + banded LSH candidate pairs.
+    QueryDef("f3_dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", 4)
+        .orderBy("a", "b"),
+      Some(minhashSql)),
+
+    // F4: 32-bit SimHash fingerprints.
+    QueryDef("f4_simhash",
+      (s, dir) => Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(simhashSql)),
+
+    // H1: token counting (whitespace + BPE-ish regex).
+    QueryDef("h1_token_count",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+          TextOps.bpeTokenCount(col("text")).cast("int").as("n_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""")),
+
+    // H2: quality scoring from length/alpha/punct/stopword ratios.
+    QueryDef("h2_quality_score",
+      (s, dir) => {
+        val ws = TextOps.tokens(col("text"))
+        val n = length(col("text"))
+        val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        val punct = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+        val stops = TextOps.stopwordHits(ws, TextOps.StopwordsEn)
+        val nWords = size(ws)
+        val alphaRatio = alpha.cast("double") / n
+        val punctRatio = punct.cast("double") / n
+        val stopRatio = stops.cast("double") / nWords
+        Tables.documents(s, dir)
+          .select(col("doc_id"), n.as("n_chars_real"),
+            alphaRatio.as("alpha_ratio"), punctRatio.as("punct_ratio"),
+            stopRatio.as("stop_ratio"),
+            (lit(0.5) * stopRatio + lit(0.3) * alphaRatio +
+              lit(0.2) * (lit(1.0) - punctRatio)).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+          SELECT doc_id,
+            CAST(length(text) AS INT) AS n_chars_real,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+            CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+            CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != ''),
+                   w -> list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], w))) AS DOUBLE)
+              / len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS stop_ratio
+          FROM documents)
+        SELECT doc_id, n_chars_real, alpha_ratio, punct_ratio, stop_ratio,
+          0.5 * stop_ratio + 0.3 * alpha_ratio + 0.2 * (1.0 - punct_ratio) AS quality
+        FROM f ORDER BY doc_id""")),
+
+    // H3: stopword-hit language ID.
+    QueryDef("h3_lang_id",
+      (s, dir) => {
+        val scores = TextOps.langScores(col("text"))
+        val Seq(en, es, de, fr) = scores.map(_._2)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            en.as("en"), es.as("es"), de.as("de"), fr.as("fr"),
+            TextOps.langPredict(en, es, de, fr).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '') AS ws
+          FROM documents),
+        sc AS (
+          SELECT doc_id,
+            CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS INT) AS en,
+            CAST(len(list_filter(ws, x -> list_contains(['el','la','de','que','los','se'], x))) AS INT) AS es,
+            CAST(len(list_filter(ws, x -> list_contains(['der','die','und','das','ist'], x))) AS INT) AS de,
+            CAST(len(list_filter(ws, x -> list_contains(['le','la','et','les','des'], x))) AS INT) AS fr
+          FROM w)
+        SELECT doc_id, en, es, de, fr,
+          CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+               WHEN es >= de AND es >= fr THEN 'es'
+               WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+        FROM sc ORDER BY doc_id""")),
+
+    // H4: document fingerprints (md5 + 60-bit via the native expression).
+    QueryDef("h4_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          TextOps.fingerprint64(col("text")).as("fp64"))
+        .orderBy("doc_id"),
+      Some("""WITH n AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents)
+        SELECT doc_id, md5(norm) AS fp,
+          ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp64
+        FROM n ORDER BY doc_id""")),
+
+    // H5: aggressive text normalization.
+    QueryDef("h5_text_normalize",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          substring(TextOps.normalizeText(col("text")), 1, 40).as("preview"),
+          length(TextOps.normalizeText(col("text"))).as("clean_len"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+          SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS cleaned
+          FROM documents)
+        SELECT doc_id, substr(cleaned, 1, 40) AS preview,
+          CAST(length(cleaned) AS INT) AS clean_len
+        FROM c ORDER BY doc_id""")),
+
+    // I1: multimodal binary column + typed metadata (decode itself is
+    // stubbed deterministically — see graft.operators.Multimodal).
+    QueryDef("i1_multimodal_meta",
+      (s, dir) => {
+        val b = HashFunctions.md5prefix64(col("text"))
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .select(col("doc_id"),
+            octet_length(col("payload")).as("n_bytes"),
+            (b % 1024 + 1).as("width"),
+            (b % 768 + 1).as("height"),
+            when(b % 3 === 0, "jpeg").when(b % 3 === 1, "png")
+              .otherwise("webp").as("format"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, encode(text) AS payload,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS b
+          FROM documents)
+        SELECT doc_id, CAST(octet_length(payload) AS INT) AS n_bytes,
+          b % 1024 + 1 AS width, b % 768 + 1 AS height,
+          CASE b % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
+        FROM m ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,336 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** E-group of SURVEY §2: the generic OLAP surface (filters, joins,
+  * group-bys, windows, set ops) any ClickHouse deployment of the
+  * reference schema serves ad hoc. TPC-H-shaped over the driver's
+  * tables.
+  *
+  * Scale notes: dimension joins are `broadcast()` (no fact shuffle);
+  * fact-fact joins shuffle once on the join key; aggregates are
+  * partial (map-side combine) by construction; every scan is
+  * column-pruned and filter-pushed (verified via explain).
+  */
+object RelationalQueries {
+  import QueryDefs._
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("e1_pricing_summary",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(discPrice(col("l_extendedprice"), col("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"),
+            (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty,
+        ${sqlDsum("l_extendedprice")} AS sum_base_price,
+        CAST(SUM(${sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+        COUNT(*) AS count_order,
+        ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef("e2_revenue_filter",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+          .agg(
+            sum((col("l_extendedprice").cast("decimal(18,2)") *
+              col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")),
+
+    QueryDef("e3_join_topk",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+          .select(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        o_orderpriority,
+        CAST(SUM(${sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    QueryDef("e4_star_join",
+      (s, dir) => {
+        val r = Tables.region(s, dir)
+        val n = Tables.nation(s, dir)
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""SELECT r_name, n_name,
+        CAST(SUM(${sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    QueryDef("e5_semi_join",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir).filter(col("l_quantity") > 49)
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_orderpriority")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+        ORDER BY o_orderkey""")),
+
+    QueryDef("e6_anti_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey""")),
+
+    QueryDef("e7_outer_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spent"))
+          .orderBy("custkey")
+      },
+      Some(s"""SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        COUNT(o_orderkey) AS n_orders,
+        coalesce(${sqlDsum("o_totalprice")}, 0.0) AS total_spent
+        FROM customer FULL JOIN orders ON c_custkey = o_custkey
+        GROUP BY coalesce(c_custkey, o_custkey) ORDER BY custkey""")),
+
+    QueryDef("e8_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    QueryDef("e9_running_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn("running_value",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+          .select("event_id", "user_id", "running_value")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        FROM events ORDER BY user_id, event_id""")),
+
+    QueryDef("e10_lag_delta",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+          .select("event_id", "user_id", "gap_us")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+        epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events ORDER BY user_id, event_id""")),
+
+    QueryDef("e11_rollup",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    QueryDef("e12_conditional_agg",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        def qtyWhen(status: String) =
+          sum(when(col("l_linestatus") === status, col("l_quantity").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+        li.groupBy("l_returnflag")
+          .agg(qtyWhen("F").as("qty_f"), qtyWhen("O").as("qty_o"),
+            count(when(col("l_linestatus") === "F", 1)).as("n_f"),
+            count(when(col("l_linestatus") === "O", 1)).as("n_o"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
+        COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+        COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("e13_distinct",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // CH `uniq` analog — HLL sketches differ per engine, rows-only check.
+    QueryDef("e13b_approx_distinct",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .orderBy("event_type")
+      },
+      None),
+
+    QueryDef("e14_quantiles",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            expr("percentile(value, 0.25)").as("p25"),
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.75)").as("p75"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+        quantile_cont(value, 0.25) AS p25,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.75) AS p75
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    QueryDef("e15_set_ops",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val p = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+        val e = ev.filter(col("event_type") === "error").select("user_id").distinct()
+        p.except(e).withColumn("op", lit("except"))
+          .unionByName(p.intersect(e).withColumn("op", lit("intersect")))
+          .select("op", "user_id")
+          .orderBy("op", "user_id")
+      },
+      Some("""SELECT 'except' AS op, user_id FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+          EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error') a
+        UNION ALL
+        SELECT 'intersect' AS op, user_id FROM (
+          SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+          INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'error') b
+        ORDER BY op, user_id""")),
+
+    QueryDef("e16_scalar_funcs",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            upper(substring(col("o_orderpriority"), 1, 8)).as("pri"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            quarter(col("o_orderdate")).as("q"),
+            length(col("o_orderstatus")).as("status_len"),
+            when(col("o_totalprice") < 50000, "S")
+              .when(col("o_totalprice") < 200000, "M")
+              .otherwise("L").as("bucket"),
+            floor(col("o_totalprice")).cast("long").as("price_floor"),
+            ceil(col("o_totalprice")).cast("long").as("price_ceil"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        upper(substr(o_orderpriority, 1, 8)) AS pri,
+        CAST(year(o_orderdate) AS INT) AS y,
+        CAST(month(o_orderdate) AS INT) AS m,
+        CAST(quarter(o_orderdate) AS INT) AS q,
+        CAST(length(o_orderstatus) AS INT) AS status_len,
+        CASE WHEN o_totalprice < 50000 THEN 'S'
+             WHEN o_totalprice < 200000 THEN 'M' ELSE 'L' END AS bucket,
+        CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil
+        FROM orders ORDER BY o_orderkey""")),
+
+    QueryDef("e17_scalar_subquery",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val mx = o.agg((max(col("o_totalprice")) * 0.9).as("cutoff"))
+        o.crossJoin(broadcast(mx))
+          .filter(col("o_totalprice") > col("cutoff"))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
+        ORDER BY o_orderkey"""))
+  )
+}

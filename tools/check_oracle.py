@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate:
+run graft.Verify output (parquet per query) against DuckDB executing
+SparkEntry.oracleSql over the same testdata tables; compare values
+exactly (columns sorted by name, rows sorted by all columns).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def compare(name, spark_df, duck_df):
+    problems = []
+    sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
+    if sc != dc:
+        return [f"schema mismatch: spark={sc} duck={dc}"]
+    if len(spark_df) != len(duck_df):
+        problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+        return problems
+    a, b = canon(spark_df), canon(duck_df)
+    for col in a.columns:
+        av, bv = a[col].values, b[col].values
+        if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(np.asarray(bv).dtype, np.floating):
+            av = np.asarray(av, dtype=np.float64); bv = np.asarray(bv, dtype=np.float64)
+            neq = ~((av == bv) | (np.isnan(av) & np.isnan(bv)))
+            if neq.any():
+                i = int(np.argmax(neq))
+                problems.append(f"col {col}: {int(neq.sum())} diffs, first at row {i}: spark={av[i]!r} duck={bv[i]!r} delta={av[i]-bv[i]!r}")
+        else:
+            av = pd.Series(av).astype(object).where(pd.Series(av).notna(), None)
+            bv = pd.Series(bv).astype(object).where(pd.Series(bv).notna(), None)
+            neq = [x != y and not (x is None and y is None) for x, y in zip(av, bv)]
+            if any(neq):
+                i = neq.index(True)
+                problems.append(f"col {col}: {sum(neq)} diffs, first at row {i}: spark={av[i]!r} duck={bv[i]!r}")
+    return problems
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    ok = fail = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        sql = oracles[name]
+        pq = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(pq, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output at {pq}")
+            fail += 1
+            continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            fail += 1
+            continue
+        try:
+            duck_df = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            fail += 1
+            continue
+        problems = compare(name, spark_df, duck_df)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            ok += 1
+    # rows-only queries: just report presence
+    for pq in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(pq)
+        if os.path.isdir(pq) and name not in oracles and not (only and name not in only):
+            files = glob.glob(os.path.join(pq, "*.parquet"))
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else -1
+            print(f"ROWS-ONLY {name}: {n} rows")
+    print(f"\n{ok} passed, {fail} failed")
+    sys.exit(1 if fail else 0)
+
+main()

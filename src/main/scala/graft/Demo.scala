@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaRecord, ResizeParams}
+import graft.streaming.AdsbStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end usage demo of the streaming + multimodal surfaces:
+  * a parquet-file stream (stand-in for the Kafka feed) through
+  * normalize → stateful latest-state, and the batched multimodal
+  * feature pipeline. `runMain graft.Demo <sfDir>`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    // --- Streaming: file-source feed → normalize → latest state ---
+    // Stage the events table as a streaming directory source.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    sources.Tables.events(spark, sfDir)
+      .withColumn("hex", concat(lit("icao"), col("user_id").cast("string")))
+      .withColumn("flight", upper(col("event_type")))
+      .withColumn("lat", col("value") % 90)
+      .withColumn("lon", col("value") % 180)
+      .withColumn("alt_baro",
+        when(col("event_type") === "signup", "ground")
+          .otherwise((col("value") * 100).cast("int").cast("string")))
+      .withColumn("gs", col("value"))
+      .withColumn("source", lit("demo-feed"))
+      .withColumn("scrape_time", col("ts"))
+      .select("hex", "flight", "lat", "lon", "alt_baro", "gs", "source", "scrape_time")
+      .write.mode("overwrite").parquet(streamDir)
+
+    val schema = StructType(Seq(
+      StructField("hex", StringType), StructField("flight", StringType),
+      StructField("lat", DoubleType), StructField("lon", DoubleType),
+      StructField("alt_baro", StringType), StructField("gs", DoubleType),
+      StructField("source", StringType), StructField("scrape_time", TimestampType)))
+
+    val feed = spark.readStream.schema(schema).parquet(streamDir)
+    val latest = AdsbStream.latestState(spark, AdsbStream.normalize(feed))
+    val q = latest.writeStream.format("memory").queryName("demo_latest")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+
+    val nLatest = spark.table("demo_latest").select("icao24").distinct().count()
+    println(s"[demo] streaming latest-state aircraft: $nLatest")
+    spark.table("demo_latest").orderBy(desc("scrape_time")).show(5, truncate = false)
+
+    // --- Multimodal: binary payloads → batched feature extraction ---
+    val media = Multimodal.toMediaRecords(
+      sources.Tables.documents(spark, sfDir)
+        .withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload").as[MediaRecord]
+    val feats = Multimodal.extractFeatures(spark, media)
+    val planned = Multimodal.planResize(feats, ResizeParams(256, 256))
+    println(s"[demo] media features extracted: ${feats.count()}")
+    planned.select("doc_id", "n_bytes", "width", "height", "target_width", "target_height")
+      .show(5)
+
+    spark.stop()
+  }
+}

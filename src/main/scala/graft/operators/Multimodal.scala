@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** I-group multimodal column plumbing (SURVEY §2 I1-I3).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct alongside. The expensive per-record work (decode, feature
+  * extraction, resize, frame sampling) runs batched per partition via
+  * `mapPartitions` over a typed Dataset — the Scala analogue of a
+  * batched Python `mapInPandas` stage: one iterator per partition, no
+  * per-row task overhead, memory bounded by the partition.
+  *
+  * The actual codec is STUBBED (this container has no image/audio
+  * libraries): [[StubCodec]] derives deterministic pseudo-features
+  * from the payload bytes. The Spark-side plumbing — schema, typed
+  * Encoders, partition-batched execution, parameter plumbing — is the
+  * real, tested part; swap [[StubCodec]] for a real codec at the one
+  * marked seam.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+                         media_type: String, declared_format: String)
+
+  case class MediaFeatures(doc_id: Long, media_type: String,
+                           n_bytes: Int, width: Int, height: Int,
+                           channels: Int, sharpness: Double)
+
+  case class ResizeParams(maxWidth: Int, maxHeight: Int)
+
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Deterministic stand-in for a media codec. Replace this object to
+    * plug a real decoder; nothing else changes.
+    */
+  object StubCodec {
+    /** Pseudo "decode": metadata derived from payload bytes only. */
+    def decode(payload: Array[Byte]): (Int, Int, Int, Double) = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+      val w = 1 + math.floorMod(h, 1920L).toInt
+      val ht = 1 + math.floorMod(h >> 16, 1080L).toInt
+      val ch = 1 + math.floorMod(h >> 32, 4L).toInt
+      val sharp = math.floorMod(h >> 40, 10000L) / 10000.0
+      (w, ht, ch, sharp)
+    }
+  }
+
+  /** Wrap a text/document frame into media records (payload = utf-8
+    * bytes in tests; in production this is the raw image/audio blob).
+    */
+  def toMediaRecords(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+      col(payloadCol).as("payload"),
+      lit("image").as("media_type"),
+      lit("jpeg").as("declared_format"))
+
+  /** Batched per-partition feature extraction (I2). */
+  def extractFeatures(spark: SparkSession, records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    records.mapPartitions { it =>
+      // One-time per-partition codec setup would go here (the batch
+      // shape real codecs need); the stub needs none.
+      it.map { r =>
+        val (w, h, ch, sharp) = StubCodec.decode(r.payload)
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, ch, sharp)
+      }
+    }
+  }
+
+  /** Resize parameter plumbing (I3): pure-metadata transform computing
+    * target dims with aspect preserved (integer arithmetic only).
+    */
+  def planResize(features: Dataset[MediaFeatures], params: ResizeParams): DataFrame = {
+    val f = features.toDF()
+    val scaleNum = least(lit(params.maxWidth) * lit(1000) / col("width"),
+      lit(params.maxHeight) * lit(1000) / col("height"), lit(1000))
+    f.withColumn("target_width", (col("width") * scaleNum / 1000).cast("int"))
+      .withColumn("target_height", (col("height") * scaleNum / 1000).cast("int"))
+  }
+
+  /** Frame sampling plumbing (I3): split a payload into fixed-stride
+    * pseudo-frames per partition batch (stub for video frame-sample).
+    */
+  def sampleFrames(spark: SparkSession, records: Dataset[MediaRecord],
+                   stride: Int, maxFrames: Int): Dataset[FrameSample] = {
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        r.payload.grouped(stride).take(maxFrames).zipWithIndex.map {
+          case (bytes, idx) => FrameSample(r.doc_id, idx, bytes)
+        }
+      }
+    }
+  }
+}

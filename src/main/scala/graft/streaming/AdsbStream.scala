@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.operators.AdsbNormalize
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** J-group (SURVEY §2): the reference's Kafka→MV→Replacing flow as
+  * Structured Streaming. The batch normalization transforms
+  * (AdsbNormalize) are reused verbatim — the same declarative plan
+  * runs over `readStream` sources.
+  *
+  * Reference flow (/root/reference/schema/schema-local.sql:13-15):
+  *   Kafka → MV (normalize+filter) → MergeTree (append log)
+  *                                 → ReplacingMergeTree → latest views
+  * Spark-native flow:
+  *   readStream → [[normalize]] → append sink (day-partitioned parquet)
+  *                              → [[latestState]] (stateful) → sink
+  *
+  * In production the source is `spark.readStream.format("kafka")`
+  * with `from_json`; tests drive the identical plans from
+  * MemoryStream (source choice is orthogonal to the transforms).
+  */
+object AdsbStream {
+
+  /** A raw position report as it arrives from the feed (subset of the
+    * reference's Kafka columns, nullable like the wire format).
+    */
+  case class RawReport(hex: Option[String], flight: Option[String],
+                       lat: Option[Double], lon: Option[Double],
+                       alt_baro: Option[String], gs: Option[Double],
+                       source: String, scrape_time: java.sql.Timestamp)
+
+  case class CurrentPosition(icao24: String, callsign: String,
+                             lat: Double, lon: Double, alt_baro: Int,
+                             ground_speed: Double, source: String,
+                             scrape_time: java.sql.Timestamp)
+
+  /** The Kafka-MV normalization, streaming-safe (pure row-local
+    * transforms — no shuffle, runs in the same microbatch stage as
+    * the source).
+    */
+  def normalize(raw: DataFrame): DataFrame =
+    raw.filter(col("hex").isNotNull && col("lat").isNotNull && col("lon").isNotNull &&
+        col("lat").between(-90, 90) && col("lon").between(-180, 180))
+      .select(
+        AdsbNormalize.normKey(col("hex")).as("icao24"),
+        AdsbNormalize.normKey(AdsbNormalize.fillString(col("flight"))).as("callsign"),
+        col("lat"), col("lon"),
+        AdsbNormalize.parseAltBaro(col("alt_baro")).as("alt_baro"),
+        AdsbNormalize.fillDouble(col("gs")).as("ground_speed"),
+        col("source"), col("scrape_time"))
+
+  /** Windowed position-report rates with a watermark — the Grafana
+    * per-interval throughput panels, streaming-native.
+    */
+  def windowedRates(normalized: DataFrame, watermark: String, window_ : String): DataFrame =
+    normalized
+      .withWatermark("scrape_time", watermark)
+      .groupBy(window(col("scrape_time"), window_), col("source"))
+      .agg(count(lit(1)).as("n_reports"),
+        approx_count_distinct(col("icao24")).as("n_aircraft"))
+
+  /** ReplacingMergeTree semantics as managed state: one row of state
+    * per aircraft, updated when a newer scrape_time arrives, emitted
+    * on every change (OutputMode.Update at the sink). State is
+    * per-key and O(#aircraft), not O(#reports) — the streaming
+    * analogue of the reference's ORDER BY icao24 TTL 1 HOUR table.
+    */
+  def latestState(spark: SparkSession, normalized: DataFrame): Dataset[CurrentPosition] = {
+    import spark.implicits._
+    val typed = normalized.as[CurrentPosition]
+    typed.groupByKey(_.icao24)
+      .flatMapGroupsWithState[CurrentPosition, CurrentPosition](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[CurrentPosition], state: GroupState[CurrentPosition]) =>
+          val prev = state.getOption
+          val newest = (rows ++ prev.iterator).maxBy(_.scrape_time.getTime)
+          state.update(newest)
+          val advanced = prev.forall(_.scrape_time.getTime < newest.scrape_time.getTime)
+          if (advanced) Iterator.single(newest) else Iterator.empty
+      }
+  }
+
+  /** Combined-sources union (the reference's four *_to_combined MVs):
+    * streaming DataFrames union exactly like batch ones.
+    */
+  def combined(sources: Seq[DataFrame]): DataFrame =
+    sources.reduce(_ unionByName _)
+}

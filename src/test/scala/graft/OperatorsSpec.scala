@@ -1,0 +1,190 @@
+package graft
+
+import graft.functions.{GeoFunctions, HashFunctions, HashUtil, VectorFunctions}
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Batch-operator specs: every SURVEY §2 group has at least one
+  * behavioral check here beyond the DuckDB oracle gate.
+  */
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("entry returns moving latest positions (driver smoke contract)") {
+    val df = SparkEntry.entry(spark)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    // one row per user (latest state), all moving
+    assert(rows.map(_.getAs[Long]("user_id")).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[Double]("value") > 0))
+  }
+
+  test("every declared query runs at sf0.001 and column names match its oracle") {
+    SparkEntry.allDefs.foreach { d =>
+      val df = d.run(spark, sf)
+      assert(df.columns.nonEmpty, d.name)
+      df.limit(1).collect() // plan executes
+    }
+    // queries and oracleSql keys line up
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("latestBy keeps exactly one newest row per key") {
+    val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "v", "tag")
+    val got = CurrentState.latestBy(df, Seq("k"), "v", "tag")
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(2))).toSeq == Seq((1L, "b"), (2L, "c")))
+  }
+
+  test("latestBy ties break on the tie-break column (deterministic)") {
+    val df = Seq((1L, 10L, "a"), (1L, 10L, "z")).toDF("k", "v", "tag")
+    val got = CurrentState.latestBy(df, Seq("k"), "v", "tag").collect()
+    assert(got.length == 1 && got.head.getString(2) == "z")
+  }
+
+  test("parseAltBaro mirrors the reference CASE ('ground'→0, null→-9999)") {
+    val df = Seq(Some("ground"), None, Some("37000")).toDF("alt")
+    val got = df.select(AdsbNormalize.parseAltBaro(col("alt"))).as[Int].collect()
+    assert(got.toSeq == Seq(0, -9999, 37000))
+  }
+
+  test("unit conversions truncate like toInt32") {
+    val df = Seq(100.9).toDF("v")
+    val got = df.select(
+      AdsbNormalize.metersToFeet(col("v")),
+      AdsbNormalize.msToFpm(col("v"))).collect().head
+    assert(got.getInt(0) == (100.9 * 3.28084).toInt)
+    assert(got.getInt(1) == (100.9 * 196.85).toInt)
+  }
+
+  test("cleanArray drops empties and normalizes case/space") {
+    val df = Seq(Seq(" TCAS ", "", "Lnav")).toDF("a")
+    val got = df.select(AdsbNormalize.cleanArray(col("a"))).as[Seq[String]].collect().head
+    assert(got == Seq("tcas", "lnav"))
+  }
+
+  test("withIngestionTime adds an audit timestamp (A10)") {
+    val df = AdsbNormalize.withIngestionTime(Seq(1).toDF("x"))
+    assert(df.columns.contains("ingestion_time"))
+    assert(df.select(col("ingestion_time").isNotNull).as[Boolean].collect().head)
+  }
+
+  test("writePartitionedByDay produces day=... directories, pruned reads (B1/B2)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    CurrentState.writePartitionedByDay(Tables.events(spark, sf), "ts", "user_id", out)
+    val days = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(days.nonEmpty && days.forall(_.startsWith("day=")))
+    val oneDay = days.head.stripPrefix("day=")
+    val pruned = spark.read.parquet(out).filter(col("day") === oneDay)
+    // partition filter must prune, not scan-and-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0)
+    assert(!plan.contains("PushedFilters: [IsNotNull(day)"))
+  }
+
+  test("moduloSample decimates without shuffle (D3 scale path)") {
+    val df = CurrentState.moduloSample(Tables.events(spark, sf), 4, "event_id")
+    assert(df.queryExecution.executedPlan.toString.indexOf("Exchange") == -1)
+    assert(df.count() > 0)
+  }
+
+  test("haversine/bearing match known geometry (D4/K2)") {
+    // London → Paris ≈ 344 km, bearing ≈ 148°
+    val df = Seq((51.5074, -0.1278, 48.8566, 2.3522)).toDF("la1", "lo1", "la2", "lo2")
+    val r = df.select(
+      GeoFunctions.haversineKm(col("la1"), col("lo1"), col("la2"), col("lo2")),
+      GeoFunctions.bearingDeg(col("la1"), col("lo1"), col("la2"), col("lo2"))).collect().head
+    assert(math.abs(r.getDouble(0) - 344) < 2, s"distance ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 148) < 2, s"bearing ${r.getDouble(1)}")
+  }
+
+  test("Md5Prefix64 expression equals the SQL conv(md5) formulation (K1)") {
+    val df = Tables.documents(spark, sf).select(col("text").as("s"))
+    val got = df.select(
+      HashFunctions.md5prefix64(col("s")).as("a"),
+      expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("b"))
+    assert(got.filter(col("a") =!= col("b")).count() == 0)
+    assert(got.count() > 0)
+    // codegen actually engaged: the `*(n)` prefix marks WholeStageCodegen
+    assert(got.queryExecution.executedPlan.toString.contains("*(1) Project [md5prefix64"))
+  }
+
+  test("HashUtil.affine stays within [0, P)") {
+    val h = HashUtil.md5Prefix64(org.apache.spark.unsafe.types.UTF8String.fromString("x"))
+    val a = HashUtil.affine(h, 2819L, 261101L)
+    assert(a >= 0 && a < HashUtil.P)
+  }
+
+  test("exactDedup keeps min-id per duplicate group (F1)") {
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text").select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  test("ngramJaccard flags a true near-duplicate pair (F2)") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "completely different words entirely here now today ok"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 4, 100)
+      .filter(col("jac") > 0.3).select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH buckets a near-duplicate pair together (F3)") {
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq((1L, near), (2L, near + " lambda"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", 4)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash of identical docs is identical, near docs are close (F4)") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "totally unrelated content words")).toDF("doc_id", "text")
+    val m = Dedup.simhash32(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) > 4)
+  }
+
+  test("cosine kNN ranks an identical vector first (G1)") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Embeddings.knnBruteForce(emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 2)
+      .filter(col("rank") === 1).select("cid").as[Long].collect()
+    assert(top.toSeq == Seq(1L))
+  }
+
+  test("lshBucket is deterministic and engine-independent (G2)") {
+    val emb = Tables.embeddings(spark, sf).limit(16)
+    val b1 = Embeddings.withBucket(emb, "embedding", 8, 64).select("bucket").as[Long].collect()
+    val b2 = Embeddings.withBucket(emb, "embedding", 8, 64).select("bucket").as[Long].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 256))
+  }
+
+  test("l2Normalize yields unit vectors (G3)") {
+    val df = Seq(Array(3.0f, 4.0f)).toDF("v")
+    val n = df.select(VectorFunctions.normSq(VectorFunctions.l2Normalize(col("v"))))
+      .as[Double].collect().head
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
+
+  test("language-ID prefers the language with most stopword hits (H3)") {
+    val df = Seq((1L, "el perro de la casa que ladra los dias"),
+      (2L, "the cat of the house and the dog")).toDF("doc_id", "text")
+    val scores = TextOps.langScores(col("text"))
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    val got = df.select(col("doc_id"), TextOps.langPredict(en, es, de, fr).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "es" && got(2L) == "en")
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.AdsbStream
+import graft.streaming.AdsbStream.{CurrentPosition, RawReport}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** J-group specs: the Kafka→MV→Replacing flow driven synchronously
+  * from MemoryStream (the source is orthogonal to the transforms).
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  private val batch1 = Seq(
+    RawReport(Some("ABC123"), Some(" BAW12 "), Some(51.0), Some(-0.1), Some("37000"), Some(450.0), "local", ts(0)),
+    RawReport(Some("abc123"), Some(" BAW12 "), Some(51.1), Some(-0.2), Some("38000"), Some(455.0), "local", ts(10)),
+    RawReport(None, Some("ghost"), Some(10.0), Some(10.0), Some("100"), Some(1.0), "local", ts(5)),
+    RawReport(Some("DEF456"), None, Some(95.0), Some(0.0), Some("100"), Some(1.0), "local", ts(5)),
+    RawReport(Some("GRND99"), Some("gnd"), Some(40.0), Some(4.0), Some("ground"), None, "local", ts(7)))
+
+  test("streaming ingest normalizes and filters like the reference MV (J1)") {
+    val input = MemoryStream[RawReport](spark)
+    input.addData(batch1)
+    val q = AdsbStream.normalize(input.toDF())
+      .writeStream.format("memory").queryName("j1_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("j1_out").collect()
+    // null hex and out-of-range lat dropped
+    assert(out.length == 3)
+    val byKey = out.map(r => r.getAs[String]("icao24") -> r).toMap
+    assert(byKey.keySet == Set("abc123", "grnd99"))
+    assert(byKey("grnd99").getAs[Int]("alt_baro") == 0)            // 'ground' → 0
+    assert(byKey("grnd99").getAs[Double]("ground_speed") == -9999.0) // null → sentinel
+    assert(out.forall(_.getAs[String]("callsign") == out.head.getAs[String]("callsign")) ||
+      byKey("abc123").getAs[String]("callsign") == "baw12")        // trim+lower
+  }
+
+  test("windowed rates aggregate per source with watermark (J2)") {
+    val input = MemoryStream[RawReport](spark)
+    input.addData(batch1)
+    val q = AdsbStream.windowedRates(AdsbStream.normalize(input.toDF()), "1 minute", "1 minute")
+      .writeStream.format("memory").queryName("j2_out").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("j2_out")
+    assert(out.agg(sum("n_reports")).as[Long].collect().head == 3)
+  }
+
+  test("stateful latest-state emits only when a key advances (J3)") {
+    val input = MemoryStream[CurrentPosition](spark)
+    val q = AdsbStream.latestState(spark, input.toDF())
+      .writeStream.format("memory").queryName("j3_out").outputMode("update").start()
+
+    input.addData(CurrentPosition("abc123", "baw12", 51.0, -0.1, 37000, 450.0, "local", ts(0)))
+    q.processAllAvailable()
+    // stale report (older ts) must NOT emit; newer must
+    input.addData(
+      CurrentPosition("abc123", "baw12", 50.9, -0.05, 36900, 449.0, "local", ts(-10)),
+      CurrentPosition("abc123", "baw12", 51.2, -0.3, 39000, 460.0, "local", ts(20)))
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.table("j3_out").collect()
+    assert(out.length == 2)
+    val last = out.maxBy(_.getAs[Timestamp]("scrape_time").getTime)
+    assert(last.getAs[Int]("alt_baro") == 39000)
+  }
+
+  test("combined union of two streaming sources (J4)") {
+    val a = MemoryStream[RawReport](spark)
+    val b = MemoryStream[RawReport](spark)
+    a.addData(batch1.take(2))
+    b.addData(batch1.take(2).map(_.copy(source = "regional")))
+    val q = AdsbStream.combined(Seq(
+        AdsbStream.normalize(a.toDF()), AdsbStream.normalize(b.toDF())))
+      .groupBy("source").count()
+      .writeStream.format("memory").queryName("j4_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val m = spark.table("j4_out").as[(String, Long)].collect().toMap
+    assert(m == Map("local" -> 2L, "regional" -> 2L))
+  }
+}

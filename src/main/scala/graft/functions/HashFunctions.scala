@@ -21,8 +21,17 @@ object HashUtil {
   /** Modulus of the universal-hash family (prime, fits seeded products in i64). */
   final val P: Long = 1000000007L
 
+  // MessageDigest.getInstance is surprisingly expensive (provider
+  // lookup + allocation); at millions of hash calls per task it
+  // dominates. One digest per thread, reset between uses.
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5Prefix64(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = localMd.get()
+    md.reset()
     val d = md.digest(s.getBytes)
     // First 15 hex chars = 7 full bytes + the high nibble of the 8th.
     var h = 0L
@@ -33,6 +42,12 @@ object HashUtil {
 
   /** Universal-hash family over the md5 base: (a*(base mod P)+b) mod P. */
   def affine(base: Long, a: Long, b: Long): Long = (a * (base % P) + b) % P
+
+  /** Driver-side md5Prefix64 of a plain string (for precomputing
+    * constants like LSH hyperplanes — same value as the expression).
+    */
+  def md5Prefix64(s: String): Long =
+    md5Prefix64(UTF8String.fromString(s))
 }
 
 /** Codegen'd 60-bit md5-prefix hash of a string column.

@@ -36,12 +36,14 @@ object VectorFunctions {
   /** Deterministic pseudo-random hyperplane weight in [-1, 1]:
     * w(plane, i) = ((md5prefix64("plane,i") mod 2001) - 1000)/1000.
     * Seeded from md5 so Spark, the oracle and any other engine agree.
+    * The weights are constants, so they are materialized driver-side
+    * once (a literal array) instead of re-hashing per row — at 100 TB
+    * that saves dim·planes md5 calls per record.
     */
   def hyperplane(plane: Int, dim: Int): Column =
-    transform(
-      sequence(lit(0), lit(dim - 1)),
-      i => ((HashFunctions.md5prefix64(concat_ws(",", lit(plane.toString), i.cast("string")))
-        % lit(2001L)) - lit(1000L)).cast("double") / lit(1000.0))
+    typedLit((0 until dim).map { i =>
+      ((HashUtil.md5Prefix64(s"$plane,$i") % 2001L) - 1000L).toDouble / 1000.0
+    })
 
   /** LSH bucket id from `planes` hyperplane sign bits (bit j set iff
     * dot(v, hp_j) > 0). Buckets partition the space so all-pairs work

@@ -30,19 +30,30 @@ object Dedup {
       .filter(col(idCol) === col("__keep"))
       .drop("__h", "__keep")
 
-  /** Pairwise n-gram Jaccard over the shingle sets.
+  /** Distinct (id, 60-bit shingle hash) pairs. Hashing before the
+    * distinct/joins means every shuffle and join compares 8-byte
+    * longs, not shingle strings — the difference between shuffling
+    * O(bytes-of-text) and O(rows) at 100 TB. Collisions (~2⁻⁶⁰) are
+    * mirrored by the oracle, which hashes identically.
+    */
+  def hashedShingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), graft.functions.HashFunctions.md5prefix64(col("sh")).as("shh"))
+      .distinct()
+
+  /** Pairwise n-gram Jaccard over the hashed shingle sets.
     * Returns (a, b, n_common, jac) for every candidate pair that
     * shares at least one sub-cap shingle.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, dfCap: Int): DataFrame = {
-    val sh = TextOps.shingleSet(df, idCol, textCol, n)
+    val sh = hashedShingleSet(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
-      .filter(col("c") <= dfCap).select("sh")
-    val x = sh.join(rare, "sh").select(col(idCol).as("a"), col("sh"))
-    val y = sh.select(col(idCol).as("b"), col("sh"))
-    val inter = x.join(y, Seq("sh")).filter(col("a") < col("b"))
+    val rare = sh.groupBy(col("shh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= dfCap).select("shh")
+    val x = sh.join(rare, "shh").select(col(idCol).as("a"), col("shh"))
+    val y = sh.select(col(idCol).as("b"), col("shh"))
+    val inter = x.join(y, Seq("shh")).filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
     inter
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), "a")
@@ -59,22 +70,27 @@ object Dedup {
     1013L, 2039L, 4079L, 8161L, 16319L, 32633L, 65269L, 130553L, 261101L)
   val MinhashRowsPerBand = 4
 
-  /** Per-(doc, band) MinHash signature strings. */
+  /** Per-(doc, band) MinHash signature strings.
+    *
+    * All 16 minhashes are computed as parallel `min` aggregates in ONE
+    * hash aggregation over the shingle set (map-side combined, a
+    * single shuffle on the doc id) — no 16× row explosion, no
+    * per-(doc,seed) re-shuffle. Bands then pivot out row-locally.
+    */
   def minhashBands(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = TextOps.shingleSet(df, idCol, textCol, n)
-      .withColumn("b", HashFunctions.md5prefix64(col("sh")) % lit(HashUtil.P))
-    val seeded = sh.select(col(idCol), explode(array(
-      MinhashA.indices.map { i =>
-        struct(lit(i).as("i"),
-          ((lit(MinhashA(i)) * col("b") + lit(MinhashB(i))) % lit(HashUtil.P)).as("h"))
-      }: _*)).as("sig"))
-      .select(col(idCol), col("sig.i").as("i"), col("sig.h").as("h"))
-    val mh = seeded.groupBy(col(idCol), col("i")).agg(min(col("h")).as("mh"))
-    mh.groupBy(col(idCol), (col("i") / MinhashRowsPerBand).cast("int").as("band"))
-      .agg(sort_array(collect_list(struct(col("i"), col("mh")))).as("arr"))
-      .select(col(idCol), col("band"),
-        concat_ws(",", transform(col("arr"), x => x.getField("mh").cast("string")))
-          .as("sig"))
+    val sh = hashedShingleSet(df, idCol, textCol, n)
+      .withColumn("b", col("shh") % lit(HashUtil.P))
+    val mins = MinhashA.indices.map { i =>
+      min((lit(MinhashA(i)) * col("b") + lit(MinhashB(i))) % lit(HashUtil.P)).as(s"mh_$i")
+    }
+    val mh = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val nBands = MinhashA.length / MinhashRowsPerBand
+    mh.select(col(idCol), explode(array((0 until nBands).map { band =>
+        struct(lit(band).as("band"),
+          concat_ws(",", (0 until MinhashRowsPerBand).map(r =>
+            col(s"mh_${band * MinhashRowsPerBand + r}").cast("string")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
   /** LSH candidate pairs: docs sharing ≥1 identical band signature,

@@ -252,11 +252,14 @@ object AdsbQueries {
           FROM events) t
         WHERE rn = 1 AND value > 50 ORDER BY value, event_id""")),
 
-    // D2: per-key time series inside a dashboard time range.
+    // D2: per-key time series inside a dashboard time range. The range
+    // predicate is on the raw nanos column so it pushes into the
+    // parquet scan (row-group pruning at scale); the derived timestamp
+    // wouldn't push.
     QueryDef("d2_time_series",
       (s, dir) => ev(s, dir)
-        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-          col("ts") < lit("2024-01-12 00:00:00").cast("timestamp") &&
+        .filter(col("ts_ns") >= Tables.epochNanos("2024-01-10T00:00:00Z") &&
+          col("ts_ns") < Tables.epochNanos("2024-01-12T00:00:00Z") &&
           col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("value"),
           unix_micros(col("ts")).as("ts_us"))
@@ -275,6 +278,37 @@ object AdsbQueries {
       Some("""SELECT event_id, rn FROM (
           SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events) t
         WHERE rn % 4 = 0 ORDER BY rn""")),
+
+    // D4: receiver-relative distance/direction table (the reference's
+    // r_dst/r_dir columns + nearest-first dashboard panel). Rounded to
+    // 6 decimals: transcendental libm results can differ by an ulp
+    // between engines.
+    QueryDef("d4_nearest",
+      (s, dir) => {
+        val lat = (col("value") % 90.0) - 45.0
+        val lon = (col("value") * 2.0 % 360.0) - 180.0
+        ev(s, dir)
+          .select(col("event_id"),
+            round(graft.functions.GeoFunctions.haversineKm(lit(40.0), lit(-75.0), lat, lon), 6)
+              .as("dist_km"),
+            round(graft.functions.GeoFunctions.bearingDeg(lit(40.0), lit(-75.0), lat, lon), 6)
+              .as("bearing_deg"))
+          .orderBy("event_id")
+      },
+      Some("""WITH pos AS (
+          SELECT event_id, (value % 90.0) - 45.0 AS lat, (value * 2.0 % 360.0) - 180.0 AS lon
+          FROM events)
+        SELECT event_id,
+          round(2.0 * 6371.0088 * asin(least(1.0, sqrt(
+            pow(sin(radians(lat - 40.0) / 2.0), 2.0) +
+            cos(radians(40.0)) * cos(radians(lat)) *
+            pow(sin(radians(lon - (-75.0)) / 2.0), 2.0)))), 6) AS dist_km,
+          round((degrees(atan2(
+              sin(radians(lon - (-75.0))) * cos(radians(lat)),
+              cos(radians(40.0)) * sin(radians(lat)) -
+              sin(radians(40.0)) * cos(radians(lat)) * cos(radians(lon - (-75.0)))
+            )) + 360.0) % 360.0, 6) AS bearing_deg
+        FROM pos ORDER BY event_id""")),
 
     // D5: time-bucketed rates (Grafana timeseries panels).
     QueryDef("d5_time_bucket",

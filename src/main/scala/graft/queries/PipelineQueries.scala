@@ -23,15 +23,14 @@ object PipelineQueries {
          SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 3, 1) + 1),
            i -> array_to_string(ws[i:i+3], ' '))) AS sh
          FROM words),
-       sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
-
-  private val hexBase = "('0x' || substr(md5(sh), 1, 15))::BIGINT"
+       sh AS (SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shh FROM sh0)"""
 
   private def minhashSql: String = {
     val aList = Dedup.MinhashA.mkString("[", ", ", "]")
     val bList = Dedup.MinhashB.mkString("[", ", ", "]")
     s"""WITH $ShingleCte,
-       hx AS (SELECT doc_id, $hexBase % 1000000007 AS b FROM sh),
+       hx AS (SELECT doc_id, shh % 1000000007 AS b FROM sh),
        mh AS (
          SELECT doc_id, t.i,
            min(($aList[CAST(t.i + 1 AS INT)] * b + $bList[CAST(t.i + 1 AS INT)]) % 1000000007) AS mh
@@ -80,11 +79,11 @@ object PipelineQueries {
         .limit(20),
       Some(s"""WITH $ShingleCte,
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        rare AS (SELECT sh FROM (SELECT sh, COUNT(*) c FROM sh GROUP BY sh) dfq WHERE c <= 100),
+        rare AS (SELECT shh FROM (SELECT shh, COUNT(*) c FROM sh GROUP BY shh) dfq WHERE c <= 100),
         inter AS (
           SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
-          FROM (SELECT * FROM sh WHERE sh IN (SELECT sh FROM rare)) x
-          JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          FROM (SELECT * FROM sh WHERE shh IN (SELECT shh FROM rare)) x
+          JOIN sh y ON x.shh = y.shh AND x.doc_id < y.doc_id
           GROUP BY 1, 2)
         SELECT a, b, n_common,
           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jac

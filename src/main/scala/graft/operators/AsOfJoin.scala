@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** ASOF join (ClickHouse `ASOF JOIN`, kdb aj): for every left row,
+  * the latest right row with rightTime <= leftTime within the same
+  * key.
+  *
+  * Implemented with the union-merge trick instead of a range join:
+  * tag both sides, union, one window pass per key ordered by time
+  * carrying the last-seen right payload forward, keep left rows.
+  * Cost is ONE hash shuffle on the key + a per-partition sort —
+  * O((L+R)·log) — where a naive inequality join is O(L·R) per key
+  * and can't hash-partition. This is the 100 TB path; it is also
+  * exactly how a sorted-merge ASOF executes.
+  */
+object AsOfJoin {
+
+  /** Right payload columns are emitted as `asof_<name>` (all null when
+    * no right row precedes the left row — LEFT ASOF semantics). The
+    * payload travels as one struct, so all `asof_*` values always come
+    * from the SAME right row. At equal timestamps the right row is
+    * visible to the left row (CH `<=` semantics); among equal right
+    * timestamps the latest by `rightTieBreak` wins.
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rStruct = right.select(col(key), col(rightTime).as("__t"),
+      lit(1).as("__side"), col(rightTieBreak).cast("long").as("__tie"),
+      struct(rightPayload.map(col): _*).as("__p"))
+    val pType = rStruct.schema("__p").dataType
+    val ordered = Seq("__t", "__side", "__tie", "__p")
+
+    val lAligned = left
+      .withColumn("__t", col(leftTime)).withColumn("__side", lit(0))
+      .withColumn("__tie", lit(Long.MaxValue))
+      .withColumn("__p", lit(null).cast(pType))
+      .select((lCols ++ ordered).map(col): _*)
+    val rAligned = lCols.foldLeft(rStruct) { (df, c) =>
+        if (c == key) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
+      .select((lCols ++ ordered).map(col): _*)
+
+    // Right rows sort before left rows at the same instant (__side
+    // desc) so an equal-timestamp right row is matched.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").desc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lAligned.unionByName(rAligned)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select((lCols.map(col) ++
+        rightPayload.map(c => col("__p").getField(c).as(s"asof_$c"))): _*)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.plans
+
+import graft.functions.Md5Prefix64
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SQL-surface registration of graft's native expressions, so SQL
+  * users get them without touching the Scala API:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)…
+  *   spark.sql("SELECT md5prefix64(text) FROM docs")
+  *
+  * [[GraftFunctions.register]] does the same against an
+  * already-running session (extensions only apply at build time).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(e.injectFunction)
+}
+
+object GraftFunctions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[Md5Prefix64].getName, null, name, usage, "")
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("md5prefix64"),
+        info("md5prefix64",
+          "md5prefix64(str) - 60-bit hash from the md5 prefix; equals conv(substring(md5(str),1,15),16,10)."),
+        (args: Seq[Expression]) => Md5Prefix64(args.head)))
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.functions.HashFunctions
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Time-series / sequence analytics extending the D/E groups: ASOF
+  * join, sessionization, gap filling, hash sampling, ordered array
+  * aggregation — the ClickHouse-style operations an analytics user of
+  * the reference would reach for next.
+  */
+object TimeSeriesQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // E18: ASOF join — each click matched to the user's latest
+    // preceding purchase (CH ASOF JOIN; oracle uses DuckDB's native
+    // ASOF LEFT JOIN).
+    QueryDef("e18_asof_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        AsOfJoin.joinAsOf(clicks, purchases, "user_id", "ts", "ts",
+            Seq("ts", "value"), "event_id")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("asof_ts")).as("purchase_ts_us"),
+            col("asof_value").as("purchase_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id,
+          epoch_us(CAST(l.ts AS TIMESTAMP)) AS ts_us,
+          epoch_us(CAST(r.ts AS TIMESTAMP)) AS purchase_ts_us,
+          r.value AS purchase_value
+        FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id""")),
+
+    // D7: sessionization — 30-minute-gap sessions per user (window
+    // lag + cumulative sum; one shuffle on the key).
+    QueryDef("d7_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("new_sess",
+            when(lag(col("ts_us"), 1).over(byUser).isNull ||
+              col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 30L * 60 * 1000000, 1)
+              .otherwise(lit(0)))
+          .withColumn("session_idx", sum(col("new_sess")).over(cum))
+          .groupBy("user_id", "session_idx")
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH g AS (
+          SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+            CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w IS NULL THEN 1
+                 WHEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w
+                      > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, ts_us,
+            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM g)
+        SELECT user_id, session_idx, COUNT(*) AS n_events,
+          MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx""")),
+
+    // D8: gap-filled hourly series (CH `WITH FILL` analog): hour spine
+    // × event types, zero-filled counts.
+    QueryDef("d8_gap_fill",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val counts = e.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = e.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val spine = bounds.select(explode(
+          sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+        val types = e.select("event_type").distinct()
+        spine.crossJoin(broadcast(types))
+          .join(counts, Seq("hour", "event_type"), "left")
+          .select(unix_micros(col("hour")).as("hour_us"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("hour_us", "event_type")
+      },
+      Some("""WITH bounds AS (
+          SELECT date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) AS lo,
+                 date_trunc('hour', CAST(max(ts) AS TIMESTAMP)) AS hi
+          FROM events),
+        spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT epoch_us(s.hour) AS hour_us, t.event_type, coalesce(c.n, 0) AS n
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+        ORDER BY hour_us, t.event_type""")),
+
+    // B5: deterministic hash sampling (CH `SAMPLE` clause analog —
+    // stable 1-in-10 of users, not rows, so per-user analyses stay
+    // coherent).
+    QueryDef("b5_hash_sample",
+      (s, dir) => ev(s, dir)
+        .filter(HashFunctions.md5prefix64(col("user_id").cast("string")) % 10 === 0)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // E19: ordered array aggregation (CH groupArray): first 5 event
+    // values (as cents) per user in time order.
+    QueryDef("e19_group_array",
+      (s, dir) => ev(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .groupBy("user_id")
+        .agg(slice(transform(
+            sort_array(collect_list(struct(unix_micros(col("ts")).as("t"),
+              col("event_id").as("e"), col("cents").as("c")))),
+            x => x.getField("c").cast("string")), 1, 5).as("arr"))
+        .select(col("user_id"), concat_ws(",", col("arr")).as("first5_cents"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+          array_to_string((list(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+            ORDER BY ts, event_id))[1:5], ',') AS first5_cents
+        FROM events GROUP BY user_id ORDER BY user_id"""))
+  )
+}

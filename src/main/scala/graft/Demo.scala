@@ -58,6 +58,18 @@ object Demo {
     println(s"[demo] streaming latest-state aircraft: $nLatest")
     spark.table("demo_latest").orderBy(desc("scrape_time")).show(5, truncate = false)
 
+    // --- Full reference-schema pipeline: JSON feed line → storage row ---
+    val feedLine =
+      """{"hex":" ABC123 ","flight":" BAW12  ","r":"G-ABCD","t":"A320","lat":51.47,
+         "lon":-0.45,"alt_baro":"37000","gs":450.5,"nav_modes":[" AUTOPILOT ","","tcas"],
+         "source":"local","scrape_time":"2026-01-01T00:00:00Z"}""".replaceAll("\n\\s*", "")
+    val storageRow = adsb.AdsbSchemas.normalizeLocal(
+      adsb.AdsbSchemas.parseJson(Seq(feedLine).toDF("value"), "value",
+        adsb.AdsbSchemas.rawLocalSchema))
+    println(s"[demo] local-schema pipeline columns: ${storageRow.columns.length}")
+    storageRow.select("icao24", "callsign", "registration", "alt_baro", "ground_speed",
+      "nav_modes").show(truncate = false)
+
     // --- Multimodal: binary payloads → batched feature extraction ---
     val media = Multimodal.toMediaRecords(
       sources.Tables.documents(spark, sfDir)

@@ -15,8 +15,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * already-running session (extensions only apply at build time).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => RewriteLatestByToArgMax)
+  }
 }
 
 object GraftFunctions {

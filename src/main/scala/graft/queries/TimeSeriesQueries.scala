@@ -127,6 +127,54 @@ object TimeSeriesQueries {
         WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
         GROUP BY event_type ORDER BY event_type""")),
 
+    // E20: funnel analysis (CH windowFunnel analog): signup → click →
+    // purchase, each stage strictly after the previous; staged
+    // aggregations joined on the key (3 small shuffles, no windows).
+    QueryDef("e20_funnel",
+      (s, dir) => {
+        val e = ev(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+        val users = e.select("user_id").distinct()
+        users.join(s1, Seq("user_id"), "left")
+          .join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+              .when(col("t1").isNotNull, 1).otherwise(0).as("funnel_depth"))
+          .groupBy("funnel_depth").agg(count(lit(1)).as("n_users"))
+          .orderBy("funnel_depth")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                    WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+          COUNT(*) AS n_users
+        FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        GROUP BY 1 ORDER BY funnel_depth""")),
+
+    // E21: fixed-width histogram (CH histogram analog).
+    QueryDef("e21_histogram",
+      (s, dir) => ev(s, dir)
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          QueryDefs.dsum(col("value")).as("sum_value"))
+        .orderBy("bucket"),
+      Some(s"""SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n,
+        ${QueryDefs.sqlDsum("value")} AS sum_value
+        FROM events GROUP BY 1 ORDER BY bucket""")),
+
     // E19: ordered array aggregation (CH groupArray): first 5 event
     // values (as cents) per user in time order.
     QueryDef("e19_group_array",

@@ -53,6 +53,42 @@ object Embeddings {
       .select("qid", "rank", "cid", "bucket", "cos")
   }
 
+  /** IVF-style coarse quantization: assign every vector to its
+    * nearest centroid by cosine (ties broken on centroid id). The
+    * centroid set plays the role of a trained k-means codebook — here
+    * a deterministic subset of the corpus so results are
+    * engine-reproducible; swap in trained centroids in production.
+    * Search probes only the query's cell (nprobe=1): work drops from
+    * O(N) per query to O(N/k).
+    */
+  def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cvec_q"))
+    df.crossJoin(broadcast(c))
+      .withColumn("ccos", VectorFunctions.cosineSim(col(vecCol), col("cvec_q")))
+      .groupBy(df.columns.map(col): _*)
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), -col("centroid_id"))).as("cell"))
+  }
+
+  /** ANN via IVF cells: candidates share the query's cell, exact
+    * cosine rerank top-k.
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("cell"))
+    val q = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cell", "cos")
+  }
+
   /** Near-dup pairs: bucket-cogrouped all-pairs with exact cosine,
     * top `topN` by similarity (set a threshold filter for the real
     * dedup path; top-N keeps the oracle check non-degenerate on

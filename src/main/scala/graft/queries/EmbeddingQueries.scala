@@ -76,6 +76,33 @@ object EmbeddingQueries {
           FROM scored) t
         WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    // G3: IVF-cell ANN — coarse quantize to 8 deterministic centroids
+    // (vec_id < 8 as the codebook), probe the query's cell, rerank.
+    QueryDef("g3_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annIvf(emb, emb.filter(col("vec_id") < 3),
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec_q FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT vec_id, embedding, centroid_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${sqlCos("e.embedding", "cvec_q")} DESC, centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cent) t
+          WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qvec, cell FROM assign WHERE vec_id < 3),
+        c AS (SELECT vec_id AS cid, embedding AS cvec, cell FROM assign),
+        scored AS (
+          SELECT qid, cid, cell, ${sqlCos("qvec", "cvec")} AS cos
+          FROM c JOIN q USING (cell) WHERE qid != cid)
+        SELECT qid, rank, cid, cell, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM scored) t
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
     // F5: embedding near-dup — bucket-cogrouped pairs, top-20 by cosine.
     QueryDef("f5_dedup_embedding",
       (s, dir) => Embeddings.nearDupPairs(Tables.embeddings(s, dir),

@@ -257,6 +257,16 @@ object RelationalQueries {
       },
       None),
 
+    // CH quantileTDigest analog — sketch-based, engine-specific → rows-only.
+    QueryDef("e14b_approx_quantiles",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("approx_p"))
+          .orderBy("event_type")
+      },
+      None),
+
     QueryDef("e14_quantiles",
       (s, dir) => {
         Tables.events(s, dir)

@@ -48,8 +48,14 @@ object Demo {
       StructField("alt_baro", StringType), StructField("gs", DoubleType),
       StructField("source", StringType), StructField("scrape_time", TimestampType)))
 
+    // Duplicate deliveries simulated by unioning the feed with itself;
+    // dedupStream drops them before stateful latest-state.
     val feed = spark.readStream.schema(schema).parquet(streamDir)
-    val latest = AdsbStream.latestState(spark, AdsbStream.normalize(feed))
+    val feed2 = spark.readStream.schema(schema).parquet(streamDir)
+    val deduped = AdsbStream.dedupStream(
+      AdsbStream.normalize(AdsbStream.combined(Seq(feed, feed2))),
+      "1 hour", Seq("icao24"))
+    val latest = AdsbStream.latestState(spark, deduped)
     val q = latest.writeStream.format("memory").queryName("demo_latest")
       .outputMode("update").start()
     q.processAllAvailable(); q.stop()
@@ -57,6 +63,11 @@ object Demo {
     val nLatest = spark.table("demo_latest").select("icao24").distinct().count()
     println(s"[demo] streaming latest-state aircraft: $nLatest")
     spark.table("demo_latest").orderBy(desc("scrape_time")).show(5, truncate = false)
+
+    // --- Skew-safe aggregation over the same events ---
+    val salted = operators.ScaleOps.saltedCount(
+      sources.Tables.events(spark, sfDir), "event_type", 8)
+    println(s"[demo] salted aggregation groups: ${salted.count()}")
 
     // --- Full reference-schema pipeline: JSON feed line → storage row ---
     val feedLine =

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Skew- and shuffle-management patterns for 100 TB operation.
+  *
+  * - [[saltedCount]] / [[saltedSum]]: two-phase aggregation for
+  *   heavily skewed keys (one aircraft producing a large share of all
+  *   reports, one document id duplicated millions of times). Phase 1
+  *   aggregates (key, salt) — spreading a hot key over `salts`
+  *   reducers — phase 2 merges the partials. AQE's skew handling
+  *   covers joins; this covers aggregations.
+  * - [[writeBucketed]] / co-located joins: MergeTree's ORDER BY
+  *   locality for the join path. Two tables bucketed by the same key
+  *   into the same bucket count join with ZERO exchanges.
+  */
+object ScaleOps {
+
+  def withSalt(df: DataFrame, salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+
+  /** count per key, salted into `salts` partials first. */
+  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
+    withSalt(df, salts)
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key)).agg(sum(col("__partial")).as("n"))
+
+  /** sum(valueCol) per key with salting; decimal-exact like dsum. */
+  def saltedSum(df: DataFrame, key: String, valueCol: String, salts: Int): DataFrame =
+    withSalt(df, salts)
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__partial"))
+      .groupBy(col(key)).agg(sum(col("__partial")).cast("double").as("sum_value"))
+
+  /** Persist bucketed+sorted by key — the MergeTree ORDER BY analogue
+    * for the join path. Joins between tables bucketed identically on
+    * the join key are exchange-free.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Exchange-free equi-join of two identically bucketed tables. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -87,4 +87,15 @@ object AdsbStream {
     */
   def combined(sources: Seq[DataFrame]): DataFrame =
     sources.reduce(_ unionByName _)
+
+  /** Streaming exact dedup of repeated feed deliveries (at-least-once
+    * Kafka redeliveries, overlapping scrapes): duplicates of
+    * (key, scrape_time) are dropped as long as they arrive within the
+    * watermark — state is bounded by the watermark window, not the
+    * stream's history (J5).
+    */
+  def dedupStream(normalized: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
+    normalized
+      .withWatermark("scrape_time", watermark)
+      .dropDuplicatesWithinWatermark(keys :+ "scrape_time")
 }

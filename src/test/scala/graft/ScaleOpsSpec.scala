@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.ScaleOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Scale-pattern specs: salting equivalence, bucketed co-located joins. */
+class ScaleOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("salted aggregation returns exactly the plain aggregation") {
+    val e = Tables.events(spark, sf)
+    val plain = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = ScaleOps.saltedCount(e, "event_type", 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+
+    val plainSum = e.groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+      .as[(String, Double)].collect().toMap
+    val saltedSum = ScaleOps.saltedSum(e, "event_type", "value", 8)
+      .as[(String, Double)].collect().toMap
+    assert(saltedSum == plainSum) // decimal partials merge exactly
+  }
+
+  test("identically bucketed tables join without an exchange") {
+    ScaleOps.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
+    ScaleOps.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4)
+    val joined = ScaleOps.bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+  }
+}

@@ -68,6 +68,20 @@ class StreamingSpec extends SparkSpecBase {
     assert(last.getAs[Int]("alt_baro") == 39000)
   }
 
+  test("streaming dedup drops duplicate deliveries within the watermark (J5)") {
+    val input = MemoryStream[RawReport](spark)
+    val dup = batch1.head
+    input.addData(Seq(dup, dup, dup, batch1(1)))
+    val q = AdsbStream.dedupStream(AdsbStream.normalize(input.toDF()), "10 minutes", Seq("icao24"))
+      .writeStream.format("memory").queryName("j5_out").outputMode("append").start()
+    q.processAllAvailable()
+    // a redelivery in a later microbatch is also dropped
+    input.addData(dup)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("j5_out").collect()
+    assert(out.length == 2) // three+1 copies of dup → 1; batch1(1) → 1
+  }
+
   test("combined union of two streaming sources (J4)") {
     val a = MemoryStream[RawReport](spark)
     val b = MemoryStream[RawReport](spark)

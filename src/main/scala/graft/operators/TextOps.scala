@@ -51,6 +51,29 @@ object TextOps {
   def fingerprint64(text: Column): Column =
     HashFunctions.md5prefix64(normalizeWs(text))
 
+  /** Rolling k-gram hash array of the normalized text — step 1 of
+    * winnowing. IMPORTANT: materialize this as its own column
+    * (withColumn) before windowing over it; inlining it into the
+    * window lambda re-evaluates all k-gram hashes per window position
+    * (O(n²) per document).
+    */
+  def gramHashes(text: Column, k: Int): Column = {
+    val norm = normalizeWs(text)
+    transform(
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => HashFunctions.md5prefix64(norm.substr(i, lit(k))) % lit(graft.functions.HashUtil.P))
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) from a
+    * materialized gram-hash column: minimum of each sliding window of
+    * `w` hashes, distinct minima kept. Robust to local edits; the
+    * standard document-fingerprinting scheme for near-dup detection.
+    */
+  def winnowFromGrams(grams: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(w)))))
+
   val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
   val StopwordsEs = Seq("el", "la", "de", "que", "los", "se")
   val StopwordsDe = Seq("der", "die", "und", "das", "ist")

@@ -102,6 +102,32 @@ object PipelineQueries {
         .orderBy("doc_id"),
       Some(simhashSql)),
 
+    // F6: winnowing rolling-hash fingerprints (char 8-grams, window 4).
+    QueryDef("f6_winnowing",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("grams", TextOps.gramHashes(col("text"), 8))
+        .withColumn("fps", TextOps.winnowFromGrams(col("grams"), 4))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
+        .orderBy("doc_id"),
+      Some("""WITH n AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+            list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+              i -> ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT % 1000000007) AS grams
+          FROM n),
+        m AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+              j -> list_aggregate(grams[j:j+3], 'min'))) AS fps
+          FROM g)
+        SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+          list_aggregate(fps, 'min') AS fp_min,
+          list_aggregate(fps, 'max') AS fp_max
+        FROM m ORDER BY doc_id""")),
+
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)

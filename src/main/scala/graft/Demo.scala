@@ -62,6 +62,17 @@ object Demo {
 
     val nLatest = spark.table("demo_latest").select("icao24").distinct().count()
     println(s"[demo] streaming latest-state aircraft: $nLatest")
+
+    // Storage write path: the same normalized stream landing as
+    // day-partitioned, key-clustered parquet (the MergeTree layout).
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_demo_sink").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_demo_ckpt").toString
+    val sinkQ = AdsbStream.startPartitionedSink(
+      AdsbStream.normalize(spark.readStream.schema(schema).parquet(streamDir)),
+      "scrape_time", "icao24", sinkDir, ckptDir)
+    sinkQ.processAllAvailable(); sinkQ.stop()
+    val dayDirs = new java.io.File(sinkDir).listFiles().count(_.getName.startsWith("day="))
+    println(s"[demo] streaming sink day partitions: $dayDirs, rows: ${spark.read.parquet(sinkDir).count()}")
     spark.table("demo_latest").orderBy(desc("scrape_time")).show(5, truncate = false)
 
     // --- Skew-safe aggregation over the same events ---

@@ -88,6 +88,31 @@ object AdsbStream {
   def combined(sources: Seq[DataFrame]): DataFrame =
     sources.reduce(_ unionByName _)
 
+  /** Stream-static enrichment: join the position stream against a
+    * static dimension (aircraft registry, airline metadata). The
+    * static side is broadcast per microbatch — no stream-side shuffle
+    * (J6).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** The MergeTree write path, streaming-side: each microbatch lands
+    * day-partitioned and key-clustered, exactly like the batch writer
+    * (J7). Readers prune on `day`.
+    */
+  def startPartitionedSink(normalized: DataFrame, tsCol: String, keyCol: String,
+                           path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    normalized.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.CurrentState.withDayPartition(batch, tsCol)
+          .repartition(col("day"), col(keyCol))
+          .sortWithinPartitions(col("day"), col(keyCol), col(tsCol))
+          .write.mode("append").partitionBy("day").parquet(path)
+      }
+      .start()
+
   /** Streaming exact dedup of repeated feed deliveries (at-least-once
     * Kafka redeliveries, overlapping scrapes): duplicates of
     * (key, scrape_time) are dropped as long as they arrive within the

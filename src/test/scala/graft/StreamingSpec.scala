@@ -82,6 +82,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.length == 2) // three+1 copies of dup → 1; batch1(1) → 1
   }
 
+  test("stream-static enrichment broadcasts the dimension (J6)") {
+    val input = MemoryStream[RawReport](spark)
+    input.addData(batch1.take(2))
+    val registry = Seq(("abc123", "Airbus A320", "BA")).toDF("icao24", "model", "operator")
+    val q = AdsbStream.enrich(AdsbStream.normalize(input.toDF()), registry, "icao24")
+      .writeStream.format("memory").queryName("j6_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("j6_out").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[String]("model") == "Airbus A320"))
+  }
+
+  test("streaming sink lands day-partitioned key-clustered parquet (J7)") {
+    val input = MemoryStream[RawReport](spark)
+    input.addData(batch1)
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = AdsbStream.startPartitionedSink(
+      AdsbStream.normalize(input.toDF()), "scrape_time", "icao24", out, ckpt)
+    q.processAllAvailable(); q.stop()
+    val days = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(days.nonEmpty && days.forall(_.startsWith("day=")))
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("combined union of two streaming sources (J4)") {
     val a = MemoryStream[RawReport](spark)
     val b = MemoryStream[RawReport](spark)

@@ -175,6 +175,50 @@ object TimeSeriesQueries {
         ${QueryDefs.sqlDsum("value")} AS sum_value
         FROM events GROUP BY 1 ORDER BY bucket""")),
 
+    // D9: cohort retention (CH `retention` analog): users grouped by
+    // first-seen week, counted per weeks-since-cohort offset.
+    QueryDef("d9_retention",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val firsts = e.groupBy("user_id")
+          .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        val active = e.select(col("user_id"),
+          date_trunc("week", col("ts")).as("wk")).distinct()
+        active.join(firsts, "user_id")
+          .withColumn("k", (datediff(col("wk"), col("cohort")) / 7).cast("int"))
+          .groupBy(unix_micros(col("cohort")).as("cohort_us"), col("k"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_us", "k")
+      },
+      Some("""WITH firsts AS (
+          SELECT user_id, date_trunc('week', CAST(min(ts) AS TIMESTAMP)) AS cohort
+          FROM events GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+          FROM events)
+        SELECT epoch_us(cohort) AS cohort_us,
+          CAST(date_diff('day', cohort, wk) // 7 AS INT) AS k,
+          COUNT(DISTINCT user_id) AS n_users
+        FROM active JOIN firsts USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_us, k""")),
+
+    // E22: pivot (CH pivot-style conditional matrix via Spark .pivot).
+    QueryDef("e22_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = ev(s, dir).groupBy("user_id")
+          .pivot("event_type", types).agg(count(lit(1)))
+        p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+          COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+          COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // E19: ordered array aggregation (CH groupArray): first 5 event
     // values (as cents) per user in time order.
     QueryDef("e19_group_array",

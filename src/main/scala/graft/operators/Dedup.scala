@@ -30,16 +30,36 @@ object Dedup {
       .filter(col(idCol) === col("__keep"))
       .drop("__h", "__keep")
 
-  /** Distinct (id, 60-bit shingle hash) pairs. Hashing before the
-    * distinct/joins means every shuffle and join compares 8-byte
-    * longs, not shingle strings — the difference between shuffling
-    * O(bytes-of-text) and O(rows) at 100 TB. Collisions (~2⁻⁶⁰) are
-    * mirrored by the oracle, which hashes identically.
+  /** Per-document distinct 60-bit shingle hashes, computed row-locally
+    * (hash inside `transform`, dedup via `array_distinct`, THEN
+    * explode) — the "distinct per (doc, shingle)" set without any
+    * shuffle: uniqueness within a row is row-local work, and rows are
+    * distinct docs. Joins downstream compare 8-byte longs, not shingle
+    * strings. Collisions (~2⁻⁶⁰) are mirrored by the oracle, which
+    * hashes identically.
     */
   def hashedShingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("sh"))
-      .select(col(idCol), graft.functions.HashFunctions.md5prefix64(col("sh")).as("shh"))
-      .distinct()
+    df
+      // Spread the docs first: higher-order-function text work is
+      // interpreted and row-local — a single small input file would
+      // otherwise pin ALL of it to one core.
+      .repartition(col(idCol))
+      .withColumn("__ws", TextOps.tokens(col(textCol)))
+      .withColumn("__shs", array_distinct(
+        transform(TextOps.shinglesFromTokens(col("__ws"), n),
+          s => graft.functions.HashFunctions.md5prefix64(s))))
+      // explode_outer, NOT explode: InferFiltersFromGenerate would wrap
+      // plain explode's child in a `size(<whole expression>) > 0`
+      // filter, pushed below the repartition — re-running the entire
+      // inlined shingle computation serially on the raw input
+      // partitioning. The arrays here are never empty (shingles()
+      // yields ≥1), so the rows are identical.
+      .select(col(idCol), explode_outer(col("__shs")).as("shh"))
+      // End on a key-partitioned exchange: the expensive subtree below
+      // it is computed ONCE and the exchange is reused by every
+      // consumer (sizes, doc-frequency cap, both join sides), which
+      // also pre-aligns the shh equi-join.
+      .repartition(col("shh"))
 
   /** Pairwise n-gram Jaccard over the hashed shingle sets.
     * Returns (a, b, n_common, jac) for every candidate pair that
@@ -104,18 +124,22 @@ object Dedup {
       .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
   }
 
-  /** 32-bit SimHash over (non-distinct) tokens. */
+  /** 32-bit SimHash over (non-distinct) tokens.
+    *
+    * Entirely row-local: token hashes materialize once per row, the 32
+    * per-bit contribution sums run as `aggregate` folds over that
+    * array. No explode, no shuffle — a document's simhash never needs
+    * data from any other row, so at 100 TB this is a pure map stage.
+    */
   def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w"))
-      .withColumn("th", HashFunctions.md5prefix64(col("w")) % lit(4294967296L))
-    val bitSums = (0 until 32).map { b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
-        .as(s"s_$b")
-    }
-    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    sums.select(col(idCol),
-      (0 until 32).map { b =>
-        when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _).as("simhash"))
+    val withHashes = df.withColumn("__th",
+      transform(TextOps.tokens(col(textCol)),
+        w => HashFunctions.md5prefix64(w) % lit(4294967296L)))
+    val simhash = (0 until 32).map { b =>
+      val bitSum = aggregate(col("__th"), lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withHashes.select(col(idCol), simhash.as("simhash"))
   }
 }

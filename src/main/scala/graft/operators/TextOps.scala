@@ -14,16 +14,24 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), w => w =!= "")
 
-  /** Sliding word n-gram shingles joined by single spaces. A doc with
-    * fewer than n words yields one shingle (its whole token string) —
-    * mirrors list-slice clamping so oracle SQL matches exactly.
+  /** Sliding word n-gram shingles from a token-array column. Pass a
+    * MATERIALIZED column (withColumn) — `ws` is referenced per slice,
+    * so an inlined tokenize expression would re-run once per shingle
+    * position. A doc with fewer than n words yields one shingle (its
+    * whole token string) — mirrors list-slice clamping so oracle SQL
+    * matches exactly.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  def shinglesFromTokens(ws: Column, n: Int): Column =
     transform(
       sequence(lit(0), greatest(size(ws) - n, lit(0))),
       i => concat_ws(" ", slice(ws, i + 1, lit(n))))
-  }
+
+  /** Convenience (small inputs / specs): tokenize inline. Quadratic in
+    * doc length — production paths use [[shinglesFromTokens]] over a
+    * materialized token column.
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Distinct (id, shingle) pairs — the input to Jaccard and MinHash. */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

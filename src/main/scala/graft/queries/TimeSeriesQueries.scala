@@ -219,6 +219,27 @@ object TimeSeriesQueries {
           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
+    // D10: deterministic per-group sampling — bottom-k by key hash
+    // (min-wise sampling). Unlike rand() samples this is reproducible
+    // across engines/runs and stable under re-partitioning, which is
+    // what a training-data pipeline needs for audit samples.
+    QueryDef("d10_group_sample",
+      (s, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(HashFunctions.md5prefix64(col("event_id").cast("string")), col("event_id"))
+        ev(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("event_type", "rn", "event_id", "value")
+          .orderBy("event_type", "rn")
+      },
+      Some("""SELECT event_type, rn, event_id, value FROM (
+          SELECT event_type, event_id, value,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT, event_id) AS rn
+          FROM events) t
+        WHERE rn <= 5 ORDER BY event_type, rn""")),
+
     // E19: ordered array aggregation (CH groupArray): first 5 event
     // values (as cents) per user in time order.
     QueryDef("e19_group_array",

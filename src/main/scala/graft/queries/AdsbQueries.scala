@@ -310,6 +310,71 @@ object AdsbQueries {
             )) + 360.0) % 360.0, 6) AS bearing_deg
         FROM pos ORDER BY event_id""")),
 
+    // D11: per-group z-score anomaly flags. Variance from exact
+    // decimal sums — var = (Σx² − (Σx)²/n)/(n−1) — so the doubles are
+    // engine-identical without relying on stddev implementations.
+    QueryDef("d11_anomaly_zscore",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val dsumsq = sum((col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)"))).cast("double")
+        val dsum1 = sum(col("value").cast("decimal(18,2)")).cast("double")
+        val stats = e.groupBy(col("event_type").as("et"))
+          .agg(dsum1.as("s1"), dsumsq.as("s2"), count(lit(1)).as("n"))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("variance",
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+        e.join(broadcast(stats), col("event_type") === col("et"))
+          .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+          .filter(abs(col("z")) > 1.8)
+          .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 6).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""WITH stats AS (
+          SELECT event_type AS et,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+            COUNT(*) AS n
+          FROM events GROUP BY event_type),
+        st2 AS (SELECT et, s1 / n AS mean, (s2 - s1 * s1 / n) / (n - 1) AS variance FROM stats)
+        SELECT event_id, event_type, value,
+          round((value - mean) / sqrt(variance), 6) AS z
+        FROM events JOIN st2 ON event_type = et
+        WHERE abs((value - mean) / sqrt(variance)) > 1.8
+        ORDER BY event_id""")),
+
+    // A12: dead-reckoning extrapolation — project each position
+    // forward along its track by Δt (the reference dashboards show
+    // live aircraft; extrapolation fills the gap between scrapes).
+    // Flat-earth small-step approximation; rounded for libm parity.
+    QueryDef("a12_dead_reckoning",
+      (s, dir) => {
+        val lat = (col("value") % 90.0) - 45.0
+        val lon = (col("value") * 2.0 % 360.0) - 180.0
+        val gsKn = col("value")
+        val trackRad = radians(col("value") % 360.0)
+        val dtH = lit(10.0) / 3600.0
+        val dKm = gsKn * 1.852 * dtH
+        val dLat = dKm * cos(trackRad) / 111.32
+        val dLon = dKm * sin(trackRad) / (lit(111.32) * cos(radians(lat)))
+        ev(s, dir)
+          .select(col("event_id"),
+            round(lat + dLat, 6).as("lat_extrap"),
+            round(lon + dLon, 6).as("lon_extrap"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (
+          SELECT event_id,
+            (value % 90.0) - 45.0 AS lat,
+            (value * 2.0 % 360.0) - 180.0 AS lon,
+            value AS gs_kn,
+            radians(value % 360.0) AS track_rad
+          FROM events)
+        SELECT event_id,
+          round(lat + (gs_kn * 1.852 * (10.0 / 3600.0)) * cos(track_rad) / 111.32, 6) AS lat_extrap,
+          round(lon + (gs_kn * 1.852 * (10.0 / 3600.0)) * sin(track_rad) / (111.32 * cos(radians(lat))), 6) AS lon_extrap
+        FROM p ORDER BY event_id""")),
+
     // D5: time-bucketed rates (Grafana timeseries panels).
     QueryDef("d5_time_bucket",
       (s, dir) => ev(s, dir)

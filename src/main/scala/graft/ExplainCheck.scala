@@ -1,20 +1,35 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Plan-review tool: dumps pushed filters, read schemas, joins and
+  * exchanges for the named queries (all queries if no args).
+  * `runMain graft.ExplainCheck [query ...]`
+  */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("e2_revenue_filter","e4_star_join","c1_latest_state","d2_time_series")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("e1_pricing_summary", "e2_revenue_filter", "e4_star_join",
+        "c1_latest_state", "c2_latest_recent", "d2_time_series", "g1_knn_bruteforce")
+    for (name <- names) {
       println(s"========== $name")
-      val df = SparkEntry.queries(name)(spark, dir)
-      df.queryExecution.executedPlan.collectLeaves().foreach { leaf =>
-        val s = leaf.toString.replace("\n", " ")
-        val pf = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(s).getOrElse("PushedFilters: ?")
-        val rs = "ReadSchema: [^,]+".r.findFirstIn(s).getOrElse("")
-        println(s"  $pf | $rs")
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString.replace("\n", " ")
+      "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
+        .foreach(m => println(s"  $m"))
+      "ReadSchema: struct<[^>]*>".r.findAllIn(plan)
+        .foreach(m => println(s"  ${m.take(160)}"))
+      Seq("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
+        "Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition", "WindowGroupLimit", "HashAggregate",
+        "SortAggregate").foreach { op =>
+        val c = op.r.findAllIn(plan).length
+        if (c > 0) println(s"  $op × $c")
       }
     }
     spark.stop()

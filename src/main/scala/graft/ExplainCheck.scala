@@ -18,16 +18,26 @@ object ExplainCheck {
         "c1_latest_state", "c2_latest_recent", "d2_time_series", "g1_knn_bruteforce")
     for (name <- names) {
       println(s"========== $name")
-      val plan = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString.replace("\n", " ")
-      "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
-        .foreach(m => println(s"  $m"))
+      val df = SparkEntry.queries(name)(spark, dir)
+      // Execute first so AQE finalizes the plan — claims about reuse /
+      // exchanges must be made against what actually ran, not the
+      // initial plan.
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString.replace("\n", " ")
+      // Pushed predicates appear as `PushedFilters:` on v1-style scans
+      // but as `DataFilters:` / `PartitionFilters:` on FileScan output
+      // (round 1 missed d2's pushed ts range because of this).
+      Seq("PushedFilters: \\[[^\\]]*\\]", "DataFilters: \\[[^\\]]*\\]",
+        "PartitionFilters: \\[[^\\]]*\\]").foreach { pat =>
+        pat.r.findAllIn(plan).foreach(m => println(s"  ${m.take(200)}"))
+      }
       "ReadSchema: struct<[^>]*>".r.findAllIn(plan)
         .foreach(m => println(s"  ${m.take(160)}"))
-      Seq("BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
+      Seq("Scan parquet", "InMemoryTableScan", "ReusedExchange",
+        "BroadcastHashJoin", "SortMergeJoin", "BroadcastNestedLoopJoin",
         "Exchange hashpartitioning", "Exchange rangepartitioning",
         "Exchange SinglePartition", "WindowGroupLimit", "HashAggregate",
-        "SortAggregate").foreach { op =>
+        "SortAggregate", "Sort ").foreach { op =>
         val c = op.r.findAllIn(plan).length
         if (c > 0) println(s"  $op × $c")
       }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdsbQueries, EmbeddingQueries, PipelineQueries, QueryDef, RelationalQueries, TimeSeriesQueries}
+import graft.queries.{AdsbQueries, EmbeddingQueries, PipelineQueries, QueryDef, RelationalQueries, StorageQueries, TimeSeriesQueries}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -11,7 +11,8 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     RelationalQueries.defs ++ AdsbQueries.defs ++
-      PipelineQueries.defs ++ EmbeddingQueries.defs ++ TimeSeriesQueries.defs
+      PipelineQueries.defs ++ EmbeddingQueries.defs ++ TimeSeriesQueries.defs ++
+      StorageQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Latest-position board: current state per aircraft (user), moving

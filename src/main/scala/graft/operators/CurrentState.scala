@@ -82,6 +82,32 @@ object CurrentState {
       .sortWithinPartitions(col("day"), col(keyCol), col(tsCol))
       .write.mode("overwrite").partitionBy("day").parquet(path)
 
+  /** Storage-lifecycle TTL — the physical-delete half of MergeTree's
+    * `TTL scrape_time + INTERVAL 1 YEAR` (schema-local.sql:186), which
+    * [[applyTtl]]'s query-time filter only emulates. Drops every
+    * `day=<yyyyMMdd>` partition of a [[writePartitionedByDay]] layout
+    * strictly older than `cutoffDay`, directory-at-a-time through the
+    * Hadoop FS API (works on HDFS/S3A the same as local files; no data
+    * is read, so cost is O(#partitions) namenode ops, not O(data)).
+    * Returns the dropped day values.
+    */
+  def dropExpiredDayPartitions(spark: org.apache.spark.sql.SparkSession,
+                               path: String, cutoffDay: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .flatMap { d =>
+        d.getName match {
+          case s if s.startsWith("day=") && s.drop(4) < cutoffDay =>
+            fs.delete(d, true); Some(s.drop(4))
+          case _ => None
+        }
+      }.sorted
+  }
+
   /** Exact every-nth-row decimation in a total order. Needs a global
     * row_number (single-partition window) — oracle/parity path only.
     */

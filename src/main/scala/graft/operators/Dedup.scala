@@ -55,11 +55,27 @@ object Dedup {
       // partitioning. The arrays here are never empty (shingles()
       // yields ≥1), so the rows are identical.
       .select(col(idCol), explode_outer(col("__shs")).as("shh"))
-      // End on a key-partitioned exchange: the expensive subtree below
-      // it is computed ONCE and the exchange is reused by every
-      // consumer (sizes, doc-frequency cap, both join sides), which
-      // also pre-aligns the shh equi-join.
+      // End on a key-partitioned exchange that pre-aligns the shh
+      // equi-join. NOTE: this exchange alone is NOT enough to make the
+      // subtree compute once — AQE + per-consumer column pruning
+      // de-canonicalize the copies, so Spark's ReuseExchange never
+      // fires (measured: 5 scans in round 1). Consumers that fan out
+      // over this frame must persist it (see [[sharedShingleSet]]).
       .repartition(col("shh"))
+
+  /** The shingle set persisted for multi-consumer fan-out. Each of
+    * ngram-Jaccard's four consumers (sizes, df-cap, both join sides)
+    * and MinHash's aggregation read the SAME materialization: the
+    * corpus is scanned + tokenized + shingled exactly once, then
+    * served from the block store (spilling to disk if it outgrows
+    * memory — at 100 TB this is the difference between one corpus
+    * read and five). Spark's CacheManager keys the entry on the
+    * canonicalized plan, so f2 and f3 over the same input share one
+    * copy rather than caching twice.
+    */
+  def sharedShingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    hashedShingleSet(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Pairwise n-gram Jaccard over the hashed shingle sets.
     * Returns (a, b, n_common, jac) for every candidate pair that
@@ -67,7 +83,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, dfCap: Int): DataFrame = {
-    val sh = hashedShingleSet(df, idCol, textCol, n)
+    val sh = sharedShingleSet(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val rare = sh.groupBy(col("shh")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= dfCap).select("shh")
@@ -98,7 +114,7 @@ object Dedup {
     * per-(doc,seed) re-shuffle. Bands then pivot out row-locally.
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val sh = hashedShingleSet(df, idCol, textCol, n)
+    val sh = sharedShingleSet(df, idCol, textCol, n)
       .withColumn("b", col("shh") % lit(HashUtil.P))
     val mins = MinhashA.indices.map { i =>
       min((lit(MinhashA(i)) * col("b") + lit(MinhashB(i))) % lit(HashUtil.P)).as(s"mh_$i")

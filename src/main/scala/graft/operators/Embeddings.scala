@@ -64,11 +64,43 @@ object Embeddings {
   def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String,
                 vecCol: String): DataFrame = {
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cvec_q"))
+    // Group on the id alone (8-byte aggregate keys, not the 64-float
+    // vector); every non-key column is constant within its group (the
+    // group is one source row × k broadcast centroids), so `first` is
+    // deterministic and just carries it through.
+    val carried = df.columns.filterNot(_ == idCol)
+      .map(o => first(col(o)).as(o))
+    val aggs = carried :+ max_by(col("centroid_id"),
+      struct(col("ccos"), -col("centroid_id"))).as("cell")
     df.crossJoin(broadcast(c))
       .withColumn("ccos", VectorFunctions.cosineSim(col(vecCol), col("cvec_q")))
-      .groupBy(df.columns.map(col): _*)
-      .agg(max_by(col("centroid_id"),
-        struct(col("ccos"), -col("centroid_id"))).as("cell"))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Multi-probe ANN: each query additionally probes the `planes`
+    * buckets at Hamming distance 1 from its own (one sign bit
+    * flipped) — the standard recall fix for LSH's bucket-boundary
+    * cliff, at (planes+1)× the candidate probes instead of more
+    * tables. Corpus rows keep their single bucket, so a candidate can
+    * match a query at most once (no dedup needed); the probe fan-out
+    * multiplies only the tiny broadcast query side, never the corpus.
+    */
+  def annLshMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, planes: Int, dim: Int, k: Int): DataFrame = {
+    val c = withBucket(corpus, vecCol, planes, dim)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("bucket"))
+    val q = withBucket(queries, vecCol, planes, dim)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        explode(array(col("bucket") +: (0 until planes).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j))): _*)).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cos")
   }
 
   /** ANN via IVF cells: candidates share the query's cell, exact

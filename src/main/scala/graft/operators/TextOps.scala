@@ -59,28 +59,47 @@ object TextOps {
   def fingerprint64(text: Column): Column =
     HashFunctions.md5prefix64(normalizeWs(text))
 
-  /** Rolling k-gram hash array of the normalized text — step 1 of
-    * winnowing. IMPORTANT: materialize this as its own column
-    * (withColumn) before windowing over it; inlining it into the
-    * window lambda re-evaluates all k-gram hashes per window position
-    * (O(n²) per document).
+  /** Rolling k-gram hash array over an ALREADY-NORMALIZED text
+    * column — step 1 of winnowing. `norm` MUST be a materialized
+    * column reference (withColumn), not an inline expression: the
+    * lambda evaluates `norm` once per character position, so an
+    * inlined normalizeWs (two regex passes) would turn a length-n doc
+    * into O(n²) regex work — measured as a 26 s → sub-second
+    * difference on the sf0.1 corpus.
     */
-  def gramHashes(text: Column, k: Int): Column = {
-    val norm = normalizeWs(text)
+  def gramHashesFromNorm(norm: Column, k: Int): Column =
     transform(
       sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
       i => HashFunctions.md5prefix64(norm.substr(i, lit(k))) % lit(graft.functions.HashUtil.P))
-  }
+
+  /** Convenience (small inputs / specs): normalize inline. Quadratic —
+    * production paths materialize normalizeWs first and use
+    * [[gramHashesFromNorm]].
+    */
+  def gramHashes(text: Column, k: Int): Column =
+    gramHashesFromNorm(normalizeWs(text), k)
 
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03) from a
     * materialized gram-hash column: minimum of each sliding window of
     * `w` hashes, distinct minima kept. Robust to local edits; the
     * standard document-fingerprinting scheme for near-dup detection.
+    *
+    * Computed as an elementwise `least` over the w shifted copies of
+    * the gram array (w whole-array slices + w−1 zip_with passes)
+    * rather than a per-position `array_min(slice(...))` — same
+    * result, but no per-window array allocation, and `grams` is
+    * referenced w times so CollapseProject can never inline its
+    * (expensive) definition into the lambda. Shorter-than-w docs:
+    * the out-of-range slices are empty, zip_with null-pads them, and
+    * `least` skips nulls — yielding the whole-array min, exactly the
+    * clamped-slice behavior the oracle mirrors.
     */
-  def winnowFromGrams(grams: Column, w: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
-      j => array_min(slice(grams, j, lit(w)))))
+  def winnowFromGrams(grams: Column, w: Int): Column = {
+    val len = greatest(size(grams) - (w - 1), lit(1))
+    array_distinct(
+      (0 until w).map(i => slice(grams, lit(1 + i), len))
+        .reduce((a, b) => zip_with(a, b, (x, y) => least(x, y))))
+  }
 
   val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is")
   val StopwordsEs = Seq("el", "la", "de", "que", "los", "se")

@@ -279,6 +279,18 @@ object AdsbQueries {
           SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS rn FROM events) t
         WHERE rn % 4 = 0 ORDER BY rn""")),
 
+    // D3b: the scale path for decimation — modulo on the unique id,
+    // no global window, no shuffle at all (the reference's
+    // rowNumberInAllBlocks() % n is equally order-arbitrary; the
+    // dashboard only cares about the sampling rate).
+    QueryDef("d3b_modulo_sample",
+      (s, dir) => CurrentState.moduloSample(ev(s, dir), 40, "event_id")
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events WHERE event_id % 40 = 0 ORDER BY event_id""")),
+
     // D4: receiver-relative distance/direction table (the reference's
     // r_dst/r_dir columns + nearest-first dashboard panel). Rounded to
     // 6 decimals: transcendental libm results can differ by an ulp

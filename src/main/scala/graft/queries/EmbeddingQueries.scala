@@ -76,6 +76,33 @@ object EmbeddingQueries {
           FROM scored) t
         WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    // G2b: multi-probe LSH ANN — each query also probes the 8 buckets
+    // one sign-bit away, recovering neighbors that fell across a
+    // hyperplane boundary (the single-probe recall cliff).
+    QueryDef("g2b_ann_lsh_multiprobe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annLshMultiProbe(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 8, 64, 3)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val probes = ("bucket" +: (0 until 8).map(j => s"xor(bucket, ${1L << j})"))
+          .mkString("[", ", ", "]")
+        s"""WITH b AS (
+          SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        q0 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 3),
+        q AS (SELECT qid, qvec, unnest($probes) AS bucket FROM q0),
+        c AS (SELECT vec_id AS cid, embedding AS cvec, bucket FROM b),
+        scored AS (
+          SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
+          FROM c JOIN q USING (bucket) WHERE qid != cid)
+        SELECT qid, rank, cid, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM scored) t
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
     // G3: IVF-cell ANN — coarse quantize to 8 deterministic centroids
     // (vec_id < 8 as the codebook), probe the query's cell, rerank.
     QueryDef("g3_ann_ivf",

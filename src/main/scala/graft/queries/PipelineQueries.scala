@@ -96,20 +96,33 @@ object PipelineQueries {
         .orderBy("a", "b"),
       Some(minhashSql)),
 
-    // F4: 32-bit SimHash fingerprints.
+    // F4: 32-bit SimHash fingerprints. The operator itself is pure
+    // map-side work; the repartition only spreads the single test
+    // split across cores (see f6 note).
     QueryDef("f4_simhash",
-      (s, dir) => Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id"),
+      (s, dir) => QueryDefs.sortedSmall(
+          Dedup.simhash32(
+            Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text"),
+          col("doc_id")),
       Some(simhashSql)),
 
     // F6: winnowing rolling-hash fingerprints (char 8-grams, window 4).
+    // The norm column is materialized BEFORE the gram lambda (an
+    // inlined normalizeWs re-runs per char position, O(n²)/doc), and
+    // the docs are spread first — the corpus arrives as one small
+    // parquet split, which would pin all the row-local hash work to a
+    // single core (at real scale there are many splits and the
+    // repartition is unnecessary; here it costs one tiny shuffle).
     QueryDef("f6_winnowing",
-      (s, dir) => Tables.documents(s, dir)
-        .withColumn("grams", TextOps.gramHashes(col("text"), 8))
-        .withColumn("fps", TextOps.winnowFromGrams(col("grams"), 4))
-        .select(col("doc_id"), size(col("fps")).as("n_fps"),
-          array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
-        .orderBy("doc_id"),
+      (s, dir) => QueryDefs.sortedSmall(
+        Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .withColumn("__norm", TextOps.normalizeWs(col("text")))
+          .withColumn("grams", TextOps.gramHashesFromNorm(col("__norm"), 8))
+          .withColumn("fps", TextOps.winnowFromGrams(col("grams"), 4))
+          .select(col("doc_id"), size(col("fps")).as("n_fps"),
+            array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max")),
+        col("doc_id")),
       Some("""WITH n AS (
           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
           FROM documents),

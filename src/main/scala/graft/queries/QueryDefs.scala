@@ -29,4 +29,15 @@ object QueryDefs {
   /** DuckDB spelling of discPrice. */
   def sqlDiscPrice(price: String, discount: String): String =
     s"CAST($price AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST($discount AS DECIMAL(18,2)))"
+
+  /** Total order for a SMALL result of an expensive pipeline. A global
+    * `orderBy` range-partitions: the sampling pass executes the child
+    * once and the shuffle executes it AGAIN — doubling an expensive
+    * upstream for a few thousand output rows. One round-robin exchange
+    * into a single partition + in-partition sort gives the same total
+    * order with exactly one execution. (Only for driver-sized results;
+    * a big result wants the parallel range sort.)
+    */
+  def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
 }

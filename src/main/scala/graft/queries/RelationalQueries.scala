@@ -258,11 +258,16 @@ object RelationalQueries {
       None),
 
     // CH quantileTDigest analog — sketch-based, engine-specific → rows-only.
+    // Quantiles projected as scalar columns (not array<double>): the
+    // driver's pandas-side row sort cannot order ndarray cells.
     QueryDef("e14b_approx_quantiles",
       (s, dir) => {
         Tables.events(s, dir)
           .groupBy("event_type")
           .agg(expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("approx_p"))
+          .select(col("event_type"),
+            element_at(col("approx_p"), 1).as("p50"),
+            element_at(col("approx_p"), 2).as("p95"))
           .orderBy("event_type")
       },
       None),

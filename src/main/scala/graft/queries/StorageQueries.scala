@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.operators.{CurrentState, ScaleOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** B-group storage/write-path queries. Unlike the rest of the query
+  * map these run the real writers first, then answer an
+  * oracle-checkable question from the READ-BACK data — proving the
+  * layout round-trips bit-exactly (the oracle reads the original
+  * table, so any loss or duplication in the write path breaks the
+  * hash match), not merely that the writer didn't throw.
+  *
+  * - b2: `PARTITION BY toYYYYMMDD(ts) ORDER BY (key, ts)` MergeTree
+  *   layout (/root/reference/schema/schema-local.sql:184-185) via
+  *   [[CurrentState.writePartitionedByDay]].
+  * - b6: MergeTree ORDER-BY join locality via [[ScaleOps.writeBucketed]]
+  *   — the join itself is exchange-free (asserted in ScaleOpsSpec /
+  *   StorageSpec; only the final small aggregation shuffles).
+  * - b7: skew-safe two-phase salted aggregation ([[ScaleOps.saltedSum]])
+  *   returning exactly the plain aggregation.
+  */
+object StorageQueries {
+
+  /** Deterministic scratch dir per (query, input-dir) so warm runs at
+    * one sf never collide with timed runs at another.
+    */
+  private def tmp(name: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${name}_${math.abs(dir.hashCode)}"
+
+  /** Drop a managed table AND its location — a crashed previous run
+    * can leave the directory behind without the catalog entry, which
+    * would fail the next CTAS.
+    */
+  private def resetTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // B2: write the day-partitioned key-clustered layout, read it back
+    // through partition discovery, and per-day aggregate — day counts,
+    // distinct keys and the exact decimal value sum must all survive
+    // the round-trip.
+    QueryDef("b2_clustered_layout",
+      (s, dir) => {
+        val out = tmp("b2", dir)
+        CurrentState.writePartitionedByDay(
+          Tables.events(s, dir).select("event_id", "user_id", "value", "ts"),
+          "ts", "user_id", out)
+        s.read.parquet(out)
+          .groupBy(col("day").cast("string").as("day"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            QueryDefs.dsum(col("value")).as("sum_value"))
+          .orderBy("day")
+      },
+      Some(s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day,
+          COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+          ${QueryDefs.sqlDsum("value")} AS sum_value
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    // B6: bucket both join sides on the key, join exchange-free, and
+    // aggregate — the answer must equal the oracle's plain join over
+    // the original tables.
+    QueryDef("b6_bucketed_join",
+      (s, dir) => {
+        val suf = math.abs(dir.hashCode).toString
+        val (ot, ct) = (s"g_orders_b_$suf", s"g_customer_b_$suf")
+        resetTable(s, ot); resetTable(s, ct)
+        ScaleOps.writeBucketed(Tables.orders(s, dir)
+          .select(col("o_custkey").as("custkey"), col("o_totalprice")), ot, "custkey", 8)
+        ScaleOps.writeBucketed(Tables.customer(s, dir)
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment")), ct, "custkey", 8)
+        ScaleOps.bucketedJoin(s, ot, ct, "custkey")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            QueryDefs.dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+          ${QueryDefs.sqlDsum("o_totalprice")} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // B7: salted two-phase aggregation ≡ plain aggregation (decimal
+    // partials merge exactly, so the split into salt groups is
+    // invisible in the result).
+    QueryDef("b7_salted_agg",
+      (s, dir) => ScaleOps.saltedSum(Tables.events(s, dir), "event_type", "value", 8)
+        .orderBy("event_type"),
+      Some(s"""SELECT event_type, ${QueryDefs.sqlDsum("value")} AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type"""))
+  )
+}

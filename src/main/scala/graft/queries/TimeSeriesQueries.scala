@@ -73,8 +73,11 @@ object TimeSeriesQueries {
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         sess AS (
           SELECT user_id, ts_us,
-            SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            -- CAST: DuckDB's windowed SUM yields HUGEINT, which pandas
+            -- widens to float64; Spark's is int64 — same values, hash
+            -- mismatch without the cast.
+            CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
           FROM g)
         SELECT user_id, session_idx, COUNT(*) AS n_events,
           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us

@@ -1,8 +1,10 @@
 package graft.streaming
 
+import graft.adsb.AdsbSchemas
 import graft.operators.AdsbNormalize
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** J-group (SURVEY §2): the reference's Kafka→MV→Replacing flow as
@@ -17,11 +19,43 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *   readStream → [[normalize]] → append sink (day-partitioned parquet)
   *                              → [[latestState]] (stateful) → sink
   *
-  * In production the source is `spark.readStream.format("kafka")`
-  * with `from_json`; tests drive the identical plans from
-  * MemoryStream (source choice is orthogonal to the transforms).
+  * The production source is [[kafkaSource]] →
+  * [[fromKafka]]; tests drive the identical downstream plan from
+  * MemoryStream frames shaped like Kafka's fixed output schema
+  * (source choice is orthogonal to the transforms).
   */
 object AdsbStream {
+
+  /** The reference's Kafka engine table (schema-local.sql:26-100
+    * `ENGINE = Kafka(kafka_local)`): one topic per feed, earliest
+    * offsets on first start, thereafter the checkpoint owns progress.
+    * `maxOffsetsPerTrigger` bounds each microbatch so one backlogged
+    * topic cannot produce an unboundedly large batch after downtime.
+    */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String, topic: String,
+                  maxOffsetsPerTrigger: Long = 10000000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+
+  /** The Kafka-MV chain (schema-local.sql:199-293): value bytes →
+    * JSON → wire columns → per-source normalization. Works identically
+    * on a [[kafkaSource]] stream or any batch/stream frame with a
+    * Kafka-shaped `value: binary` column — all transforms are
+    * row-local, so the whole chain fuses into the source microbatch
+    * stage (no shuffle before the sink).
+    */
+  def fromKafka(kafka: DataFrame, schema: StructType,
+                normalizeMv: DataFrame => DataFrame): DataFrame =
+    normalizeMv(AdsbSchemas.parseJson(
+      kafka.select(col("value").cast("string").as("json")), "json", schema))
+
+  /** [[fromKafka]] prewired for the local readsb feed. */
+  def localFromKafka(kafka: DataFrame): DataFrame =
+    fromKafka(kafka, AdsbSchemas.rawLocalSchema, AdsbSchemas.normalizeLocal)
 
   /** A raw position report as it arrives from the feed (subset of the
     * reference's Kafka columns, nullable like the wire format).

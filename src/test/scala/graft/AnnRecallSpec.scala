@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Embeddings
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** G2 robustness: recall@k of the LSH ANN paths against the G1
+  * brute-force ground truth. Guards the single-probe recall cliff —
+  * multi-probe (Hamming-1 bucket fan-out) must dominate single-probe
+  * and clear an absolute floor on the test vectors.
+  */
+class AnnRecallSpec extends SparkSpecBase {
+
+  private val K = 5
+  private val NQ = 20 // query vectors: vec_id < NQ
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("qid").cast("long"), col("cid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test(s"multi-probe LSH recall@$K beats single-probe and clears the floor") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < NQ)
+    val truth = pairs(Embeddings.knnBruteForce(emb, q, "vec_id", "embedding", K))
+    val single = pairs(Embeddings.annLsh(emb, q, "vec_id", "embedding", 8, 64, K))
+    val multi = pairs(Embeddings.annLshMultiProbe(emb, q, "vec_id", "embedding", 8, 64, K))
+
+    val recallSingle = (truth & single).size.toDouble / truth.size
+    val recallMulti = (truth & multi).size.toDouble / truth.size
+    info(f"recall@$K single-probe=$recallSingle%.3f multi-probe=$recallMulti%.3f")
+
+    assert(recallMulti >= recallSingle,
+      f"multi-probe ($recallMulti%.3f) below single-probe ($recallSingle%.3f)")
+    // Deterministic data + deterministic hyperplanes → these recalls
+    // are fixed (measured: single=0.040, multi=0.140 — i.i.d. random
+    // test vectors are LSH's worst case, there is no neighborhood
+    // structure to exploit; real embedding corpora cluster and recall
+    // rises accordingly). The floor sits just under the measured
+    // multi-probe value to catch regressions (bucket fn change, probe
+    // loss), not noise.
+    assert(recallMulti >= 0.12, f"multi-probe recall collapsed: $recallMulti%.3f")
+  }
+}

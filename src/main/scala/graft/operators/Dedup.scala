@@ -140,6 +140,58 @@ object Dedup {
       .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Connected components over an undirected edge list — the step
+    * that turns near-dup PAIRS into dedup GROUPS (keep one doc per
+    * component, drop the rest). Iterative min-label propagation:
+    * every node adopts the smallest label among itself and its
+    * neighbors until a fixed point; the final label is the smallest
+    * node id reachable, a canonical component id.
+    *
+    * Scale shape: each round is one join + one min-aggregation (two
+    * hash shuffles on node ids); rounds needed = graph diameter, and
+    * near-dup components are small/star-like (diameter ≤ a few), so
+    * this converges in 2-4 rounds. Labels and the symmetrized edge
+    * list are persisted (edges are re-joined every round); each
+    * round's labels replace the previous (unpersisted). Convergence
+    * is a changed-label COUNT aggregate — no row data reaches the
+    * driver. For adversarial long-chain graphs swap in
+    * large-star/small-star (Kiveris et al.); the API is the same.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionByName(edges.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct()
+      .persist(lvl)
+    // Initialize with the first propagation round folded in:
+    // label(x) = min(x, neighbors(x)) — one aggregation instead of a
+    // full join round (iterative rounds are job-latency-bound on
+    // small graphs, so every round saved matters).
+    var labels = sym.groupBy(col("x"))
+      .agg(min(col("y")).as("__nmin"))
+      .select(col("x").as("id"), least(col("x"), col("__nmin")).as("component"))
+      .persist(lvl)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = sym
+        .join(labels.select(col("id").as("y"), col("component")), "y")
+        .select(col("x").as("id"), col("component"))
+      val next = viaNeighbor.unionByName(labels.select("id", "component"))
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .persist(lvl)
+      changed = next
+        .join(labels.select(col("id"), col("component").as("prev")), "id")
+        .filter(col("component") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** 32-bit SimHash over (non-distinct) tokens.
     *
     * Entirely row-local: token hashes materialize once per row, the 32

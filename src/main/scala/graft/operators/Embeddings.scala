@@ -121,6 +121,35 @@ object Embeddings {
       .select("qid", "rank", "cid", "cell", "cos")
   }
 
+  /** IVF with multi-cell probing (`nprobe` > 1): the CORPUS keeps one
+    * cell per vector (the index layout is unchanged); each QUERY
+    * probes its `nprobe` nearest cells. Fixes the cell-boundary
+    * recall cliff the same way G2b does for LSH — fan-out multiplies
+    * only the tiny broadcast query side; per-query work is
+    * O(nprobe·N/k) instead of O(N).
+    */
+  def annIvfMultiProbe(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val c = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), col("cell"))
+    val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cvec_q"))
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", VectorFunctions.cosineSim(col("qvec"), col("cvec_q")))
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("centroid_id").as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cos")
+  }
+
   /** Near-dup pairs: bucket-cogrouped all-pairs with exact cosine,
     * top `topN` by similarity (set a threshold filter for the real
     * dedup path; top-N keeps the oracle check non-degenerate on

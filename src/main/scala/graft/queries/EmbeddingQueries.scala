@@ -130,6 +130,39 @@ object EmbeddingQueries {
           FROM scored) t
         WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    // G3b: IVF with nprobe=2 — each query probes its two nearest
+    // cells; the corpus-side index layout is unchanged.
+    QueryDef("g3b_ann_ivf_multiprobe",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annIvfMultiProbe(emb, emb.filter(col("vec_id") < 3),
+            emb.filter(col("vec_id") < 8), "vec_id", "embedding", 3, 2)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec_q FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT vec_id, embedding, centroid_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${sqlCos("e.embedding", "cvec_q")} DESC, centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cent) t
+          WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS qid, embedding AS qvec, centroid_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${sqlCos("e.embedding", "cvec_q")} DESC, centroid_id) AS prn
+            FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 3) t
+          WHERE prn <= 2),
+        c AS (SELECT vec_id AS cid, embedding AS cvec, cell FROM assign),
+        scored AS (
+          SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
+          FROM c JOIN q USING (cell) WHERE qid != cid)
+        SELECT qid, rank, cid, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM scored) t
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
     // F5: embedding near-dup — bucket-cogrouped pairs, top-20 by cosine.
     QueryDef("f5_dedup_embedding",
       (s, dir) => Embeddings.nearDupPairs(Tables.embeddings(s, dir),

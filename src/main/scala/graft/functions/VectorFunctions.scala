@@ -53,4 +53,41 @@ object VectorFunctions {
     (0 until planes).map { j =>
       when(dot(v, hyperplane(j, dim)) > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Deterministic pseudo-random codebook (hyperplane-style md5
+    * weights, distinct seed space) — stands in for a trained k-means
+    * codebook; swap in real centroids in production.
+    */
+  def codebook(k: Int, dim: Int): Seq[Array[Double]] =
+    (0 until k).map { j =>
+      (0 until dim).map { i =>
+        ((HashUtil.md5Prefix64(s"c$j,$i") % 2001L) - 1000L).toDouble / 1000.0
+      }.toArray
+    }
+
+  /** IVF cell assignment as a row-local fold over a LITERAL codebook —
+    * the 100 TB path. The DataFrame-based `Embeddings.ivfAssign`
+    * expands every row ×k through a broadcast cross join and
+    * re-collapses with an aggregation (a sort at scale, since argmax
+    * buffers aren't hash-aggregable); this version never expands:
+    * one pass over the codebook array per row, tracking the best
+    * (score, index) in a struct accumulator. Ranking by
+    * dot(v,c)/‖c‖ ≡ ranking by cosine (‖v‖ is a common positive
+    * factor), so the division by ‖v‖ is skipped; centroid norms are
+    * driver-side constants. Strict `>` keeps the LOWEST index on
+    * exact ties — the same tie-break as ivfAssign's max_by.
+    */
+  def ivfCellFold(v: Column, cb: Seq[Array[Double]]): Column = {
+    val cbLit = typedLit(cb.map(_.toSeq))
+    val normLit = typedLit(cb.map(c => math.sqrt(c.map(x => x * x).sum)))
+    aggregate(
+      sequence(lit(0), lit(cb.length - 1)),
+      struct(lit(-1).as("i"), lit(Double.NegativeInfinity).as("s")),
+      (acc, i) => {
+        val score = dot(v, element_at(cbLit, i + 1)) / element_at(normLit, i + 1)
+        when(score > acc.getField("s"),
+          struct(i.as("i"), score.as("s"))).otherwise(acc)
+      },
+      acc => acc.getField("i"))
+  }
 }

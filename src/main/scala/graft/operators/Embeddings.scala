@@ -150,6 +150,27 @@ object Embeddings {
       .select("qid", "rank", "cid", "cos")
   }
 
+  /** IVF ANN over a literal codebook: cell assignment is a pure
+    * row-local fold (VectorFunctions.ivfCellFold) — no ×k row
+    * expansion, no aggregation, no sort anywhere before the final
+    * per-query rerank. This is the assignment shape a 100 TB corpus
+    * wants; ivfAssign (DataFrame centroids) remains for codebooks
+    * that only exist as distributed data.
+    */
+  def annIvfFold(corpus: DataFrame, queries: DataFrame, codebook: Seq[Array[Double]],
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cell = VectorFunctions.ivfCellFold(col(vecCol), codebook)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"), cell.as("cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), cell.as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cell", "cos")
+  }
+
   /** Near-dup pairs: bucket-cogrouped all-pairs with exact cosine,
     * top `topN` by similarity (set a threshold filter for the real
     * dedup path; top-N keeps the oracle check non-degenerate on

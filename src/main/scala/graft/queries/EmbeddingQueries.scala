@@ -36,6 +36,12 @@ object EmbeddingQueries {
       s"(CASE WHEN ${sqlDot(v, sqlHyperplane(j))} > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB mirror of VectorFunctions.codebook(8, 64)'s centroid j. */
+  private def sqlCentroid(j: Int): String =
+    s"""list_transform(range(0, 64), i ->
+        CAST((('0x' || substr(md5('c$j' || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+          % 2001 - 1000) AS DOUBLE) / 1000.0)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // G1: brute-force cosine top-5 for a fixed query set.
@@ -162,6 +168,42 @@ object EmbeddingQueries {
           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
           FROM scored) t
         WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // G3c: IVF over a literal codebook — cell assignment is a pure
+    // row-local fold (no ×k row expansion, no aggregation/sort); the
+    // 100 TB-scale assignment shape. Ranking by dot/‖c‖ ≡ cosine.
+    QueryDef("g3c_ann_ivf_fold",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annIvfFold(emb, emb.filter(col("vec_id") < 3),
+            graft.functions.VectorFunctions.codebook(8, 64),
+            "vec_id", "embedding", 3)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val cbUnion = (0 until 8)
+          .map(j => s"SELECT $j AS j, ${sqlCentroid(j)} AS cv").mkString(" UNION ALL ")
+        s"""WITH cb AS ($cbUnion),
+          cbn AS (SELECT j, cv,
+            sqrt(list_reduce(list_transform(cv, e -> e * e), (x, y) -> x + y)) AS nrm
+            FROM cb),
+          assign AS (
+            SELECT vec_id, embedding, j AS cell FROM (
+              SELECT e.vec_id, e.embedding, b.j,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${sqlDot("e.embedding", "b.cv")} / b.nrm DESC, b.j) AS rn
+              FROM embeddings e CROSS JOIN cbn b) t
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qvec, cell FROM assign WHERE vec_id < 3),
+          c AS (SELECT vec_id AS cid, embedding AS cvec, cell FROM assign),
+          scored AS (
+            SELECT qid, cid, cell, ${sqlCos("qvec", "cvec")} AS cos
+            FROM c JOIN q USING (cell) WHERE qid != cid)
+        SELECT qid, rank, cid, cell, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM scored) t
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
 
     // F5: embedding near-dup — bucket-cogrouped pairs, top-20 by cosine.
     QueryDef("f5_dedup_embedding",

@@ -243,6 +243,47 @@ object TimeSeriesQueries {
           FROM events) t
         WHERE rn <= 5 ORDER BY event_type, rn""")),
 
+    // E23: CH sequenceMatch('(?1).*(?2).*(?3)') — per user, does
+    // signup → click → purchase occur strictly in order? Same staged
+    // min-timestamp composition as the funnel (three key-shuffled
+    // aggregations, no per-user event sorting).
+    QueryDef("e23_sequence_match",
+      (s, dir) => {
+        val e = ev(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts_us") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts_us")).as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts_us") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts_us")).as("t3"))
+        e.select("user_id").distinct()
+          .join(s3, Seq("user_id"), "left")
+          .select(col("user_id"), col("t3").isNotNull.as("matched"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND ts_us > t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY e.user_id)
+        SELECT u.user_id, t3 IS NOT NULL AS matched
+        FROM (SELECT DISTINCT user_id FROM e) u LEFT JOIN s3 USING (user_id)
+        ORDER BY user_id""")),
+
+    // E24: CH groupUniqArray — distinct set per key, emitted sorted
+    // so the result is deterministic across engines.
+    QueryDef("e24_group_uniq_array",
+      (s, dir) => ev(s, dir)
+        .groupBy("user_id")
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+          array_to_string(list(DISTINCT event_type ORDER BY event_type), ',') AS types
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
     // E19: ordered array aggregation (CH groupArray): first 5 event
     // values (as cents) per user in time order.
     QueryDef("e19_group_array",

@@ -189,7 +189,15 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels
+    // Truncate the iteration lineage: each round's plan embeds the
+    // previous round's, so a consumer of the raw frame would carry
+    // (and re-optimize) the whole history — the classic iterative-
+    // algorithm driver cost. localCheckpoint materializes the final
+    // labels and hands consumers a flat leaf. (On a cluster with
+    // executor loss in play, swap for a reliable checkpoint dir.)
+    val result = labels.localCheckpoint()
+    labels.unpersist()
+    result
   }
 
   /** 32-bit SimHash over (non-distinct) tokens.

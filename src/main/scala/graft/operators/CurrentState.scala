@@ -108,6 +108,49 @@ object CurrentState {
       }.sorted
   }
 
+  /** The MergeTree background-merge analog: rewrite each `day=`
+    * partition of a [[writePartitionedByDay]] layout into (at most)
+    * `filesPerDay` files, re-sorted by (key, ts). Streaming
+    * microbatches (AdsbStream.startPartitionedSink) append one file
+    * set per batch, so a day accumulates many small files — exactly
+    * the small-parts problem MergeTree's merges solve; run this as a
+    * periodic job over closed (past) days. Atomicity: each day is
+    * rewritten to a staging dir then swapped in with two renames, so
+    * readers never observe a half-written day.
+    */
+  def compactDayPartitions(spark: org.apache.spark.sql.SparkSession,
+                           path: String, keyCol: String, tsCol: String,
+                           filesPerDay: Int = 1,
+                           onlyDaysBefore: Option[String] = None): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val days = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(_.getPath)
+      .filter(p => onlyDaysBefore.forall(cut => p.getName.drop(4) < cut))
+      .sortBy(_.getName)
+    days.flatMap { dayDir =>
+      val nFiles = fs.listStatus(dayDir)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (nFiles <= filesPerDay) None
+      else {
+        val staged = new org.apache.hadoop.fs.Path(
+          dayDir.getParent, s".compact_${dayDir.getName}")
+        spark.read.parquet(dayDir.toString)
+          .repartition(filesPerDay, col(keyCol))
+          .sortWithinPartitions(col(keyCol), col(tsCol))
+          .write.mode("overwrite").parquet(staged.toString)
+        val old = new org.apache.hadoop.fs.Path(
+          dayDir.getParent, s".old_${dayDir.getName}")
+        fs.rename(dayDir, old)
+        fs.rename(staged, dayDir)
+        fs.delete(old, true)
+        Some(dayDir.getName.drop(4))
+      }
+    }
+  }
+
   /** Exact every-nth-row decimation in a total order. Needs a global
     * row_number (single-partition window) — oracle/parity path only.
     */

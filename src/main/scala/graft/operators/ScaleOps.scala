@@ -33,6 +33,23 @@ object ScaleOps {
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("__partial"))
       .groupBy(col(key)).agg(sum(col("__partial")).cast("double").as("sum_value"))
 
+  /** Skew-safe equi-join: the LEFT (big, skewed) side is salted so a
+    * hot key spreads over `salts` reducers; the RIGHT (smaller) side
+    * is replicated ×salts via a literal-range explode. Use when a
+    * shuffle join is unavoidable (right side too big to broadcast)
+    * and AQE's skew splitting isn't available/enough — the classic
+    * manual remedy for one aircraft/document dominating a key.
+    * Replication factor applies only to the right side, so cost is
+    * |L| + salts·|R| shuffled rows.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val l = withSalt(left, salts)
+    val r = right.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Persist bucketed+sorted by key — the MergeTree ORDER BY analogue
     * for the join path. Joins between tables bucketed identically on
     * the join key are exchange-free.

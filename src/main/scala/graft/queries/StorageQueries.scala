@@ -94,6 +94,22 @@ object StorageQueries {
       (s, dir) => ScaleOps.saltedSum(Tables.events(s, dir), "event_type", "value", 8)
         .orderBy("event_type"),
       Some(s"""SELECT event_type, ${QueryDefs.sqlDsum("value")} AS sum_value
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // B8: salted skew-safe JOIN ≡ plain join (each left row meets
+    // exactly one right replica, the one sharing its salt).
+    QueryDef("b8_salted_join",
+      (s, dir) => ScaleOps.saltedJoin(
+          Tables.orders(s, dir).select(col("o_custkey").as("custkey"), col("o_totalprice")),
+          Tables.customer(s, dir).select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+          "custkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          QueryDefs.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment"),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+          ${QueryDefs.sqlDsum("o_totalprice")} AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY c_mktsegment"""))
   )
 }

@@ -147,6 +147,55 @@ object AdsbStream {
       }
       .start()
 
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class OpenSession(startUs: Long, endUs: Long, n: Int)
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Streaming sessionization (J8) — the batch D7 sessionizer as
+    * managed state: events accumulate into a per-key open session;
+    * a session closes when the event-time gap exceeds `gapMinutes`,
+    * either observed within a batch or via EventTimeTimeout once the
+    * watermark passes session end + gap (so state is bounded by the
+    * number of ACTIVE keys, and closed sessions emit exactly once —
+    * OutputMode.Append at the sink).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int,
+                 watermark: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (!rows.hasNext && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.startUs, s.endUs, s.n))
+          } else {
+            // Micro-batch rows are not order-guaranteed; sort by event time.
+            val ts = rows.map(_.ts.getTime * 1000L).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  Some(OpenSession(s.startUs, t, s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(uid, s.startUs, s.endUs, s.n)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60000L)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup of repeated feed deliveries (at-least-once
     * Kafka redeliveries, overlapping scrapes): duplicates of
     * (key, scrape_time) are dropped as long as they arrive within the

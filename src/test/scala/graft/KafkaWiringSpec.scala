@@ -60,6 +60,13 @@ class KafkaWiringSpec extends SparkSpecBase {
     assert(row.getString(4) == "1200")
   }
 
+  test("the kafka→MV chain is shuffle-free (fuses into the source stage)") {
+    val plan = AdsbStream.localFromKafka(kafkaShaped)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"normalization chain should be pure map-side work:\n$plan")
+  }
+
   test("the same chain runs as a streaming microbatch (MemoryStream source)") {
     import spark.implicits._
     val mem = MemoryStream[String](spark)

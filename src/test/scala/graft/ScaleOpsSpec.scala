@@ -24,6 +24,20 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(saltedSum == plainSum) // decimal partials merge exactly
   }
 
+  test("salted join returns exactly the plain join") {
+    val o = Tables.orders(spark, sf).select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, sf).select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val plain = o.join(c, "custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    val salted = ScaleOps.saltedJoin(o, c, "custkey", 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted == plain)
+  }
+
   test("identically bucketed tables join without an exchange") {
     ScaleOps.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
     ScaleOps.writeBucketed(

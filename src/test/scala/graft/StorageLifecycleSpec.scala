@@ -39,4 +39,38 @@ class StorageLifecycleSpec extends SparkSpecBase {
     assert(CurrentState.dropExpiredDayPartitions(spark,
       s"${sys.props("java.io.tmpdir")}/graft_ttl_nonexistent", "20240101").isEmpty)
   }
+
+  test("compactDayPartitions merges small files per day, preserving data and clustering") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_compact_spec"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+
+    // Simulate a streaming sink: three appends × several tasks → many
+    // small files per day partition.
+    val e = CurrentState.withDayPartition(
+      Tables.events(spark, sf).select("event_id", "user_id", "value", "ts"), "ts")
+    (1 to 3).foreach { _ =>
+      e.repartition(4).write.mode("append").partitionBy("day").parquet(out)
+    }
+    def filesPerDay(): Map[String, Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(out)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).count(f => f.getPath.getName.endsWith(".parquet")))
+        .toMap
+    assert(filesPerDay().values.forall(_ >= 3), "setup should create many files")
+    val before = spark.read.parquet(out)
+      .orderBy("event_id").collect().map(_.toSeq)
+
+    val compacted = CurrentState.compactDayPartitions(spark, out, "user_id", "ts")
+    assert(compacted.nonEmpty)
+    assert(filesPerDay().values.forall(_ == 1), s"still fragmented: ${filesPerDay()}")
+    val after = spark.read.parquet(out)
+      .orderBy("event_id").collect().map(_.toSeq)
+    assert(after.sameElements(before)) // merge rewrites, never loses
+
+    // idempotent: already at the target file count
+    assert(CurrentState.compactDayPartitions(spark, out, "user_id", "ts").isEmpty)
+  }
 }

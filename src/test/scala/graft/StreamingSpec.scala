@@ -49,6 +49,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.agg(sum("n_reports")).as[Long].collect().head == 3)
   }
 
+  test("streaming sessionization closes sessions on gap and timeout (J8)") {
+    import graft.streaming.AdsbStream.{ClosedSession, SessionEvent}
+    val input = MemoryStream[SessionEvent](spark)
+    val q = AdsbStream.sessionize(input.toDS(), gapMinutes = 30, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("j8_out").outputMode("append").start()
+    try {
+      val t0 = 1700000000000L
+      // one user: two events 1 min apart, then a 2 h jump — the jump
+      // closes session 1 within the batch
+      input.addData(
+        SessionEvent(1L, new Timestamp(t0)),
+        SessionEvent(1L, new Timestamp(t0 + 60000L)),
+        SessionEvent(1L, new Timestamp(t0 + 2L * 3600000L)))
+      q.processAllAvailable()
+      val first = spark.table("j8_out").as[ClosedSession].collect()
+      assert(first.toSeq == Seq(ClosedSession(1L, t0 * 1000, (t0 + 60000L) * 1000, 2)))
+
+      // advance the watermark far past session 2's end + gap via
+      // another key → the open session times out and emits
+      input.addData(SessionEvent(2L, new Timestamp(t0 + 6L * 3600000L)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, new Timestamp(t0 + 7L * 3600000L)))
+      q.processAllAvailable()
+      val all = spark.table("j8_out").as[ClosedSession].collect()
+      assert(all.exists(s => s.user_id == 1L && s.n_events == 1 &&
+        s.start_us == (t0 + 2L * 3600000L) * 1000))
+    } finally q.stop()
+  }
+
   test("stateful latest-state emits only when a key advances (J3)") {
     val input = MemoryStream[CurrentPosition](spark)
     val q = AdsbStream.latestState(spark, input.toDF())

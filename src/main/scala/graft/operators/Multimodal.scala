@@ -72,15 +72,19 @@ object Multimodal {
   }
 
   /** Resize parameter plumbing (I3): pure-metadata transform computing
-    * target dims with aspect preserved (integer arithmetic only).
+    * target dims with aspect preserved. Works on any frame with
+    * width/height columns (the oracle-checked path uses I1's
+    * metadata); truncating casts mirror the DuckDB `trunc` spelling.
     */
-  def planResize(features: Dataset[MediaFeatures], params: ResizeParams): DataFrame = {
-    val f = features.toDF()
+  def planResizeDf(df: DataFrame, params: ResizeParams): DataFrame = {
     val scaleNum = least(lit(params.maxWidth) * lit(1000) / col("width"),
       lit(params.maxHeight) * lit(1000) / col("height"), lit(1000))
-    f.withColumn("target_width", (col("width") * scaleNum / 1000).cast("int"))
-      .withColumn("target_height", (col("height") * scaleNum / 1000).cast("int"))
+    df.withColumn("target_width", (col("width") * scaleNum / 1000).cast("long"))
+      .withColumn("target_height", (col("height") * scaleNum / 1000).cast("long"))
   }
+
+  def planResize(features: Dataset[MediaFeatures], params: ResizeParams): DataFrame =
+    planResizeDf(features.toDF(), params)
 
   /** Frame sampling plumbing (I3): split a payload into fixed-stride
     * pseudo-frames per partition batch (stub for video frame-sample).

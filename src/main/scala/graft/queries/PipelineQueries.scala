@@ -381,6 +381,48 @@ object PipelineQueries {
         SELECT doc_id, CAST(octet_length(payload) AS INT) AS n_bytes,
           b % 1024 + 1 AS width, b % 768 + 1 AS height,
           CASE b % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
-        FROM m ORDER BY doc_id"""))
+        FROM m ORDER BY doc_id""")),
+
+    // I2: batched per-partition feature extraction. The codec is the
+    // deterministic stub (no image libs in this container) and its
+    // byte-polynomial hash has no SQL spelling → rows-only check; the
+    // mapPartitions plumbing and schema are what this entry exercises.
+    QueryDef("i2_media_features",
+      (s, dir) => {
+        import s.implicits._
+        val recs = graft.operators.Multimodal.toMediaRecords(
+            Tables.documents(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
+            "doc_id", "payload")
+          .as[graft.operators.Multimodal.MediaRecord]
+        graft.operators.Multimodal.extractFeatures(s, recs)
+          .toDF()
+          .select("doc_id", "media_type", "n_bytes", "width", "height",
+            "channels", "sharpness")
+          .orderBy("doc_id")
+      },
+      None),
+
+    // I3: resize planning over the I1 metadata (md5-derived dims) —
+    // aspect-preserving target dimensions, fully oracle-checked.
+    QueryDef("i3_resize_plan",
+      (s, dir) => {
+        val b = HashFunctions.md5prefix64(col("text"))
+        val meta = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            (b % 1024 + 1).as("width"), (b % 768 + 1).as("height"))
+        graft.operators.Multimodal.planResizeDf(meta,
+            graft.operators.Multimodal.ResizeParams(640, 480))
+          .select("doc_id", "width", "height", "target_width", "target_height")
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+          SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS b FROM documents),
+        d AS (SELECT doc_id, b % 1024 + 1 AS width, b % 768 + 1 AS height FROM m),
+        sc AS (SELECT doc_id, width, height,
+          least(640 * 1000.0 / width, 480 * 1000.0 / height, 1000.0) AS s FROM d)
+        SELECT doc_id, width, height,
+          CAST(trunc(width * s / 1000.0) AS BIGINT) AS target_width,
+          CAST(trunc(height * s / 1000.0) AS BIGINT) AS target_height
+        FROM sc ORDER BY doc_id"""))
   )
 }

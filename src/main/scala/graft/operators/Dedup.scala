@@ -172,20 +172,28 @@ object Dedup {
       .agg(min(col("y")).as("__nmin"))
       .select(col("x").as("id"), least(col("x"), col("__nmin")).as("component"))
       .persist(lvl)
+    // The persisted frame backing `labels` (labels itself may be a
+    // projection of it — unpersist must hit the cached frame).
+    var backing = labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // One aggregation yields BOTH the new label (min over self +
+      // neighbors) and the previous label (the only row tagged own),
+      // so convergence needs no extra join — one action per round.
       val viaNeighbor = sym
         .join(labels.select(col("id").as("y"), col("component")), "y")
-        .select(col("x").as("id"), col("component"))
-      val next = viaNeighbor.unionByName(labels.select("id", "component"))
-        .groupBy("id").agg(min(col("component")).as("component"))
+        .select(col("x").as("id"), col("component"), lit(false).as("own"))
+      val next = viaNeighbor
+        .unionByName(labels.select(col("id"), col("component"), lit(true).as("own")))
+        .groupBy("id")
+        .agg(min(col("component")).as("component"),
+          max(when(col("own"), col("component"))).as("prev"))
         .persist(lvl)
-      changed = next
-        .join(labels.select(col("id"), col("component").as("prev")), "id")
-        .filter(col("component") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("component") =!= col("prev")).count()
+      backing.unpersist()
+      backing = next
+      labels = next.select("id", "component")
       iter += 1
     }
     sym.unpersist()
@@ -196,7 +204,7 @@ object Dedup {
     // labels and hands consumers a flat leaf. (On a cluster with
     // executor loss in play, swap for a reliable checkpoint dir.)
     val result = labels.localCheckpoint()
-    labels.unpersist()
+    backing.unpersist()
     result
   }
 

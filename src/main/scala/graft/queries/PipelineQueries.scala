@@ -359,6 +359,21 @@ object PipelineQueries {
           CAST(length(cleaned) AS INT) AS clean_len
         FROM c ORDER BY doc_id""")),
 
+    // K4: the SQL surface — graft's native expression invoked from
+    // spark.sql through the runtime function registry (the same
+    // builder GraftExtensions injects at session build).
+    QueryDef("k4_sql_surface",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_docs_k4")
+        s.sql("""SELECT doc_id, md5prefix64(text) AS h64, md5prefix64(text) % 97 AS bucket
+                 FROM graft_docs_k4 ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id,
+          ('0x' || substr(md5(text), 1, 15))::BIGINT AS h64,
+          ('0x' || substr(md5(text), 1, 15))::BIGINT % 97 AS bucket
+        FROM documents ORDER BY doc_id""")),
+
     // I1: multimodal binary column + typed metadata (decode itself is
     // stubbed deterministically — see graft.operators.Multimodal).
     QueryDef("i1_multimodal_meta",

@@ -1,0 +1,59 @@
+package graft
+
+/** Guards the 100 TB plan-shape claims SURVEY §5 makes: these are the
+  * properties that make each query scale, so a regression here is a
+  * scale bug even while results stay correct. Plans are taken from
+  * the EXECUTED query (AQE-final), not the initial plan.
+  */
+class PlanRegressionSpec extends SparkSpecBase {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString.replace("\n", " ")
+  }
+
+  private def count(plan: String, op: String): Int = op.r.findAllIn(plan).length
+
+  test("e4 star join: all four dims broadcast, fact shuffles once at most (aggregation only)") {
+    val p = executedPlan("e4_star_join")
+    assert(count(p, "BroadcastHashJoin") == 4, p.take(400))
+    assert(count(p, "SortMergeJoin") == 0)
+    assert(count(p, "Exchange hashpartitioning") <= 1)
+  }
+
+  test("c1 latest-state: one key shuffle, rank pruned via WindowGroupLimit, no join") {
+    val p = executedPlan("c1_latest_state")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+    assert(count(p, "WindowGroupLimit") >= 1)
+    assert(count(p, "Join") == 0)
+  }
+
+  test("d2 time range: the raw-nanos range predicates reach the parquet scan") {
+    // ts_ns aliases the raw parquet `ts` long, so the pushed filters
+    // name `ts` — a range push on the conversion EXPRESSION would be
+    // impossible (that is the point of exposing the raw column).
+    val p = executedPlan("d2_time_series")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts,".r.findFirstIn(p).isDefined,
+      p.take(600))
+  }
+
+  test("d3b modulo decimation: no hash shuffle, no single-partition funnel") {
+    val p = executedPlan("d3b_modulo_sample")
+    assert(count(p, "Exchange hashpartitioning") == 0)
+    assert(count(p, "Exchange SinglePartition") == 0)
+    // the modulo predicate itself is evaluated at the scan
+    assert("DataFilters: \\[[^\\]]*% 40".r.findFirstIn(p).isDefined, p.take(600))
+  }
+
+  test("f2 jaccard: consumers read the persisted shingle set, not fresh scans") {
+    val p = executedPlan("f2_dedup_ngram_jaccard")
+    assert(count(p, "InMemoryTableScan") >= 4, p.take(400))
+  }
+
+  test("g1 brute force: query side broadcast, corpus never shuffles before scoring") {
+    val p = executedPlan("g1_knn_bruteforce")
+    assert(count(p, "BroadcastNestedLoopJoin") + count(p, "BroadcastHashJoin") >= 1)
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+}

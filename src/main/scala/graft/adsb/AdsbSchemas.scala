@@ -209,4 +209,60 @@ object AdsbSchemas {
     */
   def parseJson(df: DataFrame, jsonCol: String, schema: StructType): DataFrame =
     df.select(from_json(col(jsonCol), schema).as("j")).select(col("j.*"))
+
+  /** Parse a raw readsb-style FEED DOCUMENT (`{now, messages,
+    * aircraft: [...]}` — what the ultrafeeder/adsb.fi HTTP APIs
+    * return) into one wire record per aircraft: the scraper's
+    * container explode + no-position skip
+    * (adsb-scraper/scraper.py:195,319,431), engine-side, so the raw
+    * API response can be ingested without the Python middleman.
+    * `container` is "aircraft" for local/global-stream feeds, "ac"
+    * for the adsb.fi regional feed.
+    */
+  def parseFeedDocument(df: DataFrame, jsonCol: String, schema: StructType,
+                        container: String = "aircraft"): DataFrame =
+    df.select(from_json(col(jsonCol), StructType(Seq(
+        StructField("now", DoubleType), StructField("messages", LongType),
+        StructField(container, ArrayType(schema))))).as("j"))
+      .select(explode(col(s"j.$container")).as("ac"))
+      .select(col("ac.*"))
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+
+  /** Parse an OpenSky `/states/all` response — POSITIONAL state
+    * vectors (`{time, states: [[icao24, callsign, ...], ...]}`) —
+    * into named wire columns, mirroring the scraper's index map and
+    * cleanups exactly (adsb-scraper/scraper.py:626-655): lat/lon-null
+    * rows dropped, string fields null→'', origin_country trimmed,
+    * spi truthy→boolean. Elements parse as strings (JSON scalars of
+    * any type coerce) and cast per index.
+    */
+  def parseOpenSkyStates(df: DataFrame, jsonCol: String): DataFrame = {
+    def s(i: Int) = element_at(col("s"), i + 1) // scraper indexes from 0
+    df.select(from_json(col(jsonCol), StructType(Seq(
+        StructField("time", LongType),
+        StructField("states", ArrayType(ArrayType(StringType)))))).as("j"))
+      .select(col("j.time").as("api_time"), explode(col("j.states")).as("s"))
+      .filter(s(5).isNotNull && s(6).isNotNull)
+      .select(
+        coalesce(s(0), lit("")).as("icao24"),
+        coalesce(s(1), lit("")).as("callsign"),
+        trim(coalesce(s(2), lit(""))).as("origin_country"),
+        s(3).cast("int").as("time_position"),
+        s(4).cast("int").as("last_contact"),
+        s(5).cast("double").as("lon"),
+        s(6).cast("double").as("lat"),
+        s(7).cast("float").as("baro_altitude"),
+        s(8).cast("boolean").as("on_ground"),
+        s(9).cast("float").as("velocity"),
+        s(10).cast("float").as("true_track"),
+        s(11).cast("float").as("vertical_rate"),
+        from_json(coalesce(s(12), lit("[]")), ArrayType(IntegerType)).as("sensors"),
+        s(13).cast("float").as("geo_altitude"),
+        coalesce(s(14), lit("")).as("squawk"),
+        // scraper emits 1/0 ints (`1 if state[15] else 0`) — keep the
+        // wire dtype so normalizeOpenSky's `spi === 1` applies as-is
+        coalesce(s(15).cast("boolean"), lit(false)).cast("int").as("spi"),
+        s(16).cast("int").as("position_source"),
+        col("api_time"))
+  }
 }

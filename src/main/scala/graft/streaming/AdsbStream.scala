@@ -116,6 +116,41 @@ object AdsbStream {
       }
   }
 
+  /** [[latestState]] with the reference's state TTL
+    * (schema-local.sql:186 `TTL scrape_time + INTERVAL 1 HOUR` on the
+    * latest tables): an aircraft unseen for `ttlMs` of EVENT time is
+    * dropped from the state store once the watermark passes its
+    * expiry — state is bounded by the ACTIVE fleet, not every key
+    * ever seen. Observable semantics match ClickHouse: after expiry
+    * the key vanishes from current-state, and a later (even
+    * older-timestamped) report starts it fresh.
+    */
+  def latestStateWithTtl(spark: SparkSession, normalized: DataFrame,
+                         ttlMs: Long, watermark: String): Dataset[CurrentPosition] = {
+    import spark.implicits._
+    val typed = normalized.withWatermark("scrape_time", watermark).as[CurrentPosition]
+    typed.groupByKey(_.icao24)
+      .flatMapGroupsWithState[CurrentPosition, CurrentPosition](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[CurrentPosition], state: GroupState[CurrentPosition]) =>
+          if (!rows.hasNext && state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            val newest = (rows ++ prev.iterator).maxBy(_.scrape_time.getTime)
+            state.update(newest)
+            // expiry must sit above the current watermark or Spark
+            // rejects it; a key whose whole window is already expired
+            // times out at the next possible tick
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs + 1, newest.scrape_time.getTime + ttlMs))
+            val advanced = prev.forall(_.scrape_time.getTime < newest.scrape_time.getTime)
+            if (advanced) Iterator.single(newest) else Iterator.empty
+          }
+      }
+  }
+
   /** Combined-sources union (the reference's four *_to_combined MVs):
     * streaming DataFrames union exactly like batch ones.
     */

@@ -49,6 +49,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.agg(sum("n_reports")).as[Long].collect().head == 3)
   }
 
+  test("latest-state TTL drops idle keys once the watermark passes expiry (J3b)") {
+    val input = MemoryStream[CurrentPosition](spark)
+    val q = AdsbStream.latestStateWithTtl(spark, input.toDF(),
+        ttlMs = 3600000L, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("j3b_out").outputMode("update").start()
+    try {
+      def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+      // A's state lives at t0
+      input.addData(CurrentPosition("aaa111", "x", 51.0, -0.1, 37000, 450.0, "local", ts(0)))
+      q.processAllAvailable()
+      // B three hours later pushes the watermark far past A's expiry;
+      // the timeout fires on the batch after the watermark advances
+      input.addData(CurrentPosition("bbb222", "y", 52.0, -0.2, 36000, 440.0, "local", ts(3 * 3600)))
+      q.processAllAvailable()
+      input.addData(CurrentPosition("bbb222", "y", 52.1, -0.2, 36000, 440.0, "local", ts(3 * 3600 + 60)))
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"idle key should be dropped from the state store; still $stateRows rows")
+      // the active key keeps emitting normally
+      assert(spark.table("j3b_out").filter(col("icao24") === "bbb222").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap and timeout (J8)") {
     import graft.streaming.AdsbStream.{ClosedSession, SessionEvent}
     val input = MemoryStream[SessionEvent](spark)

@@ -92,6 +92,16 @@ object Demo {
     storageRow.select("icao24", "callsign", "registration", "alt_baro", "ground_speed",
       "nav_modes").show(truncate = false)
 
+    // --- Training-data curation: near-dup pairs → groups → keep set ---
+    val docs = sources.Tables.documents(spark, sfDir)
+    val pairs = operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 4)
+    val groups = operators.Dedup.connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    val kept = docs.join(groups, Seq("doc_id"), "left")
+      .filter(col("component").isNull || col("doc_id") === col("component"))
+    println(s"[demo] curation: ${docs.count()} docs → ${kept.count()} kept " +
+      s"(${groups.count()} in near-dup groups)")
+
     // --- Multimodal: binary payloads → batched feature extraction ---
     val media = Multimodal.toMediaRecords(
       sources.Tables.documents(spark, sfDir)

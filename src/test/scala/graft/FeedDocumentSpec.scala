@@ -37,6 +37,15 @@ class FeedDocumentSpec extends SparkSpecBase {
     assert(recs.select("hex").as[String].collect().toSeq == Seq("AA"))
   }
 
+  test("malformed feed documents yield zero records, never an exception") {
+    val docs = Seq("{not json", """{"aircraft": "not-an-array"}""", "",
+      """{"aircraft": []}""").toDF("json")
+    assert(AdsbSchemas.parseFeedDocument(docs, "json",
+      AdsbSchemas.rawLocalSchema).count() == 0)
+    assert(AdsbSchemas.parseOpenSkyStates(
+      Seq("{bad", """{"states": null}""").toDF("json"), "json").count() == 0)
+  }
+
   test("OpenSky positional state vectors parse by index with the scraper's cleanups") {
     val doc =
       """{"time": 1700000001, "states": [

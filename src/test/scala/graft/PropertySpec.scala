@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{AsOfJoin, Dedup, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: the distributed operators against trivially-correct
+  * driver-side references on randomized inputs (scalacheck Gens,
+  * fixed seeds — deterministic, but covering shapes no hand-written
+  * example would).
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    val edgeGen = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges
+    (1L to 8L).foreach { seed =>
+      val edges = sample(edgeGen, seed)
+      // driver-side union-find ground truth (component = min member id)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val truth = parent.keys.map(x => x -> find(x)).toMap
+
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == truth, s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("joinAsOf equals a per-row brute-force scan on random series") {
+    val gen = for {
+      nl <- Gen.choose(1, 25)
+      nr <- Gen.choose(0, 25)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0, 3); t <- Gen.choose(0L, 50L)
+      } yield (k, t))
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.choose(0, 3); t <- Gen.choose(0L, 50L); v <- Gen.choose(0L, 999L)
+      } yield (k, t, v))
+    } yield (left, right)
+    (1L to 8L).foreach { seed =>
+      val (l, r) = sample(gen, seed)
+      val left = l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = r.zipWithIndex.map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+        .toDF("k", "t", "v", "rid")
+      val got = AsOfJoin.joinAsOf(left, right, "k", "t", "t", Seq("t", "v"), "rid")
+        .select(col("lid"), col("asof_t"), col("asof_v"))
+        .collect()
+        .map(row => (row.getLong(0),
+          if (row.isNullAt(1)) None else Some((row.getLong(1), row.getLong(2)))))
+        .toMap
+      // brute force: latest right row with rt <= lt; ties on rt broken
+      // by the largest tie-break id (matches the operator's contract)
+      val expected = l.zipWithIndex.map { case ((k, t), i) =>
+        val cands = r.zipWithIndex.filter { case ((rk, rt, _), _) => rk == k && rt <= t }
+        i.toLong -> (if (cands.isEmpty) None else {
+          val ((_, rt, v), _) = cands.maxBy { case ((_, rt, _), ri) => (rt, ri) }
+          Some((rt, v))
+        })
+      }.toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("winnowFromGrams equals the naive sliding-window minimum") {
+    val gen = Gen.listOf(Gen.choose(0L, 100L))
+    (1L to 10L).foreach { seed =>
+      val grams = sample(gen, seed)
+      val naive =
+        if (grams.isEmpty) Seq.empty
+        else if (grams.length < 4) Seq(grams.min)
+        else grams.sliding(4).map(_.min).toSeq.distinct
+      if (grams.nonEmpty) {
+        val got = Seq(Tuple1(grams)).toDF("grams")
+          .select(TextOps.winnowFromGrams(col("grams"), 4).as("fps"))
+          .as[Seq[Long]].collect().head
+        assert(got == naive, s"seed=$seed grams=$grams")
+      }
+    }
+  }
+}

@@ -285,17 +285,27 @@ object TimeSeriesQueries {
         FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // E19: ordered array aggregation (CH groupArray): first 5 event
-    // values (as cents) per user in time order.
+    // values (as cents) per user in time order. Rows are pruned to
+    // the first 5 per user with a rank BEFORE collect_list — a plain
+    // collect-then-slice accumulates a hot user's ENTIRE history in
+    // the aggregation buffer (unbounded per-key state at 100 TB);
+    // the window version ships at most 5 rows per key into the
+    // aggregation, and WindowGroupLimit stops the rank scan early.
     QueryDef("e19_group_array",
-      (s, dir) => ev(s, dir)
-        .withColumn("cents", round(col("value") * 100).cast("long"))
-        .groupBy("user_id")
-        .agg(slice(transform(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        ev(s, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy("user_id")
+          .agg(concat_ws(",", transform(
             sort_array(collect_list(struct(unix_micros(col("ts")).as("t"),
               col("event_id").as("e"), col("cents").as("c")))),
-            x => x.getField("c").cast("string")), 1, 5).as("arr"))
-        .select(col("user_id"), concat_ws(",", col("arr")).as("first5_cents"))
-        .orderBy("user_id"),
+            x => x.getField("c").cast("string"))).as("first5_cents"))
+          .orderBy("user_id")
+      },
       Some("""SELECT user_id,
           array_to_string((list(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
             ORDER BY ts, event_id))[1:5], ',') AS first5_cents

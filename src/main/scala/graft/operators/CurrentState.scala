@@ -74,11 +74,19 @@ object CurrentState {
     * `PARTITION BY toYYYYMMDD(ts) ORDER BY (key, ts)` equivalent.
     * Readers then prune partitions on day and benefit from key
     * locality within files.
+    *
+    * RANGE partitioning on (day, key), not hash: with a hash layout
+    * every task holds rows of ~every day, so an N-task write sprays
+    * N files into each day directory (the small-files problem at the
+    * source); ranges keep each task's rows contiguous in (day, key),
+    * so a task writes into at most a couple of day directories and a
+    * day's files cover disjoint key ranges — the MergeTree part
+    * layout — while the write still spreads over the full cluster.
     */
   def writePartitionedByDay(df: DataFrame, tsCol: String, keyCol: String,
                             path: String): Unit =
     withDayPartition(df, tsCol)
-      .repartition(col("day"), col(keyCol))
+      .repartitionByRange(col("day"), col(keyCol))
       .sortWithinPartitions(col("day"), col(keyCol), col(tsCol))
       .write.mode("overwrite").partitionBy("day").parquet(path)
 

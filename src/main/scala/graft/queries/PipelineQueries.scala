@@ -330,6 +330,33 @@ object PipelineQueries {
                WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
         FROM sc ORDER BY doc_id""")),
 
+    // H6: repetition ratio — the fraction of duplicate word 2-grams,
+    // the classic boilerplate/spam signal quality filters add next to
+    // H2's ratios (high repetition ⇒ keyword stuffing, templated
+    // text). Row-local HOF work like the rest of the H group.
+    QueryDef("h6_repetition",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("__ws", TextOps.tokens(col("text")))
+        .withColumn("__gs", TextOps.shinglesFromTokens(col("__ws"), 2))
+        .select(col("doc_id"),
+          size(col("__gs")).as("n_2grams"),
+          size(array_distinct(col("__gs"))).as("n_distinct"),
+          (lit(1.0) - size(array_distinct(col("__gs"))).cast("double") / size(col("__gs")))
+            .as("rep_ratio"))
+        .orderBy("doc_id"),
+      Some("""WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        g AS (
+          SELECT doc_id, list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+            i -> array_to_string(ws[i:i+1], ' ')) AS gs
+          FROM words)
+        SELECT doc_id, CAST(len(gs) AS INT) AS n_2grams,
+          CAST(len(list_distinct(gs)) AS INT) AS n_distinct,
+          1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs) AS rep_ratio
+        FROM g ORDER BY doc_id""")),
+
     // H4: document fingerprints (md5 + 60-bit via the native expression).
     QueryDef("h4_fingerprint",
       (s, dir) => Tables.documents(s, dir)

@@ -257,6 +257,70 @@ object PipelineQueries {
         SELECT doc_id, reason = 'kept' AS kept, reason
         FROM verdict ORDER BY doc_id""")),
 
+    // P2: deterministic stratified sampling — per-stratum keep rates
+    // (balance event types / languages / sources in a training mix),
+    // reproducible across engines and runs because membership is a
+    // pure hash threshold, not rand(). Shuffle-free row filter.
+    QueryDef("p2_stratified_sample",
+      (s, dir) => {
+        val rate = when(col("event_type") === "click", 50)
+          .when(col("event_type") === "view", 20)
+          .when(col("event_type") === "error", 0)
+          .otherwise(100)
+        Tables.events(s, dir)
+          .filter(HashFunctions.md5prefix64(col("event_id").cast("string")) % 100 < rate)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 100 <
+          CASE event_type WHEN 'click' THEN 50 WHEN 'view' THEN 20
+                          WHEN 'error' THEN 0 ELSE 100 END
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // P3: benchmark contamination check — for each eval document, the
+    // fraction of its distinct word-8-gram shingles that appear
+    // anywhere in the train split (the decontamination gate every
+    // training-data pipeline runs before a model sees the corpus).
+    // Train-side shingles deduplicate to one row per 60-bit hash, so
+    // the join compares longs and is Σ-bucket-bounded like the dedup
+    // family.
+    QueryDef("p3_contamination",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val evalSh = Dedup.hashedShingleSet(
+          docs.filter(col("doc_id") < 10), "doc_id", "text", 8)
+        val trainSh = Dedup.hashedShingleSet(
+            docs.filter(col("doc_id") >= 10), "doc_id", "text", 8)
+          .select("shh").distinct().withColumn("__hit", lit(1))
+        evalSh.join(trainSh, Seq("shh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            count(col("__hit")).as("n_contaminated"))
+          .withColumn("contamination",
+            col("n_contaminated").cast("double") / col("n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        sh0 AS (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 7, 1) + 1),
+            i -> array_to_string(ws[i:i+7], ' '))) AS sh
+          FROM words),
+        sh AS (SELECT DISTINCT doc_id,
+          ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shh FROM sh0),
+        train AS (SELECT DISTINCT shh FROM sh WHERE doc_id >= 10)
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(COUNT(t.shh) AS BIGINT) AS n_contaminated,
+          CAST(COUNT(t.shh) AS DOUBLE) / COUNT(*) AS contamination
+        FROM (SELECT * FROM sh WHERE doc_id < 10) e
+        LEFT JOIN train t ON e.shh = t.shh
+        GROUP BY e.doc_id ORDER BY e.doc_id""")),
+
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)

@@ -15,7 +15,9 @@ object ExplainCheck {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("e1_pricing_summary", "e2_revenue_filter", "e4_star_join",
-        "c1_latest_state", "c2_latest_recent", "d2_time_series", "g1_knn_bruteforce")
+        "c1_latest_state", "c2_latest_recent", "d2_time_series", "d3b_modulo_sample",
+        "g1_knn_bruteforce", "f2_dedup_ngram_jaccard", "f7_dedup_components",
+        "p1_curation_pipeline", "b6_bucketed_join", "b2_clustered_layout")
     for (name <- names) {
       println(s"========== $name")
       val df = SparkEntry.queries(name)(spark, dir)

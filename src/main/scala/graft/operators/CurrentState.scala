@@ -116,6 +116,50 @@ object CurrentState {
       }.sorted
   }
 
+  /** Batch upsert into a [[writePartitionedByDay]] layout — the
+    * ReplacingMergeTree merge path for late or corrected data:
+    * rows in `updates` replace same-(key, orderCol-tie) rows. Only
+    * the day partitions the updates TOUCH are rewritten (read day +
+    * union + [[latestBy]] + staged write + rename swap); untouched
+    * days are never read. Cost is O(data in affected days), not
+    * O(table) — at 100 TB a late-data batch touching yesterday
+    * rewrites one partition, like a MergeTree part merge.
+    * `versionCol` breaks ties (latest wins); `tieBreak` makes the
+    * winner deterministic under equal versions. Returns the
+    * rewritten day values.
+    */
+  def mergeIntoDayLayout(spark: org.apache.spark.sql.SparkSession,
+                         path: String, updates: DataFrame, tsCol: String,
+                         keys: Seq[String], versionCol: String,
+                         tieBreak: String): Seq[String] = {
+    val upWithDay = withDayPartition(updates, tsCol)
+    // partition METADATA (bounded by #days touched), not data rows —
+    // the driver needs the partition list to orchestrate the swaps
+    val days = upWithDay.select(col("day")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    days.foreach { day =>
+      val dayDir = new org.apache.hadoop.fs.Path(root, s"day=$day")
+      val dayUpdates = upWithDay.filter(col("day") === day).drop("day")
+      val merged =
+        if (fs.exists(dayDir))
+          latestBy(spark.read.parquet(dayDir.toString).unionByName(dayUpdates),
+            keys, versionCol, tieBreak)
+        else dayUpdates
+      val staged = new org.apache.hadoop.fs.Path(root, s".merge_day=$day")
+      merged
+        .repartitionByRange(keys.map(col): _*)
+        .sortWithinPartitions((keys.map(col) :+ col(tsCol)): _*)
+        .write.mode("overwrite").parquet(staged.toString)
+      val old = new org.apache.hadoop.fs.Path(root, s".old_day=$day")
+      if (fs.exists(dayDir)) { fs.rename(dayDir, old) }
+      fs.rename(staged, dayDir)
+      fs.delete(old, true)
+    }
+    days
+  }
+
   /** The MergeTree background-merge analog: rewrite each `day=`
     * partition of a [[writePartitionedByDay]] layout into (at most)
     * `filesPerDay` files, re-sorted by (key, ts). Streaming

@@ -40,6 +40,46 @@ class StorageLifecycleSpec extends SparkSpecBase {
       s"${sys.props("java.io.tmpdir")}/graft_ttl_nonexistent", "20240101").isEmpty)
   }
 
+  test("mergeIntoDayLayout upserts corrections and late data, rewriting only touched days") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_merge_spec"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+
+    val base = Tables.events(spark, sf).select("event_id", "user_id", "value", "ts")
+    CurrentState.writePartitionedByDay(base, "ts", "user_id", out)
+    val baseCount = spark.read.parquet(out).count()
+
+    // corrections: 5 existing events re-delivered with a newer ts and
+    // a marker value; late data: 3 brand-new events in a new day
+    val corrections = base.orderBy("event_id").limit(5)
+      .withColumn("value", lit(99999.0))
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
+    val late = base.orderBy(col("event_id").desc).limit(3)
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("ts", col("ts") + expr("INTERVAL 60 DAYS"))
+    val updates = corrections.unionByName(late)
+
+    val touched = CurrentState.mergeIntoDayLayout(spark, out, updates,
+      "ts", Seq("event_id"), "ts", "event_id")
+    val expectedDays = CurrentState.withDayPartition(updates, "ts")
+      .select("day").distinct().collect().map(_.getString(0)).sorted.toSeq
+    assert(touched == expectedDays)
+
+    val after = spark.read.parquet(out)
+    assert(after.count() == baseCount + 3) // corrections replace, late rows add
+    // every corrected event now carries the marker value exactly once
+    val corrected = after.filter(col("value") === 99999.0).count()
+    assert(corrected == 5, s"corrected=$corrected")
+    val correctedIds = corrections.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(after.filter(col("event_id").isin(correctedIds.toSeq: _*)).count() == 5)
+
+    // merge is idempotent: re-applying the same updates changes nothing
+    CurrentState.mergeIntoDayLayout(spark, out, updates,
+      "ts", Seq("event_id"), "ts", "event_id")
+    assert(spark.read.parquet(out).count() == baseCount + 3)
+  }
+
   test("compactDayPartitions merges small files per day, preserving data and clustering") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_compact_spec"
     val fs = new org.apache.hadoop.fs.Path(out)

@@ -48,6 +48,23 @@ object HashUtil {
     */
   def md5Prefix64(s: String): Long =
     md5Prefix64(UTF8String.fromString(s))
+
+  /** Rolling k-gram kernel for [[graft.functions.GramHashes64]]:
+    * hashes of every k-char substring, mod P, as Spark ArrayData.
+    * Character-based indexing (UTF8String.substringSQL), matching SQL
+    * `substr`; a string shorter than k yields one hash of the whole
+    * string (SQL substr clamps the same way).
+    */
+  def gramHashes(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.numChars()
+    val out = new Array[Long](math.max(n - k + 1, 1))
+    var i = 0
+    while (i < out.length) {
+      out(i) = md5Prefix64(s.substringSQL(i + 1, k)) % P
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
 }
 
 /** Codegen'd 60-bit md5-prefix hash of a string column.
@@ -69,10 +86,40 @@ case class Md5Prefix64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Rolling k-gram hash array: `[md5prefix64(s[i..i+k)) mod P]` for
+  * every character position — the whole winnowing step-1 loop as ONE
+  * native kernel. The composed spelling (`transform(sequence(...),
+  * i => Md5Prefix64(substr(...)))`) evaluates an interpreted lambda
+  * per position, allocating a per-element substring Column eval path;
+  * this expression runs the loop in compiled Java over the UTF8String
+  * (character-based substrings, same as SQL `substr`, so the DuckDB
+  * oracle is unchanged). Short strings (< k chars) yield one hash of
+  * the whole string — the same clamping the composed version and the
+  * oracle produce.
+  */
+case class GramHashes64(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.gramHashes(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.gramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes64 =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** 60-bit md5-prefix hash as a Column (native expression, codegen'd). */
   def md5prefix64(c: Column): Column =
     ColumnBridge.column(Md5Prefix64(ColumnBridge.expression(c)))
+
+  /** Rolling k-gram hash array (native, codegen'd) — see [[GramHashes64]]. */
+  def gramHashes64(c: Column, k: Int): Column =
+    ColumnBridge.column(GramHashes64(ColumnBridge.expression(c), k))
 
   /** Seeded hash h_i(s) = (a*(md5prefix64(s) mod P) + b) mod P. */
   def seededHash(c: Column, a: Long, b: Long): Column =

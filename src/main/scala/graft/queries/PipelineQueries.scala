@@ -160,7 +160,10 @@ object PipelineQueries {
         Tables.documents(s, dir)
           .repartition(col("doc_id"))
           .withColumn("__norm", TextOps.normalizeWs(col("text")))
-          .withColumn("grams", TextOps.gramHashesFromNorm(col("__norm"), 8))
+          // native rolling-hash kernel (GramHashes64): the whole
+          // per-position loop in compiled code instead of an
+          // interpreted HOF lambda per char position
+          .withColumn("grams", HashFunctions.gramHashes64(col("__norm"), 8))
           .withColumn("fps", TextOps.winnowFromGrams(col("grams"), 4))
           .select(col("doc_id"), size(col("fps")).as("n_fps"),
             array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max")),

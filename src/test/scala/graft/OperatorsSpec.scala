@@ -111,6 +111,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.queryExecution.executedPlan.toString.contains("*(1) Project [md5prefix64"))
   }
 
+  test("GramHashes64 equals the composed HOF spelling, including edge shapes (K1b)") {
+    val samples = Seq("the quick brown fox jumps over the lazy dog",
+      "short", "k", "", "ünïcödé tëxt with àccents", "exactly8",
+      "a b c d e f g h i j")
+    val df = samples.toDF("s").filter(length(col("s")) > 0)
+    val got = df.select(
+      HashFunctions.gramHashes64(col("s"), 8).as("native"),
+      TextOps.gramHashesFromNorm(col("s"), 8).as("composed"))
+    assert(got.filter(col("native") =!= col("composed")).count() == 0)
+    assert(got.count() == samples.count(_.nonEmpty))
+    // stays inside whole-stage codegen (checked over a real scan — a
+    // local relation constant-folds the projection away entirely)
+    val scanned = Tables.documents(spark, sf)
+      .select(HashFunctions.gramHashes64(col("text"), 8).as("g"))
+    assert(scanned.queryExecution.executedPlan.toString
+      .contains("*(1) Project [gramhashes64"))
+  }
+
   test("HashUtil.affine stays within [0, P)") {
     val h = HashUtil.md5Prefix64(org.apache.spark.unsafe.types.UTF8String.fromString("x"))
     val a = HashUtil.affine(h, 2819L, 261101L)

@@ -50,6 +50,34 @@ object ScaleOps {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Scalable prefix sum over a dense numeric order column — the
+    * two-level scan: bucket by order-range, per-bucket partial sums,
+    * a cumsum over the (tiny) bucket totals broadcast back as
+    * offsets, then an in-bucket window adds the offset. The only
+    * single-partition step runs over #buckets rows of METADATA, so
+    * the global running total never funnels the data through one
+    * task — unlike a plain `Window.orderBy` cumsum, which would.
+    * Adds `cum` = inclusive prefix sum of `valueCol` in `orderCol`
+    * order (ties impossible: orderCol must be unique).
+    */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
+                bucketSpan: Long): DataFrame = {
+    val bucketed = df.withColumn("__b",
+      floor(col(orderCol).cast("double") / bucketSpan).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__b"))
+      .agg(sum(col(valueCol)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .select("__b", "__off")
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketed.join(broadcast(offsets), "__b")
+      .withColumn("cum", sum(col(valueCol)).over(inBucket) + col("__off"))
+      .drop("__b", "__off")
+  }
+
   /** Persist bucketed+sorted by key — the MergeTree ORDER BY analogue
     * for the join path. Joins between tables bucketed identically on
     * the join key are exchange-free.

@@ -324,6 +324,36 @@ object PipelineQueries {
         LEFT JOIN train t ON e.shh = t.shh
         GROUP BY e.doc_id ORDER BY e.doc_id""")),
 
+    // P4: sequence packing — shard the corpus into contiguous
+    // token-budget bins (the chunking step that turns a curated
+    // corpus into training shards). The running token total uses the
+    // two-level scan (ScaleOps.prefixSum), NOT a global-window
+    // cumsum, so no data funnels through one partition; the oracle
+    // states the same math as a plain windowed sum.
+    QueryDef("p4_sequence_packing",
+      (s, dir) => {
+        val withTokens = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextOps.bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+        graft.operators.ScaleOps.prefixSum(withTokens, "doc_id", "n_tokens", 64L)
+          .select(col("doc_id"), col("n_tokens"), col("cum"),
+            floor((col("cum") - col("n_tokens")).cast("double") / 4096.0)
+              .cast("long").as("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+            SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+          CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
+        FROM c ORDER BY doc_id""")),
+
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)

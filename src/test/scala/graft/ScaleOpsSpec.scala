@@ -38,6 +38,20 @@ class ScaleOpsSpec extends SparkSpecBase {
     assert(salted == plain)
   }
 
+  test("two-level prefix sum equals the global-window cumulative sum") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val global = e.withColumn("cum", sum(col("v")).over(w))
+      .select(col("event_id"), col("cum").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    val scanned = ScaleOps.prefixSum(e, "event_id", "v", 97L)
+      .select(col("event_id"), col("cum").cast("double"))
+      .as[(Long, Double)].collect().toMap
+    assert(scanned == global)
+  }
+
   test("identically bucketed tables join without an exchange") {
     ScaleOps.writeBucketed(Tables.orders(spark, sf), "orders_b", "o_orderkey", 4)
     ScaleOps.writeBucketed(

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.HashFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -256,6 +257,46 @@ object RelationalQueries {
           .orderBy("event_type")
       },
       None),
+
+    // E13c: KMV (k-minimum-values) approximate distinct — a sketch
+    // whose estimate is a pure function of the k smallest 60-bit key
+    // hashes, so unlike HLL (e13b) it is bit-reproducible across
+    // engines and fully oracle-checked. Mergeable at scale: the k
+    // smallest hashes of a union are computable from per-partition
+    // k-smallest sets (map-side combine does exactly that).
+    QueryDef("e13c_kmv_distinct",
+      (s, dir) => {
+        val k = 64
+        val h = HashFunctions.md5prefix64(col("user_id").cast("string"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        Tables.events(s, dir)
+          .select(col("event_type"), h.as("h")).distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .groupBy("event_type")
+          .agg(max(col("h")).as("hk"), count(lit(1)).as("n_mins"))
+          // with fewer than k distinct keys the sketch is exact
+          .select(col("event_type"),
+            when(col("n_mins") < k, col("n_mins").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hk"))
+              .as("approx_users"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (
+          SELECT DISTINCT event_type,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events),
+        mins AS (
+          SELECT event_type, h,
+            row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+        agg AS (
+          SELECT event_type, max(h) AS hk, COUNT(*) AS n_mins
+          FROM mins WHERE rn <= 64 GROUP BY event_type)
+        SELECT event_type,
+          CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE)
+               ELSE 63.0 * power(2.0, 60) / hk END AS approx_users
+        FROM agg ORDER BY event_type""")),
 
     // CH quantileTDigest analog — sketch-based, engine-specific → rows-only.
     // Quantiles projected as scalar columns (not array<double>): the

@@ -1,8 +1,8 @@
 package graft.plans
 
-import graft.functions.Md5Prefix64
+import graft.functions.{GramHashes64, Md5Prefix64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** SQL-surface registration of graft's native expressions, so SQL
@@ -30,7 +30,15 @@ object GraftFunctions {
       (FunctionIdentifier("md5prefix64"),
         info("md5prefix64",
           "md5prefix64(str) - 60-bit hash from the md5 prefix; equals conv(substring(md5(str),1,15),16,10)."),
-        (args: Seq[Expression]) => Md5Prefix64(args.head)))
+        (args: Seq[Expression]) => Md5Prefix64(args.head)),
+      (FunctionIdentifier("gramhashes64"),
+        info("gramhashes64",
+          "gramhashes64(str, k) - rolling k-gram md5prefix64 hashes mod 1e9+7 (winnowing step 1); k must be a literal."),
+        (args: Seq[Expression]) => args(1) match {
+          case Literal(k: Int, _) => GramHashes64(args.head, k)
+          case other => throw new IllegalArgumentException(
+            s"gramhashes64 k must be an integer literal, got $other")
+        }))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

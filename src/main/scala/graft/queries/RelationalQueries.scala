@@ -313,6 +313,27 @@ object RelationalQueries {
       },
       None),
 
+    // E14c: hash-sampled quantiles — the portable approximate-quantile
+    // path: exact percentiles over a deterministic 1-in-8 key sample.
+    // Unlike t-digest/GK sketches the estimate is a pure function of
+    // the (reproducible) sample, so any engine agrees bit-for-bit;
+    // at 100 TB the sample keeps the exact-percentile sort bounded.
+    QueryDef("e14c_sampled_quantiles",
+      (s, dir) => Tables.events(s, dir)
+        .filter(HashFunctions.md5prefix64(col("event_id").cast("string")) % 8 === 0)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          count(lit(1)).as("n_sampled"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          quantile_cont(value, 0.5) AS p50,
+          quantile_cont(value, 0.95) AS p95,
+          COUNT(*) AS n_sampled
+        FROM events
+        WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 8 = 0
+        GROUP BY event_type ORDER BY event_type""")),
+
     QueryDef("e14_quantiles",
       (s, dir) => {
         Tables.events(s, dir)

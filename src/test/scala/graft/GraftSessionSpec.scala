@@ -23,10 +23,15 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
       assert(s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
       assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
-      // extensions applied: the injected SQL function resolves
+      // extensions applied: the injected SQL functions resolve
       import s.implicits._
       val h = s.sql("SELECT md5prefix64('abc') AS h").as[Long].collect().head
       assert(h == graft.functions.HashUtil.md5Prefix64("abc"))
+      val g = s.sql("SELECT gramhashes64('abcdefghij', 8) AS g")
+        .as[Seq[Long]].collect().head
+      assert(g.length == 3)
+      assert(g.head == graft.functions.HashUtil.md5Prefix64("abcdefgh") %
+        graft.functions.HashUtil.P)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -27,7 +27,27 @@ object AsOfJoin {
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightPayload: Seq[String], rightTieBreak: String): DataFrame = {
+               rightPayload: Seq[String], rightTieBreak: String): DataFrame =
+    joinAsOfImpl(left, right, key, leftTime, rightTime, rightPayload,
+      rightTieBreak, forward = false)
+
+  /** Forward ASOF (CH `ASOF JOIN ... ON l.t <= r.t`): for every left
+    * row, the EARLIEST right row with rightTime >= leftTime in the
+    * key. Same union-merge machinery as [[joinAsOf]], scanning time
+    * descending; among right rows at the same instant the SMALLEST
+    * `rightTieBreak` wins (the deterministic mirror of backward's
+    * latest-wins).
+    */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      rightPayload: Seq[String], rightTieBreak: String): DataFrame =
+    joinAsOfImpl(left, right, key, leftTime, rightTime, rightPayload,
+      rightTieBreak, forward = true)
+
+  private def joinAsOfImpl(left: DataFrame, right: DataFrame, key: String,
+                           leftTime: String, rightTime: String,
+                           rightPayload: Seq[String], rightTieBreak: String,
+                           forward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     val rStruct = right.select(col(key), col(rightTime).as("__t"),
       lit(1).as("__side"), col(rightTieBreak).cast("long").as("__tie"),
@@ -46,9 +66,15 @@ object AsOfJoin {
       .select((lCols ++ ordered).map(col): _*)
 
     // Right rows sort before left rows at the same instant (__side
-    // desc) so an equal-timestamp right row is matched.
+    // desc) so an equal-timestamp right row is matched in either
+    // direction. Backward scans time ascending and the latest tie
+    // wins (tie asc: it is scanned last); forward scans descending
+    // and the smallest tie wins (tie desc: scanned last).
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__t").asc, col("__side").desc, col("__tie").asc)
+      .orderBy(
+        (if (forward) col("__t").desc else col("__t").asc),
+        col("__side").desc,
+        (if (forward) col("__tie").desc else col("__tie").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lAligned.unionByName(rAligned)

@@ -45,6 +45,35 @@ object TimeSeriesQueries {
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id""")),
 
+    // E18b: FORWARD ASOF — each click matched to the user's earliest
+    // FOLLOWING purchase (DuckDB's native ASOF is backward-only, so
+    // the oracle states the semantics as a windowed arg-min).
+    QueryDef("e18b_asof_forward",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        AsOfJoin.joinAsOfForward(clicks, purchases, "user_id", "ts", "ts",
+            Seq("ts", "value"), "event_id")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            unix_micros(col("asof_ts")).as("purchase_ts_us"),
+            col("asof_value").as("purchase_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts, value, event_id AS rid FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT c.event_id, p.ts AS pts, p.value AS pv,
+            row_number() OVER (PARTITION BY c.event_id ORDER BY p.ts ASC, p.rid ASC) AS rn
+          FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts)
+        SELECT c.event_id, c.user_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS ts_us,
+          epoch_us(CAST(j.pts AS TIMESTAMP)) AS purchase_ts_us, j.pv AS purchase_value
+        FROM c LEFT JOIN (SELECT event_id, pts, pv FROM j WHERE rn = 1) j USING (event_id)
+        ORDER BY c.event_id""")),
+
     // D7: sessionization — 30-minute-gap sessions per user (window
     // lag + cumulative sum; one shuffle on the key).
     QueryDef("d7_sessionize",

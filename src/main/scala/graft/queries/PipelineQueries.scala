@@ -292,11 +292,12 @@ object PipelineQueries {
     // family.
     QueryDef("p3_contamination",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val evalSh = Dedup.hashedShingleSet(
-          docs.filter(col("doc_id") < 10), "doc_id", "text", 8)
-        val trainSh = Dedup.hashedShingleSet(
-            docs.filter(col("doc_id") >= 10), "doc_id", "text", 8)
+        // ONE shingle computation over the whole corpus, split by
+        // doc_id — separate eval/train shingle builds would scan and
+        // tokenize the corpus twice (persisted like the dedup family)
+        val sh = Dedup.sharedShingleSet(Tables.documents(s, dir), "doc_id", "text", 8)
+        val evalSh = sh.filter(col("doc_id") < 10)
+        val trainSh = sh.filter(col("doc_id") >= 10)
           .select("shh").distinct().withColumn("__hit", lit(1))
         evalSh.join(trainSh, Seq("shh"), "left")
           .groupBy("doc_id")

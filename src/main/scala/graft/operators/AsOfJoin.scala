@@ -31,6 +31,32 @@ object AsOfJoin {
     joinAsOfImpl(left, right, key, leftTime, rightTime, rightPayload,
       rightTieBreak, forward = false)
 
+  /** [[joinAsOf]] with a match tolerance (pandas merge_asof's
+    * `tolerance`): a preceding right row older than `tolerance`
+    * (a SQL interval, e.g. "30 MINUTES") does not match — its
+    * payload comes back null, exactly as if no right row preceded.
+    * The stale-data guard for enrichment joins: a position should not
+    * inherit an hours-old weather report.
+    */
+  def joinAsOfWithin(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String,
+                     rightPayload: Seq[String], rightTieBreak: String,
+                     tolerance: String): DataFrame = {
+    // carry the matched right time if the caller didn't ask for it
+    val appended = !rightPayload.contains(rightTime)
+    val payload = if (appended) rightPayload :+ rightTime else rightPayload
+    val joined = joinAsOfImpl(left, right, key, leftTime, rightTime,
+        payload, rightTieBreak, forward = false)
+      // freshness decided ONCE against the original matched time —
+      // the payload columns are about to be overwritten
+      .withColumn("__fresh",
+        col(s"asof_$rightTime") >= col(leftTime) - expr(s"INTERVAL $tolerance"))
+    rightPayload.foldLeft(joined) { (df, c) =>
+        df.withColumn(s"asof_$c", when(col("__fresh"), col(s"asof_$c")))
+      }
+      .drop((if (appended) Seq(s"asof_$rightTime") else Seq.empty) :+ "__fresh": _*)
+  }
+
   /** Forward ASOF (CH `ASOF JOIN ... ON l.t <= r.t`): for every left
     * row, the EARLIEST right row with rightTime >= leftTime in the
     * key. Same union-merge machinery as [[joinAsOf]], scanning time

@@ -129,6 +129,28 @@ class OperatorsSpec extends SparkSpecBase {
       .contains("*(1) Project [gramhashes64"))
   }
 
+  test("joinAsOfWithin nulls matches older than the tolerance (E18c)") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, "k", ts(100)), (2L, "k", ts(200))).toDF("lid", "k", "t")
+    val right = Seq(("k", ts(95), 7.0, 10L), ("k", ts(120), 9.0, 11L))
+      .toDF("k", "t", "v", "rid")
+    val out = AsOfJoin.joinAsOfWithin(left, right, "k", "t", "t",
+        Seq("v"), "rid", tolerance = "30 MINUTES")
+      .select("lid", "asof_v").collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // lid=1 matches ts(95) (5 min old, fresh); lid=2's nearest
+    // preceding is ts(120), 80 min old → nulled
+    assert(out == Map(1L -> Some(7.0), 2L -> None))
+
+    // same call with the time column in the payload keeps it, nulled when stale
+    val out2 = AsOfJoin.joinAsOfWithin(left, right, "k", "t", "t",
+        Seq("t", "v"), "rid", tolerance = "30 MINUTES")
+    assert(out2.columns.count(_ == "asof_t") == 1)
+    val stale = out2.filter(col("lid") === 2).select("asof_t", "asof_v").collect().head
+    assert(stale.isNullAt(0) && stale.isNullAt(1))
+  }
+
   test("HashUtil.affine stays within [0, P)") {
     val h = HashUtil.md5Prefix64(org.apache.spark.unsafe.types.UTF8String.fromString("x"))
     val a = HashUtil.affine(h, 2819L, 261101L)

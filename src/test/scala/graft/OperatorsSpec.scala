@@ -157,6 +157,18 @@ class OperatorsSpec extends SparkSpecBase {
     assert(a >= 0 && a < HashUtil.P)
   }
 
+  test("operators degrade to empty results on empty inputs, never throw") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val emptyEvents = Seq.empty[(Long, Long)].toDF("event_id", "v")
+    assert(CurrentState.latestBy(emptyDocs, Seq("doc_id"), "text", "doc_id").count() == 0)
+    assert(Dedup.connectedComponents(emptyEdges, "a", "b").count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", 4, 100).count() == 0)
+    assert(Dedup.simhash32(emptyDocs, "doc_id", "text").count() == 0)
+    assert(ScaleOps.prefixSum(emptyEvents, "event_id", "v", 10L).count() == 0)
+    assert(ScaleOps.saltedCount(emptyEvents, "event_id", 4).count() == 0)
+  }
+
   test("exactDedup keeps min-id per duplicate group (F1)") {
     val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
     val kept = Dedup.exactDedup(df, "doc_id", "text").select("doc_id")

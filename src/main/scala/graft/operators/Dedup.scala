@@ -133,7 +133,12 @@ object Dedup {
     * with the number of shared bands (more bands ⇒ higher similarity).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // persisted: the band frame feeds BOTH sides of the self-join —
+    // without it the whole 16-minhash aggregation runs twice (same
+    // defect class as the round-1 shingle recompute), and consumers
+    // across queries (f3/f7/p1) share this one materialization
     val bands = minhashBands(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = bands.select(col(idCol).as("a"), col("band"), col("sig"))
     val r = bands.select(col(idCol).as("b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))

@@ -129,6 +129,38 @@ object Dedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
+  /** Per-(doc, band) MinHash signatures computed ENTIRELY row-locally:
+    * shingle hashes materialize as an array column and the 16
+    * minhashes are `aggregate` folds over it — no explode, no
+    * shuffle, a pure map stage. Identical signatures to
+    * [[minhashBands]] (same hashes, same fold domain), verified by
+    * spec. This is the shape for signature EXTRACTION at 100 TB
+    * (and inside streaming microbatches, where a groupBy would be a
+    * stateful aggregation); the exploded+aggregated variant remains
+    * the right feeder for the batch pair-join, which wants the
+    * shared shingle frame anyway.
+    */
+  def minhashBandsRowLocal(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    val nBands = MinhashA.length / MinhashRowsPerBand
+    val withB = df
+      .withColumn("__ws", TextOps.tokens(col(textCol)))
+      .withColumn("__shs", array_distinct(
+        transform(TextOps.shinglesFromTokens(col("__ws"), n),
+          s => graft.functions.HashFunctions.md5prefix64(s))))
+      .withColumn("__b", transform(col("__shs"), h => h % lit(HashUtil.P)))
+    val mins = MinhashA.indices.map { i =>
+      aggregate(col("__b"), lit(Long.MaxValue),
+        (acc, b) => least(acc, (lit(MinhashA(i)) * b + lit(MinhashB(i))) % lit(HashUtil.P)))
+    }
+    withB.select(col(idCol), explode(array((0 until nBands).map { band =>
+        struct(lit(band).as("band"),
+          concat_ws(",", (0 until MinhashRowsPerBand).map(r =>
+            mins(band * MinhashRowsPerBand + r).cast("string")): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** LSH candidate pairs: docs sharing ≥1 identical band signature,
     * with the number of shared bands (more bands ⇒ higher similarity).
     */

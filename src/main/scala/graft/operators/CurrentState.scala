@@ -128,6 +128,18 @@ object CurrentState {
     * winner deterministic under equal versions. Returns the
     * rewritten day values.
     */
+  /** Checked rename: Hadoop's FileSystem.rename reports failure by
+    * returning false (and on RawLocalFileSystem a rename onto an
+    * existing directory moves the source INSIDE it) — ignoring the
+    * result turns a crashed prior run's leftovers into a silently
+    * dropped merge. Any false here aborts the day's swap.
+    */
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                            src: org.apache.hadoop.fs.Path,
+                            dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   def mergeIntoDayLayout(spark: org.apache.spark.sql.SparkSession,
                          path: String, updates: DataFrame, tsCol: String,
                          keys: Seq[String], versionCol: String,
@@ -148,13 +160,16 @@ object CurrentState {
             keys, versionCol, tieBreak)
         else dayUpdates
       val staged = new org.apache.hadoop.fs.Path(root, s".merge_day=$day")
+      val old = new org.apache.hadoop.fs.Path(root, s".old_day=$day")
+      // a crashed prior run may have left staging/backup dirs; clear
+      // them first or the renames below would nest or fail
+      fs.delete(staged, true); fs.delete(old, true)
       merged
         .repartitionByRange(keys.map(col): _*)
         .sortWithinPartitions((keys.map(col) :+ col(tsCol)): _*)
         .write.mode("overwrite").parquet(staged.toString)
-      val old = new org.apache.hadoop.fs.Path(root, s".old_day=$day")
-      if (fs.exists(dayDir)) { fs.rename(dayDir, old) }
-      fs.rename(staged, dayDir)
+      if (fs.exists(dayDir)) renameOrThrow(fs, dayDir, old)
+      renameOrThrow(fs, staged, dayDir)
       fs.delete(old, true)
     }
     days
@@ -189,14 +204,16 @@ object CurrentState {
       else {
         val staged = new org.apache.hadoop.fs.Path(
           dayDir.getParent, s".compact_${dayDir.getName}")
+        val old = new org.apache.hadoop.fs.Path(
+          dayDir.getParent, s".old_${dayDir.getName}")
+        // clear leftovers of a crashed prior compaction before swapping
+        fs.delete(staged, true); fs.delete(old, true)
         spark.read.parquet(dayDir.toString)
           .repartition(filesPerDay, col(keyCol))
           .sortWithinPartitions(col(keyCol), col(tsCol))
           .write.mode("overwrite").parquet(staged.toString)
-        val old = new org.apache.hadoop.fs.Path(
-          dayDir.getParent, s".old_${dayDir.getName}")
-        fs.rename(dayDir, old)
-        fs.rename(staged, dayDir)
+        renameOrThrow(fs, dayDir, old)
+        renameOrThrow(fs, staged, dayDir)
         fs.delete(old, true)
         Some(dayDir.getName.drop(4))
       }

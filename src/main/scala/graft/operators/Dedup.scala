@@ -17,6 +17,34 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Frames this object persisted, per session. A long-lived session
+    * processing many corpora would otherwise accumulate block-store
+    * entries until shutdown — every internal persist registers here so
+    * [[releaseCaches]] can free them between corpora.
+    */
+  private val persisted =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession, java.util.Queue[DataFrame]]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted
+      .computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+      .add(p)
+    p
+  }
+
+  /** Unpersist every frame the dedup operators cached for `spark`
+    * (shingle sets, band frames). Call between corpora in a long-lived
+    * session; in-flight queries over the released frames recompute
+    * rather than fail. Duplicate registrations unpersist harmlessly.
+    */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val q = persisted.remove(spark)
+    if (q != null) q.forEach(_.unpersist())
+  }
+
   /** Exact dedup groups: content hash → (kept id = min, dup count). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("h"))
@@ -74,8 +102,7 @@ object Dedup {
     * copy rather than caching twice.
     */
   def sharedShingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    hashedShingleSet(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistTracked(hashedShingleSet(df, idCol, textCol, n))
 
   /** Pairwise n-gram Jaccard over the hashed shingle sets.
     * Returns (a, b, n_common, jac) for every candidate pair that
@@ -169,8 +196,7 @@ object Dedup {
     // without it the whole 16-minhash aggregation runs twice (same
     // defect class as the round-1 shingle recompute), and consumers
     // across queries (f3/f7/p1) share this one materialization
-    val bands = minhashBands(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = persistTracked(minhashBands(df, idCol, textCol, n))
     val l = bands.select(col(idCol).as("a"), col("band"), col("sig"))
     val r = bands.select(col(idCol).as("b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))

@@ -62,8 +62,12 @@ object ScaleOps {
     */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String,
                 bucketSpan: Long): DataFrame = {
+    // integer floor-division (pmod keeps it a floor, not a truncation,
+    // for negative ids): a double round-trip would lose precision for
+    // order ids above 2^53 and could mis-bucket boundary rows
     val bucketed = df.withColumn("__b",
-      floor(col(orderCol).cast("double") / bucketSpan).cast("long"))
+      expr(s"(cast($orderCol as bigint) - pmod(cast($orderCol as bigint), " +
+        s"${bucketSpan}L)) div ${bucketSpan}L"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy(col("__b"))

@@ -97,12 +97,31 @@ object PipelineQueries {
   private val compMemo =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
-  private def componentsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
-    compMemo.getOrElseUpdate(s.sparkContext.applicationId + "@" + dir,
+  // Memo entries hold session-backed plans and localCheckpoint RDDs;
+  // without eviction they outlive the application in multi-session
+  // processes (test suites, notebook hosts). One listener per
+  // application drops that application's entries when it ends.
+  private val evictorInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def componentsFor(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val appId = s.sparkContext.applicationId
+    if (evictorInstalled.add(appId)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          compMemo.keySet.filter(_.startsWith(appId + "@"))
+            .foreach(compMemo.remove)
+          evictorInstalled.remove(appId)
+        }
+      })
+    }
+    compMemo.getOrElseUpdate(appId + "@" + dir,
       Dedup.connectedComponents(
           Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", 4),
           "a", "b")
         .withColumnRenamed("id", "doc_id"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 

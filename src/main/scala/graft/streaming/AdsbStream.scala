@@ -224,7 +224,14 @@ object AdsbStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.endUs / 1000L + gapMinutes * 60000L)
+              // Late/redelivered rows can leave session end + gap at or
+              // below the current watermark; Spark rejects such a timeout.
+              // Clamp above the watermark so the stale session times out
+              // (and closes) at the next possible tick instead of killing
+              // the query — same guard as latestStateWithTtl.
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1,
+                s.endUs / 1000L + gapMinutes * 60000L))
             }
             closed.reverse.iterator
           }

@@ -80,6 +80,39 @@ class StorageLifecycleSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == baseCount + 3)
   }
 
+  test("mergeIntoDayLayout recovers from stale staging/backup dirs of a crashed run") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_merge_stale_spec"
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+
+    val base = Tables.events(spark, sf).select("event_id", "user_id", "value", "ts")
+    CurrentState.writePartitionedByDay(base, "ts", "user_id", out)
+    val baseCount = spark.read.parquet(out).count()
+
+    val updates = base.orderBy("event_id").limit(2)
+      .withColumn("value", lit(77777.0))
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 MINUTE"))
+    val day = CurrentState.withDayPartition(updates, "ts")
+      .select("day").distinct().collect().map(_.getString(0)).head
+
+    // leftovers of a crashed prior run: on RawLocalFS a rename onto an
+    // existing dir nests the source inside it, silently corrupting the
+    // swap if not cleared first
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, s".merge_day=$day/junk"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, s".old_day=$day/junk"))
+
+    CurrentState.mergeIntoDayLayout(spark, out, updates,
+      "ts", Seq("event_id"), "ts", "event_id")
+    val after = spark.read.parquet(out)
+    assert(after.count() == baseCount)
+    assert(after.filter(col("value") === 77777.0).count() == 2)
+    // no staging/backup debris left behind
+    val debris = fs.listStatus(root).map(_.getPath.getName)
+      .filter(n => n.startsWith(".merge_day=") || n.startsWith(".old_day="))
+    assert(debris.isEmpty, s"debris=${debris.toSeq}")
+  }
+
   test("compactDayPartitions merges small files per day, preserving data and clustering") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_compact_spec"
     val fs = new org.apache.hadoop.fs.Path(out)

@@ -43,10 +43,18 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the line compact (the harness stores a
+    // bounded tail of the output), and the total repeats AFTER the
+    // per-query map so a head-truncated capture still shows it
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mx = if (results.nonEmpty) results.maxBy(_._2) else ("", 0.0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"n_queries":${results.size},""" +
+      s""""max_query":"${mx._1}","max_sec":${fmt(mx._2)},""" +
+      s""""total_sec":${fmt(total)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -374,6 +374,75 @@ object PipelineQueries {
           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
         FROM c ORDER BY doc_id""")),
 
+    // P5: mixture sampling — reweight the corpus to per-language
+    // target rates (the data-mixing step of a training pipeline:
+    // upsample/downsample languages or sources to a recipe). The
+    // keep/drop decision is a pure hash of the doc id against an
+    // integer parts-per-million threshold: deterministic, re-runnable,
+    // embarrassingly parallel (no shuffle until the final ordering),
+    // and at 100 TB each executor decides its own rows with no
+    // coordination — unlike rand()-based sampling, reruns and
+    // backfills keep exactly the same documents.
+    QueryDef("p5_source_mixing",
+      (s, dir) => {
+        val rates = Seq("en" -> 1000000, "de" -> 600000, "fr" -> 500000,
+          "es" -> 400000, "zh" -> 250000)
+        val ppm = rates.tail.foldLeft(
+          when(col("lang") === rates.head._1, lit(rates.head._2))) {
+          case (acc, (l, r)) => acc.when(col("lang") === l, lit(r))
+        }.otherwise(lit(0))
+        Tables.documents(s, dir)
+          .withColumn("__u", pmod(
+            HashFunctions.md5prefix64(concat(lit("mix:"), col("doc_id").cast("string"))),
+            lit(1000000L)))
+          .filter(col("__u") < ppm)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+        WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+          < CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 600000
+                      WHEN 'fr' THEN 500000 WHEN 'es' THEN 400000
+                      WHEN 'zh' THEN 250000 ELSE 0 END
+        ORDER BY doc_id""")),
+
+    // H7: mean unigram negative-log-likelihood — the public
+    // corpus-frequency analog of the CCNet/C4 LM-perplexity quality
+    // filter: documents of rare-on-average tokens score high
+    // (unusual/noisy), common-token documents score low. One token
+    // explode + one DF aggregation + one hash join on the token —
+    // all map-side-combined shuffles on small keys. Per-token NLL is
+    // rounded to 6 dp (transcendental portability), summed in exact
+    // decimal (fold-order portability), one final IEEE division.
+    QueryDef("h7_unigram_logprob",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tok = docs
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val totals = tok.agg(count(lit(1)).as("__n_total"))
+        val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
+        val nll = round(-log(col("__cnt").cast("double") / col("__n_total")), 6)
+        tok.join(freq, "w")
+          .crossJoin(broadcast(totals))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            round(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+              .as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT COUNT(*) AS n_total FROM tok)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          round(CAST(SUM(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6)
+            AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+        FROM tok JOIN freq USING (w) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)

@@ -219,6 +219,33 @@ object RelationalQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // E11b: CUBE — all grouping-set combinations (CH GROUP BY ...
+    // WITH CUBE). Same single-shuffle expand-aggregate as rollup.
+    QueryDef("e11b_cube",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // E25: top-K frequent values (CH topK analog, exact at this K):
+    // one map-side-combined count aggregation, then a driver-sized
+    // top-K — the count shuffle moves one row per distinct key, not
+    // per input row, so at 100 TB the cost is the distinct-key count.
+    // Deterministic tie-break on the value itself.
+    QueryDef("e25_topk_frequent",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey"))
+        .limit(10),
+      Some("""SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 10""")),
+
     QueryDef("e12_conditional_agg",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)

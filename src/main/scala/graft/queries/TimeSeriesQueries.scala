@@ -196,6 +196,63 @@ object TimeSeriesQueries {
         FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         GROUP BY 1 ORDER BY funnel_depth""")),
 
+    // E20b: windowed funnel (CH windowFunnel(window)(ts, c1, c2, c3)):
+    // the deepest signup→click→purchase chain whose LAST step falls
+    // within `W` of the chain's FIRST step. Unlike e20, the chain may
+    // start at ANY signup, not just the earliest — for a fixed start
+    // the greedy earliest-next-step chain minimizes the end time, so
+    // checking every start × greedy chain is exact. Scale shape: the
+    // per-step joins are hash joins on user_id with the time bounds as
+    // residual filters; per-(user, start) minima aggregate with
+    // map-side combine, so work is Σ per-user signups × step events,
+    // never a cross join.
+    QueryDef("e20b_window_funnel",
+      (s, dir) => {
+        val W = 6L * 3600L * 1000000L // 6 h in µs
+        val e = ev(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+        val starts = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_us").as("t1"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us").as("tc"))
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("tp"))
+        val s2 = starts.join(clicks, "user_id")
+          .filter(col("tc") > col("t1") && col("tc") <= col("t1") + W)
+          .groupBy("user_id", "t1").agg(min(col("tc")).as("t2"))
+        val s3 = s2.join(buys, "user_id")
+          .filter(col("tp") > col("t2") && col("tp") <= col("t1") + W)
+          .groupBy("user_id", "t1").agg(min(col("tp")).as("t3"))
+        val depthPerStart = starts
+          .join(s2, Seq("user_id", "t1"), "left")
+          .join(s3, Seq("user_id", "t1"), "left")
+          .select(col("user_id"),
+            when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+              .otherwise(1).as("d"))
+          .groupBy("user_id").agg(max(col("d")).as("depth"))
+        e.select("user_id").distinct()
+          .join(depthPerStart, Seq("user_id"), "left")
+          .select(col("user_id"), coalesce(col("depth"), lit(0)).as("depth"))
+          .groupBy("depth").agg(count(lit(1)).as("n_users"))
+          .orderBy("depth")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        starts AS (SELECT user_id, ts_us AS t1 FROM e WHERE event_type = 'signup'),
+        s2 AS (SELECT e.user_id, t1, min(ts_us) AS t2 FROM e JOIN starts USING (user_id)
+               WHERE event_type = 'click' AND ts_us > t1
+                 AND ts_us <= t1 + 21600000000 GROUP BY e.user_id, t1),
+        s3 AS (SELECT e.user_id, t1, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us > t2
+                 AND ts_us <= t1 + 21600000000 GROUP BY e.user_id, t1),
+        d AS (SELECT starts.user_id,
+                max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                         ELSE 1 END) AS depth
+              FROM starts LEFT JOIN s2 USING (user_id, t1) LEFT JOIN s3 USING (user_id, t1)
+              GROUP BY starts.user_id),
+        u AS (SELECT DISTINCT user_id FROM e)
+        SELECT COALESCE(depth, 0) AS depth, COUNT(*) AS n_users
+        FROM u LEFT JOIN d USING (user_id)
+        GROUP BY 1 ORDER BY depth""")),
+
     // E21: fixed-width histogram (CH histogram analog).
     QueryDef("e21_histogram",
       (s, dir) => ev(s, dir)

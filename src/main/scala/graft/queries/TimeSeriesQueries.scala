@@ -210,27 +210,11 @@ object TimeSeriesQueries {
       (s, dir) => {
         val W = 6L * 3600L * 1000000L // 6 h in µs
         val e = ev(s, dir).withColumn("ts_us", unix_micros(col("ts")))
-        val starts = e.filter(col("event_type") === "signup")
-          .select(col("user_id"), col("ts_us").as("t1"))
-        val clicks = e.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts_us").as("tc"))
-        val buys = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us").as("tp"))
-        val s2 = starts.join(clicks, "user_id")
-          .filter(col("tc") > col("t1") && col("tc") <= col("t1") + W)
-          .groupBy("user_id", "t1").agg(min(col("tc")).as("t2"))
-        val s3 = s2.join(buys, "user_id")
-          .filter(col("tp") > col("t2") && col("tp") <= col("t1") + W)
-          .groupBy("user_id", "t1").agg(min(col("tp")).as("t3"))
-        val depthPerStart = starts
-          .join(s2, Seq("user_id", "t1"), "left")
-          .join(s3, Seq("user_id", "t1"), "left")
-          .select(col("user_id"),
-            when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
-              .otherwise(1).as("d"))
-          .groupBy("user_id").agg(max(col("d")).as("depth"))
+        val depths = graft.operators.Funnels.windowFunnelDepth(
+          e, "user_id", "ts_us", "event_type",
+          Seq("signup", "click", "purchase"), W)
         e.select("user_id").distinct()
-          .join(depthPerStart, Seq("user_id"), "left")
+          .join(depths, Seq("user_id"), "left")
           .select(col("user_id"), coalesce(col("depth"), lit(0)).as("depth"))
           .groupBy("depth").agg(count(lit(1)).as("n_users"))
           .orderBy("depth")

@@ -51,6 +51,29 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "InMemoryTableScan") >= 4, p.take(400))
   }
 
+  test("p5 mixture sampling: the keep decision is shuffle-free") {
+    val p = executedPlan("p5_source_mixing")
+    assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))
+  }
+
+  test("e25 top-K: one count shuffle, top-K via TakeOrdered (no global sort)") {
+    val p = executedPlan("e25_topk_frequent")
+    assert(count(p, "Exchange hashpartitioning") == 1)
+    assert(count(p, "TakeOrderedAndProject") == 1, p.take(400))
+  }
+
+  test("h7 unigram NLL: bounded shuffles, no cartesian blowup") {
+    val p = executedPlan("h7_unigram_logprob")
+    assert(count(p, "Exchange hashpartitioning") <= 4, p.take(400))
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("e20b window funnel: per-step joins are keyed, never cartesian") {
+    val p = executedPlan("e20b_window_funnel")
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(400))
+  }
+
   test("g1 brute force: query side broadcast, corpus never shuffles before scoring") {
     val p = executedPlan("g1_knn_bruteforce")
     assert(count(p, "BroadcastNestedLoopJoin") + count(p, "BroadcastHashJoin") >= 1)

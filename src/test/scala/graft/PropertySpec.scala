@@ -97,4 +97,61 @@ class PropertySpec extends SparkSpecBase {
       }
     }
   }
+
+  test("windowFunnelDepth equals brute-force chain search on random event streams") {
+    val types = Seq("s1", "s2", "s3")
+    val gen = for {
+      m <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(m, for {
+        k <- Gen.choose(0L, 4L)
+        t <- Gen.choose(0L, 60L)
+        ty <- Gen.oneOf(types)
+      } yield (k, t, ty))
+    } yield evs
+    val w = 20L
+    (1L to 10L).foreach { seed =>
+      val evs = sample(gen, seed)
+      // brute force: deepest chain t1 < t2 < ... <= t1 + w over ALL
+      // combinations, per key
+      val truth = evs.groupBy(_._1).map { case (k, kevs) =>
+        def times(ty: String) = kevs.filter(_._3 == ty).map(_._2).sorted
+        val depth3 = (for {
+          t1 <- times("s1"); t2 <- times("s2") if t2 > t1 && t2 <= t1 + w
+          t3 <- times("s3") if t3 > t2 && t3 <= t1 + w
+        } yield ()).nonEmpty
+        val depth2 = (for {
+          t1 <- times("s1"); t2 <- times("s2") if t2 > t1 && t2 <= t1 + w
+        } yield ()).nonEmpty
+        val d = if (depth3) 3 else if (depth2) 2
+                else if (times("s1").nonEmpty) 1 else 0
+        k -> d
+      }.filter(_._2 > 0)
+      val got = graft.operators.Funnels.windowFunnelDepth(
+          evs.toDF("k", "t", "ty"), "k", "t", "ty", types, w)
+        .as[(Long, Int)].collect().toMap
+      assert(got == truth, s"seed=$seed evs=$evs")
+    }
+  }
+
+  test("prefixSum is exact for order ids above 2^53 (integer bucketing)") {
+    // ids in a range where double arithmetic loses integer precision:
+    // consecutive ids collapse to the same double, so the old
+    // double-division bucketing could mis-bucket boundary rows
+    val base = (1L << 60) + 12345L
+    val rows = (0 until 200).map(i => (base + i * 3L, (i % 7).toLong))
+    val expect = rows.scanLeft(0L)(_ + _._2).tail
+    val got = graft.operators.ScaleOps
+      .prefixSum(rows.toDF("id", "v"), "id", "v", 16L)
+      .orderBy("id").select("cum").as[Long].collect().toSeq
+    assert(got == expect)
+
+    // negative ids: floor (not truncate-toward-zero) bucketing keeps
+    // the global order correct across the sign boundary
+    val rows2 = (-50 until 50).map(i => (i.toLong * 5L, 1L))
+    val expect2 = rows2.scanLeft(0L)(_ + _._2).tail
+    val got2 = graft.operators.ScaleOps
+      .prefixSum(rows2.toDF("id", "v"), "id", "v", 16L)
+      .orderBy("id").select("cum").as[Long].collect().toSeq
+    assert(got2 == expect2)
+  }
 }

@@ -114,8 +114,12 @@ object Dedup {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val rare = sh.groupBy(col("shh")).agg(count(lit(1)).as("c"))
       .filter(col("c") <= dfCap).select("shh")
+    // BOTH self-join sides keep only sub-cap shingles: an over-cap
+    // shingle can never contribute to n_common (the x side drops it),
+    // so filtering y too is free — and it removes exactly the hot
+    // keys, turning the worst Σc·c_y terms into Σc² with c ≤ dfCap.
     val x = sh.join(rare, "shh").select(col(idCol).as("a"), col("shh"))
-    val y = sh.select(col(idCol).as("b"), col("shh"))
+    val y = sh.join(rare, "shh").select(col(idCol).as("b"), col("shh"))
     val inter = x.join(y, Seq("shh")).filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
     inter

@@ -238,6 +238,30 @@ object AdsbStream {
       }
   }
 
+  /** Stream-stream interval join (J9) — correlate two live feeds on a
+    * key within a time tolerance (e.g. match each local-feed position
+    * to opensky reports of the same aircraft within ±`tolerance` —
+    * the cross-feed validation behind the reference's combined
+    * tables). Both sides carry watermarks and the join condition
+    * bounds `rightTs` relative to `leftTs`, so Spark can expire join
+    * state: buffered rows are dropped once the other side's watermark
+    * passes their match window — state is bounded by rate × window,
+    * not stream history. The right frame's columns must be disjoint
+    * from the left's (rename upstream); the key columns stay separate
+    * so both survive into the output.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String, watermark: String,
+                   tolerance: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$leftKey = $rightKey AND
+          $rightTs >= $leftTs - INTERVAL $tolerance AND
+          $rightTs <= $leftTs + INTERVAL $tolerance"""))
+  }
+
   /** Streaming exact dedup of repeated feed deliveries (at-least-once
     * Kafka redeliveries, overlapping scrapes): duplicates of
     * (key, scrape_time) are dropped as long as they arrive within the

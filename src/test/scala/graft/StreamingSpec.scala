@@ -135,6 +135,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates feeds and expires buffered state (J9)") {
+    val local = MemoryStream[(String, Timestamp, Double)](spark)
+    val open = MemoryStream[(String, Timestamp, Double)](spark)
+    val joined = AdsbStream.intervalJoin(
+      local.toDF().toDF("icao24", "l_ts", "l_alt"),
+      open.toDF().toDF("o_icao24", "o_ts", "o_alt"),
+      "icao24", "o_icao24", "l_ts", "o_ts",
+      watermark = "10 seconds", tolerance = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("j9_out")
+      .outputMode("append").start()
+    try {
+      // A matches within ±5 min; B's candidate is 10 min away → no match
+      local.addData(("aaa111", ts(0), 37000.0), ("bbb222", ts(0), 20000.0))
+      open.addData(("aaa111", ts(120), 37010.0), ("bbb222", ts(600), 20010.0))
+      q.processAllAvailable()
+      val out = spark.table("j9_out")
+        .select("icao24", "l_alt", "o_alt").as[(String, Double, Double)].collect()
+      assert(out.toSet == Set(("aaa111", 37000.0, 37010.0)))
+
+      // advance both watermarks far past the tolerance window: the
+      // buffered batch-1 rows are expired from the join state
+      local.addData(("ccc333", ts(7200), 1.0))
+      open.addData(("ccc333", ts(7200), 2.0))
+      q.processAllAvailable()
+      local.addData(("ddd444", ts(7300), 1.0))
+      open.addData(("ddd444", ts(7300), 2.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 4,
+        s"join state must be bounded by the live window, got $stateRows rows")
+    } finally q.stop()
+  }
+
   test("stateful latest-state emits only when a key advances (J3)") {
     val input = MemoryStream[CurrentPosition](spark)
     val q = AdsbStream.latestState(spark, input.toDF())

@@ -197,6 +197,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("releaseCaches frees the dedup operators' persisted frames") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 100).collect()
+    Dedup.minhashLshPairs(df, "doc_id", "text", 3).collect()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before > 0, "dedup queries should have persisted frames")
+    Dedup.releaseCaches(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size < before,
+      "releaseCaches must unpersist the tracked frames")
+    // idempotent and safe to call with nothing tracked
+    Dedup.releaseCaches(spark)
+  }
+
   test("simhash of identical docs is identical, near docs are close (F4)") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "totally unrelated content words")).toDF("doc_id", "text")

@@ -325,6 +325,72 @@ object RelationalQueries {
                ELSE 63.0 * power(2.0, 60) / hk END AS approx_users
         FROM agg ORDER BY event_type""")),
 
+    // E13d: KMV sketch SET ALGEBRA — estimate |clickers ∩ purchasers|
+    // without an exact distinct-intersection: per-set k-min sketches,
+    // merged into the union sketch (k smallest of the combined mins),
+    // Jaccard = fraction of union-sketch hashes present in both, and
+    // |A∩B| ≈ J · |A∪B|. This is the property that makes sketches
+    // matter at 100 TB: the per-set sketches are map-side-combinable
+    // partial states of ≤ k rows, and every post-sketch step here
+    // touches ≤ 2k rows regardless of input size. Deterministic (pure
+    // function of md5 hashes) → fully oracled, unlike HLL internals.
+    QueryDef("e13d_kmv_intersect",
+      (s, dir) => {
+        val k = 64
+        val h = HashFunctions.md5prefix64(col("user_id").cast("string"))
+        val perType = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val sk = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"), h.as("h")).distinct()
+          .withColumn("rn", row_number().over(perType))
+          .filter(col("rn") <= k)
+        val union = sk.select("h").distinct()
+          .withColumn("urn", row_number().over(Window.orderBy(col("h"))))
+          .filter(col("urn") <= k)
+        val a = sk.filter(col("event_type") === "click").select(col("h"), lit(1).as("__a"))
+        val b = sk.filter(col("event_type") === "purchase").select(col("h"), lit(1).as("__b"))
+        union.join(a, Seq("h"), "left").join(b, Seq("h"), "left")
+          .agg(count(lit(1)).as("n_union_mins"),
+            max(col("h")).as("hk"),
+            count(when(col("__a") === 1 && col("__b") === 1, 1)).as("n_both"))
+          .select(
+            when(col("n_union_mins") < k, col("n_union_mins").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hk"))
+              .as("est_union"),
+            (col("n_both").cast("double") / col("n_union_mins")).as("jaccard"),
+            (when(col("n_union_mins") < k, col("n_union_mins").cast("double"))
+              .otherwise(lit((k - 1).toDouble) * lit(math.pow(2.0, 60)) / col("hk"))
+              * col("n_both").cast("double") / col("n_union_mins"))
+              .as("est_intersection"))
+      },
+      Some("""WITH h AS (
+          SELECT DISTINCT event_type,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        sk AS (
+          SELECT event_type, h FROM (
+            SELECT event_type, h,
+              row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h) WHERE rn <= 64),
+        un AS (
+          SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS urn
+            FROM (SELECT DISTINCT h FROM sk)) WHERE urn <= 64),
+        m AS (
+          SELECT COUNT(*) AS n_union_mins, max(un.h) AS hk,
+            COUNT(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 END) AS n_both
+          FROM un
+          LEFT JOIN (SELECT h FROM sk WHERE event_type = 'click') a ON un.h = a.h
+          LEFT JOIN (SELECT h FROM sk WHERE event_type = 'purchase') b ON un.h = b.h)
+        SELECT
+          CASE WHEN n_union_mins < 64 THEN CAST(n_union_mins AS DOUBLE)
+               ELSE 63.0 * power(2.0, 60) / hk END AS est_union,
+          CAST(n_both AS DOUBLE) / n_union_mins AS jaccard,
+          (CASE WHEN n_union_mins < 64 THEN CAST(n_union_mins AS DOUBLE)
+                ELSE 63.0 * power(2.0, 60) / hk END)
+            * n_both / n_union_mins AS est_intersection
+        FROM m""")),
+
     // CH quantileTDigest analog — sketch-based, engine-specific → rows-only.
     // Quantiles projected as scalar columns (not array<double>): the
     // driver's pandas-side row sort cannot order ndarray cells.

@@ -391,6 +391,86 @@ object RelationalQueries {
             * n_both / n_union_mins AS est_intersection
         FROM m""")),
 
+    // E14d: exact weighted quantile (CH quantileExactWeighted) —
+    // smallest value whose cumulative weight reaches half the total.
+    // All weight arithmetic is integer (2·cumw ≥ total, no fractional
+    // threshold), and the qualifying price is independent of tie order
+    // among equal values (a tie group qualifies iff its END cumulative
+    // weight does), so the result is deterministic across engines and
+    // partitionings. One key shuffle + per-partition sort, like any
+    // grouped window.
+    QueryDef("e14d_weighted_median",
+      (s, dir) => {
+        val byPrice = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val whole = Window.partitionBy(col("l_returnflag"))
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_quantity").cast("long").as("w"))
+          .withColumn("cumw", sum(col("w")).over(byPrice))
+          .withColumn("tw", sum(col("w")).over(whole))
+          .groupBy("l_returnflag")
+          .agg(min(when(col("cumw") * 2 >= col("tw"), col("l_extendedprice")))
+            .as("weighted_median"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (
+          SELECT l_returnflag, l_extendedprice,
+            SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+              ORDER BY l_extendedprice
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+            SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw
+          FROM lineitem)
+        SELECT l_returnflag,
+          min(CASE WHEN cumw * 2 >= tw THEN l_extendedprice END) AS weighted_median
+        FROM c GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // E26: Pearson correlation (CH corr) with engine-portable math:
+    // the five sufficient statistics accumulate as EXACT integers
+    // (prices in cents; decimal sums where a bigint could overflow at
+    // scale), then one fixed double-expression computes r — both
+    // engines round the same exact integers to the same doubles and
+    // run the same IEEE ops. Spark's own corr() (like DuckDB's) is a
+    // float reduction whose value depends on fold order — fine
+    // statistically, but not reproducible; this one is bit-stable
+    // across partitionings and reruns. Single map-side-combined
+    // aggregation, one shuffle of 5 numbers per group.
+    QueryDef("e26_correlation",
+      (s, dir) => {
+        val x = col("l_quantity").cast("long")
+        val yc = round(col("l_extendedprice") * 100).cast("long")
+        val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), x.as("x"), yc.as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y").cast("decimal(38,0)")).as("sy"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+          .select(col("l_returnflag"),
+            round((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+              (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+               sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))), 9)
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH s AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            SUM(CAST(l_quantity AS BIGINT)) AS sx,
+            SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+            SUM(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy,
+            SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+            SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+          round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+             sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+            AS corr_qty_price
+        FROM s ORDER BY l_returnflag""")),
+
     // CH quantileTDigest analog — sketch-based, engine-specific → rows-only.
     // Quantiles projected as scalar columns (not array<double>): the
     // driver's pandas-side row sort cannot order ndarray cells.

@@ -17,7 +17,9 @@ object ExplainCheck {
       else Seq("e1_pricing_summary", "e2_revenue_filter", "e4_star_join",
         "c1_latest_state", "c2_latest_recent", "d2_time_series", "d3b_modulo_sample",
         "g1_knn_bruteforce", "f2_dedup_ngram_jaccard", "f7_dedup_components",
-        "p1_curation_pipeline", "b6_bucketed_join", "b2_clustered_layout")
+        "p1_curation_pipeline", "b6_bucketed_join", "b2_clustered_layout",
+        "e13d_kmv_intersect", "e14d_weighted_median", "e20b_window_funnel",
+        "e26_correlation", "h7_unigram_logprob", "p5_source_mixing")
     for (name <- names) {
       println(s"========== $name")
       val df = SparkEntry.queries(name)(spark, dir)

@@ -82,6 +82,29 @@ object ScaleOps {
       .drop("__b", "__off")
   }
 
+  /** k smallest `hCol` values per `groupCol`, two-level: per-(group,
+    * bucket) k-mins computed in parallel, then the k-mins of that
+    * union (≤ 256·k rows per group). Identical output to a direct
+    * per-group window — the k smallest of a union are among the
+    * per-bucket k smallest — but a group's candidate set never
+    * funnels through one task, which is what a plain
+    * `Window.partitionBy(group)` does when groups are few and huge
+    * (a KMV sketch over billions of distinct keys in 2 groups would
+    * otherwise sort billions of rows in 2 tasks). Emits `rn` (1..k
+    * rank within the group) like the single-window spelling.
+    */
+  def kMinPerGroup(df: DataFrame, groupCol: String, hCol: String,
+                   k: Int, buckets: Int = 256): DataFrame = {
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__bkt")).orderBy(col(hCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(hCol))
+    df.withColumn("__bkt", pmod(col(hCol), lit(buckets)))
+      .withColumn("__rnb", row_number().over(wB)).filter(col("__rnb") <= k)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("__bkt", "__rnb")
+  }
+
   /** Persist bucketed+sorted by key — the MergeTree ORDER BY analogue
     * for the join path. Joins between tables bucketed identically on
     * the join key are exchange-free.

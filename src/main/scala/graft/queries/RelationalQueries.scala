@@ -295,11 +295,12 @@ object RelationalQueries {
       (s, dir) => {
         val k = 64
         val h = HashFunctions.md5prefix64(col("user_id").cast("string"))
-        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        Tables.events(s, dir)
-          .select(col("event_type"), h.as("h")).distinct()
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k)
+        // two-level k-min (ScaleOps.kMinPerGroup): identical sketch,
+        // but a group's distinct hashes never sort in a single task
+        graft.operators.ScaleOps.kMinPerGroup(
+            Tables.events(s, dir)
+              .select(col("event_type"), h.as("h")).distinct(),
+            "event_type", "h", k)
           .groupBy("event_type")
           .agg(max(col("h")).as("hk"), count(lit(1)).as("n_mins"))
           // with fewer than k distinct keys the sketch is exact
@@ -338,12 +339,13 @@ object RelationalQueries {
       (s, dir) => {
         val k = 64
         val h = HashFunctions.md5prefix64(col("user_id").cast("string"))
-        val perType = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        val sk = Tables.events(s, dir)
-          .filter(col("event_type").isin("click", "purchase"))
-          .select(col("event_type"), h.as("h")).distinct()
-          .withColumn("rn", row_number().over(perType))
-          .filter(col("rn") <= k)
+        val sk = graft.operators.ScaleOps.kMinPerGroup(
+          Tables.events(s, dir)
+            .filter(col("event_type").isin("click", "purchase"))
+            .select(col("event_type"), h.as("h")).distinct(),
+          "event_type", "h", k)
+        // post-sketch: every frame below is ≤ 2k rows, the global
+        // window is a deliberate single tiny task
         val union = sk.select("h").distinct()
           .withColumn("urn", row_number().over(Window.orderBy(col("h"))))
           .filter(col("urn") <= k)

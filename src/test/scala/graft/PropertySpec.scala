@@ -133,6 +133,25 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("kMinPerGroup equals the direct per-group window on random data") {
+    val gen = for {
+      m <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(m, for {
+        g <- Gen.oneOf("a", "b", "c"); h <- Gen.choose(0L, 1L << 40)
+      } yield (g, h))
+    } yield rows.distinct
+    (1L to 6L).foreach { seed =>
+      val rows = sample(gen, seed)
+      val truth = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(_._2).sorted.take(7).zipWithIndex.map { case (h, i) => (g, h, i + 1) }
+      }.toSet
+      val got = graft.operators.ScaleOps
+        .kMinPerGroup(rows.toDF("g", "h"), "g", "h", 7, buckets = 4)
+        .select("g", "h", "rn").as[(String, Long, Int)].collect().toSet
+      assert(got == truth, s"seed=$seed")
+    }
+  }
+
   test("prefixSum is exact for order ids above 2^53 (integer bucketing)") {
     // ids in a range where double arithmetic loses integer precision:
     // consecutive ids collapse to the same double, so the old

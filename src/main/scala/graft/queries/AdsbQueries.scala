@@ -355,6 +355,38 @@ object AdsbQueries {
         WHERE abs((value - mean) / sqrt(variance)) > 1.8
         ORDER BY event_id""")),
 
+    // D12: geomap grid-cell density — the map-tile aggregation behind
+    // a dashboard's position heat layer: instead of shipping raw
+    // points, bin positions into equirectangular grid cells and
+    // aggregate per cell (count + decimal-exact mean altitude). One
+    // map-side-combined aggregation on a small integer key pair; at
+    // 100 TB the shuffle carries one row per occupied cell. The cell
+    // math is rational double arithmetic only (no trig), so floors are
+    // engine-identical — a Web-Mercator y-tile would put ln/tan under
+    // a floor, where an ulp can flip the cell.
+    QueryDef("d12_grid_density",
+      (s, dir) => {
+        val lat = (col("value") % 90.0) - 45.0
+        val lon = (col("value") * 2.0 % 360.0) - 180.0
+        ev(s, dir)
+          .select(floor((lon + 180.0) / 5.0).cast("int").as("cell_x"),
+            floor((lit(90.0) - lat) / 5.0).cast("int").as("cell_y"),
+            col("value"))
+          .groupBy("cell_x", "cell_y")
+          .agg(count(lit(1)).as("n_positions"),
+            (sum(col("value").cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("mean_value"))
+          .orderBy("cell_y", "cell_x")
+      },
+      Some("""WITH pos AS (
+          SELECT CAST(floor((((value * 2.0 % 360.0) - 180.0) + 180.0) / 5.0) AS INT) AS cell_x,
+            CAST(floor((90.0 - ((value % 90.0) - 45.0)) / 5.0) AS INT) AS cell_y,
+            value
+          FROM events)
+        SELECT cell_x, cell_y, COUNT(*) AS n_positions,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value
+        FROM pos GROUP BY cell_x, cell_y ORDER BY cell_y, cell_x""")),
+
     // A12: dead-reckoning extrapolation — project each position
     // forward along its track by Δt (the reference dashboards show
     // live aircraft; extrapolation fills the gap between scrapes).

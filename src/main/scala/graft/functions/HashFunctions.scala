@@ -49,6 +49,36 @@ object HashUtil {
   def md5Prefix64(s: String): Long =
     md5Prefix64(UTF8String.fromString(s))
 
+  /** Winnowing step-2 kernel for [[graft.functions.SlidingMinDistinct64]]:
+    * first-occurrence-ordered distinct minima of every w-window over a
+    * long array, windows clamped at the array end (out-of-range
+    * positions contribute nothing) — exactly the null-padded
+    * slice/zip_with/least composition it replaces. Empty in → empty
+    * out. O(n·w) in compiled code with one HashSet, no per-window
+    * array allocation.
+    */
+  def slidingMinDistinct(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                         w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.emptyLongArray)
+    val len = math.max(n - (w - 1), 1)
+    val out = new Array[Long](len)
+    val seen = new java.util.HashSet[java.lang.Long](len * 2)
+    var m = 0
+    var j = 0
+    while (j < len) {
+      var mn = Long.MaxValue
+      var i = j
+      val end = math.min(j + w, n)
+      while (i < end) { val v = arr.getLong(i); if (v < mn) mn = v; i += 1 }
+      if (seen.add(mn)) { out(m) = mn; m += 1 }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, m))
+  }
+
   /** Rolling k-gram kernel for [[graft.functions.GramHashes64]]:
     * hashes of every k-char substring, mod P, as Spark ArrayData.
     * Character-based indexing (UTF8String.substringSQL), matching SQL
@@ -112,6 +142,27 @@ case class GramHashes64(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing's sliding-window-minimum fingerprint selection as one
+  * native kernel — see [[HashUtil.slidingMinDistinct]]. Replaces a
+  * `slice`/`zip_with`/`least`/`array_distinct` composition that
+  * evaluated interpreted lambdas and allocated w arrays per row.
+  */
+case class SlidingMinDistinct64(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"window must be >= 1, got $w")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.slidingMinDistinct(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.slidingMinDistinct($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): SlidingMinDistinct64 =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** 60-bit md5-prefix hash as a Column (native expression, codegen'd). */
   def md5prefix64(c: Column): Column =
@@ -120,6 +171,12 @@ object HashFunctions {
   /** Rolling k-gram hash array (native, codegen'd) — see [[GramHashes64]]. */
   def gramHashes64(c: Column, k: Int): Column =
     ColumnBridge.column(GramHashes64(ColumnBridge.expression(c), k))
+
+  /** Ordered-distinct sliding-window minima (native, codegen'd) — see
+    * [[SlidingMinDistinct64]].
+    */
+  def slidingMinDistinct64(c: Column, w: Int): Column =
+    ColumnBridge.column(SlidingMinDistinct64(ColumnBridge.expression(c), w))
 
   /** Seeded hash h_i(s) = (a*(md5prefix64(s) mod P) + b) mod P. */
   def seededHash(c: Column, a: Long, b: Long): Column =

@@ -84,17 +84,21 @@ object TextOps {
     * `w` hashes, distinct minima kept. Robust to local edits; the
     * standard document-fingerprinting scheme for near-dup detection.
     *
-    * Computed as an elementwise `least` over the w shifted copies of
-    * the gram array (w whole-array slices + w−1 zip_with passes)
-    * rather than a per-position `array_min(slice(...))` — same
-    * result, but no per-window array allocation, and `grams` is
-    * referenced w times so CollapseProject can never inline its
-    * (expensive) definition into the lambda. Shorter-than-w docs:
-    * the out-of-range slices are empty, zip_with null-pads them, and
-    * `least` skips nulls — yielding the whole-array min, exactly the
-    * clamped-slice behavior the oracle mirrors.
+    * Backed by the native [[graft.functions.SlidingMinDistinct64]]
+    * kernel (whole loop compiled, one pass, no per-window arrays);
+    * [[winnowFromGramsComposed]] keeps the pure-HOF spelling, which
+    * the spec asserts is equivalent. Shorter-than-w docs yield the
+    * whole-array min — the same clamping the oracle mirrors.
     */
-  def winnowFromGrams(grams: Column, w: Int): Column = {
+  def winnowFromGrams(grams: Column, w: Int): Column =
+    graft.functions.HashFunctions.slidingMinDistinct64(grams, w)
+
+  /** The composed HOF spelling of [[winnowFromGrams]]: elementwise
+    * `least` over w shifted copies (out-of-range slices null-pad,
+    * `least` skips nulls → clamped-window minima), then distinct.
+    * Reference implementation for the equivalence spec.
+    */
+  def winnowFromGramsComposed(grams: Column, w: Int): Column = {
     val len = greatest(size(grams) - (w - 1), lit(1))
     array_distinct(
       (0 until w).map(i => slice(grams, lit(1 + i), len))

@@ -94,6 +94,11 @@ class PropertySpec extends SparkSpecBase {
           .select(TextOps.winnowFromGrams(col("grams"), 4).as("fps"))
           .as[Seq[Long]].collect().head
         assert(got == naive, s"seed=$seed grams=$grams")
+        // the native kernel and the composed HOF spelling agree
+        val composed = Seq(Tuple1(grams)).toDF("grams")
+          .select(TextOps.winnowFromGramsComposed(col("grams"), 4).as("fps"))
+          .as[Seq[Long]].collect().head
+        assert(got == composed, s"seed=$seed grams=$grams")
       }
     }
   }

@@ -82,6 +82,49 @@ object ScaleOps {
       .drop("__b", "__off")
   }
 
+  /** Exact weighted median per group, two-level (same philosophy as
+    * [[prefixSum]]): a plain `Window.partitionBy(group).orderBy(value)`
+    * cumulative weight sorts each group's WHOLE data in one task —
+    * with few, huge groups that is the data funneled through a handful
+    * of tasks. Instead: (1) partial weights per (group, value-bucket)
+    * — one map-side-combined aggregation; (2) cumulative weights over
+    * the bucket totals (metadata-scale rows) locate each group's
+    * threshold bucket, the one where cumulative weight first reaches
+    * half the total; (3) only that bucket's rows get the exact
+    * in-bucket cumulative window, offset by the preceding buckets'
+    * weight. Integer weight arithmetic (2·cum ≥ total) and
+    * tie-order-independent, like the single-window spelling — and
+    * bucketing only affects WHERE work happens, never the result.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String, bucketSpan: Double): DataFrame = {
+    val g = col(groupCol)
+    val withB = df.withColumn("__b",
+      floor(col(valueCol) / bucketSpan).cast("long"))
+    val partials = withB.groupBy(g, col("__b"))
+      .agg(sum(col(weightCol)).as("__bw"))
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy(g)
+    val threshold = partials
+      .withColumn("__cum", sum(col("__bw")).over(byBucket))
+      .withColumn("__tw", sum(col("__bw")).over(whole))
+      .filter(col("__cum") * 2 >= col("__tw"))
+      .groupBy(g)
+      .agg(min(col("__b")).as("__b"),
+        min_by(col("__cum") - col("__bw"), col("__b")).as("__off"),
+        min_by(col("__tw"), col("__b")).as("__tw"))
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(g).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    withB.join(broadcast(threshold), Seq(groupCol, "__b"))
+      .withColumn("__c", sum(col(weightCol)).over(inBucket) + col("__off"))
+      .groupBy(g)
+      .agg(min(when(col("__c") * 2 >= col("__tw"), col(valueCol)))
+        .as("weighted_median"))
+  }
+
   /** k smallest `hCol` values per `groupCol`, two-level: per-(group,
     * bucket) k-mins computed in parallel, then the k-mins of that
     * union (≤ 256·k rows per group). Identical output to a direct

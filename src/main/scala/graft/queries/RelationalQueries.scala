@@ -403,18 +403,16 @@ object RelationalQueries {
     // grouped window.
     QueryDef("e14d_weighted_median",
       (s, dir) => {
-        val byPrice = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_extendedprice"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val whole = Window.partitionBy(col("l_returnflag"))
-        Tables.lineitem(s, dir)
-          .select(col("l_returnflag"), col("l_extendedprice"),
-            col("l_quantity").cast("long").as("w"))
-          .withColumn("cumw", sum(col("w")).over(byPrice))
-          .withColumn("tw", sum(col("w")).over(whole))
-          .groupBy("l_returnflag")
-          .agg(min(when(col("cumw") * 2 >= col("tw"), col("l_extendedprice")))
-            .as("weighted_median"))
+        // two-level bucketed median (ScaleOps.weightedMedian): a plain
+        // per-group cumulative window would sort each group's whole
+        // data in one task (3 groups here); the bucketed version only
+        // windows the threshold bucket's rows. Same integer-threshold
+        // semantics, same result.
+        graft.operators.ScaleOps.weightedMedian(
+            Tables.lineitem(s, dir)
+              .select(col("l_returnflag"), col("l_extendedprice"),
+                col("l_quantity").cast("long").as("w")),
+            "l_returnflag", "l_extendedprice", "w", 1000.0)
           .orderBy("l_returnflag")
       },
       Some("""WITH c AS (

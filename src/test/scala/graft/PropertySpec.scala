@@ -138,6 +138,33 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed weightedMedian equals the driver-side exact definition") {
+    val gen = for {
+      m <- Gen.choose(1, 200)
+      rows <- Gen.listOfN(m, for {
+        g <- Gen.oneOf("a", "b"); v <- Gen.choose(-500, 500)
+        w <- Gen.choose(1L, 9L)
+      } yield (g, v.toDouble / 4.0, w))
+    } yield rows
+    (1L to 8L).foreach { seed =>
+      val rows = sample(gen, seed)
+      // exact definition: smallest value whose cumulative weight (in
+      // value order) reaches half the total
+      val truth = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val tw = rs.map(_._3).sum
+        var cum = 0L
+        g -> sorted.collectFirst {
+          case (_, v, w) if { cum += w; 2 * cum >= tw } => v
+        }.get
+      }
+      val got = graft.operators.ScaleOps
+        .weightedMedian(rows.toDF("g", "v", "w"), "g", "v", "w", 50.0)
+        .as[(String, Double)].collect().toMap
+      assert(got == truth, s"seed=$seed")
+    }
+  }
+
   test("kMinPerGroup equals the direct per-group window on random data") {
     val gen = for {
       m <- Gen.choose(1, 300)

@@ -79,6 +79,53 @@ object HashUtil {
       java.util.Arrays.copyOf(out, m))
   }
 
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Tokenize→shingle→hash kernel for
+    * [[graft.functions.TokenShingleHashes64]]: first-occurrence-ordered
+    * DISTINCT md5-prefix hashes of the word n-gram shingles of
+    * lowercased, whitespace-split `s` — byte-for-byte the hashes of
+    * `array_distinct(transform(shinglesFromTokens(tokens(s), n),
+    * md5prefix64))` (lowercase via UTF8String like Spark's `lower`,
+    * split via the same \s+ regex, windows clamped at the end, a
+    * shorter-than-n doc yielding one whole-text shingle, the empty
+    * doc hashing ""). One compiled pass, no per-shingle Catalyst
+    * eval machinery or intermediate arrays.
+    */
+  def tokenShingleHashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks0 = Whitespace.split(s.toLowerCase.toString)
+    // java split emits a leading "" for leading whitespace; the
+    // composed spelling filters empties the same way
+    var nt = 0
+    val toks = new Array[String](toks0.length)
+    var i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) { toks(nt) = toks0(i); nt += 1 }
+      i += 1
+    }
+    val m = math.max(nt - n, 0)
+    val out = new Array[Long](m + 1)
+    val seen = new java.util.HashSet[java.lang.Long]((m + 1) * 2)
+    val sb = new java.lang.StringBuilder
+    var k = 0
+    var j = 0
+    while (j <= m) {
+      sb.setLength(0)
+      val end = math.min(j + n, nt)
+      var t = j
+      while (t < end) {
+        if (t > j) sb.append(' ')
+        sb.append(toks(t))
+        t += 1
+      }
+      val h = md5Prefix64(UTF8String.fromString(sb.toString))
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(out, k))
+  }
+
   /** Rolling k-gram kernel for [[graft.functions.GramHashes64]]:
     * hashes of every k-char substring, mod P, as Spark ArrayData.
     * Character-based indexing (UTF8String.substringSQL), matching SQL
@@ -142,6 +189,24 @@ case class GramHashes64(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The whole tokenize→shingle→hash→distinct pipeline of the dedup
+  * family as one native kernel — see [[HashUtil.tokenShingleHashes]].
+  */
+case class TokenShingleHashes64(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.tokenShingleHashes(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.tokenShingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingleHashes64 =
+    copy(child = newChild)
+}
+
 /** Winnowing's sliding-window-minimum fingerprint selection as one
   * native kernel — see [[HashUtil.slidingMinDistinct]]. Replaces a
   * `slice`/`zip_with`/`least`/`array_distinct` composition that
@@ -177,6 +242,12 @@ object HashFunctions {
     */
   def slidingMinDistinct64(c: Column, w: Int): Column =
     ColumnBridge.column(SlidingMinDistinct64(ColumnBridge.expression(c), w))
+
+  /** Distinct word-n-gram shingle hashes (native, codegen'd) — see
+    * [[TokenShingleHashes64]].
+    */
+  def tokenShingleHashes64(c: Column, n: Int): Column =
+    ColumnBridge.column(TokenShingleHashes64(ColumnBridge.expression(c), n))
 
   /** Seeded hash h_i(s) = (a*(md5prefix64(s) mod P) + b) mod P. */
   def seededHash(c: Column, a: Long, b: Long): Column =

@@ -68,14 +68,15 @@ object Dedup {
     */
   def hashedShingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df
-      // Spread the docs first: higher-order-function text work is
-      // interpreted and row-local — a single small input file would
-      // otherwise pin ALL of it to one core.
+      // Spread the docs first: the shingle kernel is row-local — a
+      // single small input file would otherwise pin ALL of it to one
+      // core.
       .repartition(col(idCol))
-      .withColumn("__ws", TextOps.tokens(col(textCol)))
-      .withColumn("__shs", array_distinct(
-        transform(TextOps.shinglesFromTokens(col("__ws"), n),
-          s => graft.functions.HashFunctions.md5prefix64(s))))
+      // tokenize→shingle→hash→distinct as ONE native kernel
+      // (TokenShingleHashes64); the spec asserts it equals the
+      // composed tokens/shinglesFromTokens/md5prefix64 spelling
+      .withColumn("__shs",
+        graft.functions.HashFunctions.tokenShingleHashes64(col(textCol), n))
       // explode_outer, NOT explode: InferFiltersFromGenerate would wrap
       // plain explode's child in a `size(<whole expression>) > 0`
       // filter, pushed below the repartition — re-running the entire
@@ -175,10 +176,8 @@ object Dedup {
                            n: Int): DataFrame = {
     val nBands = MinhashA.length / MinhashRowsPerBand
     val withB = df
-      .withColumn("__ws", TextOps.tokens(col(textCol)))
-      .withColumn("__shs", array_distinct(
-        transform(TextOps.shinglesFromTokens(col("__ws"), n),
-          s => graft.functions.HashFunctions.md5prefix64(s))))
+      .withColumn("__shs",
+        graft.functions.HashFunctions.tokenShingleHashes64(col(textCol), n))
       .withColumn("__b", transform(col("__shs"), h => h % lit(HashUtil.P)))
     val mins = MinhashA.indices.map { i =>
       aggregate(col("__b"), lit(Long.MaxValue),

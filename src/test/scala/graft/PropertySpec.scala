@@ -138,6 +138,33 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("TokenShingleHashes64 equals the composed tokenize/shingle/hash spelling") {
+    val word = Gen.oneOf("alpha", "Beta", "GAMMA", "d", "±x", "1234", "a-b")
+    val sep = Gen.oneOf(" ", "  ", "\t", " \n ")
+    val gen = for {
+      m <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(m, word)
+      ss <- Gen.listOfN(m + 1, sep)
+      lead <- Gen.oneOf("", " ", "\t")
+    } yield lead + ws.zip(ss).map { case (w, s) => w + s }.mkString
+    (1L to 12L).foreach { seed =>
+      val text = sample(gen, seed)
+      Seq(1, 3, 5).foreach { n =>
+        val df = Seq(Tuple1(text)).toDF("text")
+        val kernel = df.select(
+            graft.functions.HashFunctions.tokenShingleHashes64(col("text"), n))
+          .as[Seq[Long]].collect().head
+        val composed = df
+          .withColumn("__ws", TextOps.tokens(col("text")))
+          .select(array_distinct(
+            transform(TextOps.shinglesFromTokens(col("__ws"), n),
+              s => graft.functions.HashFunctions.md5prefix64(s))))
+          .as[Seq[Long]].collect().head
+        assert(kernel == composed, s"seed=$seed n=$n text=[$text]")
+      }
+    }
+  }
+
   test("bucketed weightedMedian equals the driver-side exact definition") {
     val gen = for {
       m <- Gen.choose(1, 200)

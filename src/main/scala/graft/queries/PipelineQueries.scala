@@ -374,6 +374,58 @@ object PipelineQueries {
           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
         FROM c ORDER BY doc_id""")),
 
+    // P6: canonical selection by QUALITY — per near-dup component,
+    // keep the highest-quality member (ties → min doc_id) instead of
+    // P1's min-id convention: the curation choice real pipelines make
+    // (drop the worse copies, not the later ones). Reuses the
+    // memoized component labels; the per-component argmax is two
+    // map-side-combined aggregations (max quality, then min id among
+    // maximal members) — a deterministic spelling both engines
+    // reproduce, where a float-blind arg_max could tie-break
+    // differently.
+    QueryDef("p6_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).repartition(col("doc_id"))
+        val ws = TextOps.tokens(col("text"))
+        val n = length(col("text"))
+        val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        val punct = length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+        val stops = TextOps.stopwordHits(ws, TextOps.StopwordsEn)
+        val quality = lit(0.5) * (stops.cast("double") / size(ws)) +
+          lit(0.3) * (alpha.cast("double") / n) +
+          lit(0.2) * (lit(1.0) - punct.cast("double") / n)
+        val j = docs.withColumn("quality", quality)
+          .join(componentsFor(s, dir), Seq("doc_id"))
+        val best = j.groupBy(col("component"))
+          .agg(max(col("quality")).as("best_quality"),
+            count(lit(1)).as("n_members"))
+        j.join(best, "component")
+          .filter(col("quality") === col("best_quality"))
+          .groupBy(col("component"), col("best_quality"), col("n_members"))
+          .agg(min(col("doc_id")).as("keep_id"))
+          .select(col("component"), col("keep_id"),
+            col("best_quality"), col("n_members"))
+          .orderBy("component")
+      },
+      Some(s"""WITH RECURSIVE $componentCtes,
+        q AS (
+          SELECT doc_id,
+            0.5 * (CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != ''),
+                     w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE)
+                   / len(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != ''))) +
+            0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text)) +
+            0.2 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))
+              AS quality
+          FROM documents),
+        j AS (SELECT comp.doc_id, component, quality FROM comp JOIN q USING (doc_id)),
+        best AS (SELECT component, max(quality) AS best_quality, COUNT(*) AS n_members
+                 FROM j GROUP BY component)
+        SELECT component, min(doc_id) AS keep_id, best_quality, n_members
+        FROM j JOIN best USING (component)
+        WHERE quality = best_quality
+        GROUP BY component, best_quality, n_members
+        ORDER BY component""")),
+
     // P5: mixture sampling — reweight the corpus to per-language
     // target rates (the data-mixing step of a training pipeline:
     // upsample/downsample languages or sources to a recipe). The

@@ -250,16 +250,21 @@ object AdsbStream {
     * from the left's (rename upstream); the key columns stay separate
     * so both survive into the output.
     */
+  /** `joinType` additionally admits "leftOuter"/"rightOuter"/
+    * "fullOuter": unmatched rows emit (right/left columns null) once
+    * the watermark passes their match window — feed-gap detection
+    * (which aircraft did feed B miss?) with the same bounded state.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String, watermark: String,
-                   tolerance: String): DataFrame = {
+                   tolerance: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r, expr(
       s"""$leftKey = $rightKey AND
           $rightTs >= $leftTs - INTERVAL $tolerance AND
-          $rightTs <= $leftTs + INTERVAL $tolerance"""))
+          $rightTs <= $leftTs + INTERVAL $tolerance"""), joinType)
   }
 
   /** Streaming exact dedup of repeated feed deliveries (at-least-once

@@ -104,7 +104,7 @@ class PropertySpec extends SparkSpecBase {
   }
 
   test("windowFunnelDepth equals brute-force chain search on random event streams") {
-    val types = Seq("s1", "s2", "s3")
+    val types = Seq("s1", "s2", "s3", "s4")
     val gen = for {
       m <- Gen.choose(1, 40)
       evs <- Gen.listOfN(m, for {
@@ -120,16 +120,17 @@ class PropertySpec extends SparkSpecBase {
       // combinations, per key
       val truth = evs.groupBy(_._1).map { case (k, kevs) =>
         def times(ty: String) = kevs.filter(_._3 == ty).map(_._2).sorted
-        val depth3 = (for {
-          t1 <- times("s1"); t2 <- times("s2") if t2 > t1 && t2 <= t1 + w
-          t3 <- times("s3") if t3 > t2 && t3 <= t1 + w
-        } yield ()).nonEmpty
-        val depth2 = (for {
-          t1 <- times("s1"); t2 <- times("s2") if t2 > t1 && t2 <= t1 + w
-        } yield ()).nonEmpty
-        val d = if (depth3) 3 else if (depth2) 2
-                else if (times("s1").nonEmpty) 1 else 0
-        k -> d
+        // all chains reaching step i, as (start, current) time pairs
+        var chains = times("s1").map(t => (t, t))
+        var depth = if (chains.nonEmpty) 1 else 0
+        types.drop(1).foreach { ty =>
+          chains = for {
+            (t1, tc) <- chains
+            tn <- times(ty) if tn > tc && tn <= t1 + w
+          } yield (t1, tn)
+          if (chains.nonEmpty) depth += 1
+        }
+        k -> depth
       }.filter(_._2 > 0)
       val got = graft.operators.Funnels.windowFunnelDepth(
           evs.toDF("k", "t", "ty"), "k", "t", "ty", types, w)

@@ -168,6 +168,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows after watermark expiry (J9b)") {
+    val local = MemoryStream[(String, Timestamp, Double)](spark)
+    val open = MemoryStream[(String, Timestamp, Double)](spark)
+    val joined = AdsbStream.intervalJoin(
+      local.toDF().toDF("icao24", "l_ts", "l_alt"),
+      open.toDF().toDF("o_icao24", "o_ts", "o_alt"),
+      "icao24", "o_icao24", "l_ts", "o_ts",
+      watermark = "10 seconds", tolerance = "5 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("j9b_out")
+      .outputMode("append").start()
+    try {
+      // A is seen by both feeds; B only by the local one
+      local.addData(("aaa111", ts(0), 37000.0), ("bbb222", ts(0), 20000.0))
+      open.addData(("aaa111", ts(60), 37010.0))
+      q.processAllAvailable()
+      // push both watermarks past B's match window → B emits null-padded
+      local.addData(("ccc333", ts(7200), 1.0))
+      open.addData(("ccc333", ts(7200), 2.0))
+      q.processAllAvailable()
+      local.addData(("ddd444", ts(7300), 1.0))
+      open.addData(("ddd444", ts(7300), 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("j9b_out")
+        .select("icao24", "o_icao24").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows.contains(("aaa111", Some("aaa111"))))
+      assert(rows.contains(("bbb222", None)),
+        s"feed-gap row must emit null-padded once expired; got $rows")
+    } finally q.stop()
+  }
+
   test("stateful latest-state emits only when a key advances (J3)") {
     val input = MemoryStream[CurrentPosition](spark)
     val q = AdsbStream.latestState(spark, input.toDF())

@@ -471,6 +471,34 @@ object RelationalQueries {
             AS corr_qty_price
         FROM s ORDER BY l_returnflag""")),
 
+    // E27: deltaSum (CH) — the sum of positive step-ups of a series
+    // per key (total climb from a sawtooth altitude trace). Deltas
+    // subtract in exact decimal BEFORE summing (a double-subtract
+    // then decimal-cast would round half-up in Spark and half-even in
+    // DuckDB); keys are many, so the lag window is one healthy hash
+    // shuffle, and the aggregation combines map-side.
+    QueryDef("e27_delta_sum",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val dv = col("value").cast("decimal(18,2)") -
+          lag(col("value").cast("decimal(18,2)"), 1).over(w)
+        Tables.events(s, dir)
+          .withColumn("__d", dv)
+          .groupBy("user_id")
+          .agg(sum(when(col("__d") > 0, col("__d"))).cast("double").as("delta_sum"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (
+          SELECT user_id,
+            CAST(value AS DECIMAL(18,2)) - lag(CAST(value AS DECIMAL(18,2)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dd
+          FROM events)
+        SELECT user_id, CAST(SUM(CASE WHEN dd > 0 THEN dd END) AS DOUBLE) AS delta_sum,
+          COUNT(*) AS n_events
+        FROM d GROUP BY user_id ORDER BY user_id""")),
+
     // CH quantileTDigest analog — sketch-based, engine-specific → rows-only.
     // Quantiles projected as scalar columns (not array<double>): the
     // driver's pandas-side row sort cannot order ndarray cells.

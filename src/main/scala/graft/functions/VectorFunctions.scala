@@ -25,6 +25,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
+  /** Σ (a_i − b_i)² as a strict left fold in double — squared
+    * euclidean distance (promotes both sides, so float and double
+    * arrays mix safely).
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, x) => acc + x)
+
   /** Cosine similarity = dot/(‖a‖·‖b‖). */
   def cosineSim(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -64,6 +75,50 @@ object VectorFunctions {
         ((HashUtil.md5Prefix64(s"c$j,$i") % 2001L) - 1000L).toDouble / 1000.0
       }.toArray
     }
+
+  /** Deterministic product-quantization codebook for subvector `m`:
+    * `k` codewords of `subDim` md5-derived weights (seed space
+    * "pq{m},{j},{i}" — same family as [[hyperplane]]/[[codebook]]).
+    * Stands in for a trained PQ codebook; swap in k-means-trained
+    * codewords ([[graft.operators.Embeddings.kmeansLloyd]]) in
+    * production.
+    */
+  def pqCodebook(m: Int, k: Int, subDim: Int): Seq[Array[Double]] =
+    (0 until k).map { j =>
+      (0 until subDim).map { i =>
+        ((HashUtil.md5Prefix64(s"pq$m,$j,$i") % 2001L) - 1000L).toDouble / 1000.0
+      }.toArray
+    }
+
+  /** PQ code of subvector `m`: argmin-l2 codeword index as a row-local
+    * fold over the literal codebook (no row expansion, no aggregation
+    * — the same 100 TB shape as [[ivfCellFold]]). Strict `<` keeps the
+    * FIRST minimal index on exact ties.
+    */
+  def pqSubCode(v: Column, m: Int, k: Int, subDim: Int): Column = {
+    val cbLit = typedLit(pqCodebook(m, k, subDim).map(_.toSeq))
+    val sub = slice(v, m * subDim + 1, subDim)
+    aggregate(
+      sequence(lit(0), lit(k - 1)),
+      struct(lit(-1).as("j"), lit(Double.PositiveInfinity).as("d")),
+      (acc, j) => {
+        val d = l2Sq(sub, element_at(cbLit, j + 1))
+        when(d < acc.getField("d"), struct(j.as("j"), d.as("d"))).otherwise(acc)
+      },
+      acc => acc.getField("j"))
+  }
+
+  /** Asymmetric (ADC) PQ distance: Σ_m ‖q_m − codeword(m, code_m)‖².
+    * The query stays exact; the candidate is represented only by its
+    * `mSub` codes — 4-bit codes compress a 64-float vector to 2 bytes,
+    * the memory ratio that lets billion-vector indexes live in RAM.
+    */
+  def pqAdcDist(q: Column, codes: Column, mSub: Int, k: Int, subDim: Int): Column =
+    (0 until mSub).map { m =>
+      val cbLit = typedLit(pqCodebook(m, k, subDim).map(_.toSeq))
+      l2Sq(slice(q, m * subDim + 1, subDim),
+        element_at(cbLit, element_at(codes, m + 1) + 1))
+    }.reduce(_ + _)
 
   /** IVF cell assignment as a row-local fold over a LITERAL codebook —
     * the 100 TB path. The DataFrame-based `Embeddings.ivfAssign`

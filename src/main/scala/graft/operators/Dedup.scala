@@ -292,4 +292,38 @@ object Dedup {
     }.reduce(_ + _)
     withHashes.select(col(idCol), simhash.as("simhash"))
   }
+
+  /** SimHash near-dup PAIRS via banded Hamming LSH (the Manku/Jain/
+    * Sarma WWW'07 scheme): the 32-bit fingerprint splits into 4
+    * byte-bands; a pair within Hamming distance `maxHamming` ≤ 3 can
+    * flip bits in at most 3 bands, so by pigeonhole it agrees EXACTLY
+    * on ≥ 1 band — candidate generation is 4 equality self-joins
+    * (Σ bucket² work on 1-byte keys), never all-pairs, and banding is
+    * LOSSLESS at this radius (every true pair is a candidate; the
+    * bit_count(xor) verify then filters exactly). The fingerprint
+    * frame is persisted: it feeds both self-join sides.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 byte-bands are only lossless for Hamming radius <= 3")
+    val sim = persistTracked(
+      simhash32(df.repartition(col(idCol)), idCol, textCol))
+    val banded = sim.select(col(idCol), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))
+        }: _*)).as("bb"))
+      .select(col(idCol), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val l = banded.select(col(idCol).as("a"), col("simhash").as("sa"),
+      col("band"), col("bv"))
+    val r = banded.select(col(idCol).as("b"), col("simhash").as("sb"),
+      col("band"), col("bv"))
+    l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming", "n_bands")
+  }
 }

@@ -171,6 +171,85 @@ object Embeddings {
       .select("qid", "rank", "cid", "cell", "cos")
   }
 
+  /** Product-quantization ANN (the PQ half of IVF-PQ — the technique
+    * that makes billion-vector indexes fit in memory): corpus vectors
+    * encode ROW-LOCALLY to `mSub` codes (argmin-l2 codeword per
+    * subvector; 4-bit codes turn 256 B of floats into 2 B), queries
+    * score candidates by asymmetric distance (exact query subvector
+    * vs the candidate's codeword), and the ADC top-`rerank` set gets
+    * an exact cosine rerank. Encoding adds nothing to the shuffle
+    * plan — it's a fold in the projection; scoring is the brute-force
+    * pass made cheap (mSub codeword lookups instead of a dim-length
+    * dot product). Production composes this with IVF cells ([[annIvf]]
+    * / [[annIvfFold]]) so ADC only scans the probed cells; here it
+    * scans the corpus so the oracle can check every score.
+    */
+  def annPqAdc(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, mSub: Int, k: Int, subDim: Int,
+               topK: Int, rerank: Int): DataFrame = {
+    val codes = array((0 until mSub).map(m =>
+      VectorFunctions.pqSubCode(col(vecCol), m, k, subDim)): _*)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      codes.as("codes"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adist",
+        VectorFunctions.pqAdcDist(col("qvec"), col("codes"), mSub, k, subDim))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    val cand = scored.withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= rerank)
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("qid", "rank", "cid", "adist", "cos")
+  }
+
+  /** Lloyd k-means over an embedding column — the clustering step a
+    * training-data pipeline runs for semantic dedup / mixture
+    * balancing (SemDeDup-style cluster-then-dedup), and the trainer
+    * for the IVF codebooks above. Seeded with a deterministic
+    * centroid frame (no RNG — engine-reproducible); `iters`
+    * assignment passes with centroid re-estimation between them.
+    *
+    * Scale shape per iteration: assignment is one corpus pass × k
+    * broadcast centroids, collapsed by a min-struct aggregation on
+    * the 8-byte id (never on the vector); the update aggregates
+    * (cluster, dim) partial sums map-side — the shuffle carries
+    * k·dim rows, not the corpus. Means are decimal-exact, distances
+    * strict left folds, ties broken on cluster id — bit-reproducible
+    * across engines. Once centroids converge and become literals,
+    * assignment can drop to the row-local ivfCellFold.
+    */
+  def kmeansLloyd(df: DataFrame, init: DataFrame, idCol: String,
+                  vecCol: String, iters: Int): DataFrame = {
+    val corpus = df.select(col(idCol), col(vecCol))
+    val cent0 = init.select(col(idCol).as("cluster"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    def assign(c: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(c))
+        .withColumn("d", VectorFunctions.l2Sq(col(vecCol), col("cv")))
+        .groupBy(col(idCol))
+        .agg(first(col(vecCol)).as(vecCol),
+          min(struct(col("d"), col("cluster"))).as("k"))
+        .select(col(idCol), col(vecCol),
+          col("k.cluster").as("cluster"), col("k.d").as("d"))
+    var assigned = assign(cent0)
+    for (_ <- 1 until iters) {
+      val upd = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg((sum(col("x").cast("double").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("mx"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          p => p.getField("mx")).as("cv"))
+      assigned = assign(upd)
+    }
+    assigned.select(col(idCol), col("cluster"), col("d"))
+  }
+
   /** Near-dup pairs: bucket-cogrouped all-pairs with exact cosine,
     * top `topN` by similarity (set a threshold filter for the real
     * dedup path; top-N keeps the oracle check non-degenerate on

@@ -216,6 +216,106 @@ object EmbeddingQueries {
             ${sqlCos("x.embedding", "y.embedding")} AS cos
           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         SELECT a, b, bucket, cos FROM pairs
-        ORDER BY cos DESC, a, b LIMIT 20"""))
+        ORDER BY cos DESC, a, b LIMIT 20""")),
+
+    // G5: Lloyd k-means (2 iterations, k=8, deterministic seed
+    // centroids) — the clustering pass behind SemDeDup-style semantic
+    // dedup, mixture balancing, and IVF codebook training. Reported
+    // per cluster: size and decimal-exact mean squared distance.
+    QueryDef("g5_kmeans",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.kmeansLloyd(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 2)
+          .groupBy("cluster")
+          .agg(count(lit(1)).as("n_members"),
+            round(sum(col("d").cast("decimal(27,12)")).cast("double") /
+              count(lit(1)), 6).as("mean_dist"))
+          .orderBy("cluster")
+      },
+      Some {
+        def l2(a: String, b: String): String =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y)"""
+        s"""WITH c0 AS (
+            SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id < 8),
+          s1 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
+                 FROM embeddings e CROSS JOIN c0 c),
+          a1 AS (SELECT vec_id, embedding, cluster, d FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                   FROM s1) t
+                 WHERE rn = 1),
+          x1 AS (SELECT cluster, unnest(list_transform(range(0, len(embedding)),
+                   i -> {'dim': i, 'x': CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
+                 FROM a1),
+          u1 AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
+                   CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+                 FROM x1 GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
+          s2 AS (SELECT e.vec_id, c.cluster, ${l2("e.embedding", "c.cv")} AS d
+                 FROM embeddings e CROSS JOIN c1 c),
+          a2 AS (SELECT vec_id, cluster, d FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                   FROM s2) t
+                 WHERE rn = 1)
+          SELECT cluster, COUNT(*) AS n_members,
+            round(CAST(SUM(CAST(d AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS mean_dist
+          FROM a2 GROUP BY cluster ORDER BY cluster"""
+      }),
+
+    // G6: product-quantization ANN (PQ + asymmetric distance, the
+    // IVF-PQ building block): 4 subvectors × 16 codewords, row-local
+    // encode, ADC scoring, exact rerank of the ADC top-10.
+    QueryDef("g6_ann_pq_adc",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annPqAdc(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 4, 16, 16, 3, 10)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        def l2(a: String, b: String): String =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y)"""
+        def cw(m: Int): String =
+          s"""list_transform(range(0, 16), j -> list_transform(range(0, 16), i ->
+              CAST((('0x' || substr(md5('pq$m,' || CAST(j AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % 2001 - 1000) AS DOUBLE) / 1000.0))"""
+        def sub(tbl: String, m: Int): String =
+          s"$tbl.embedding[${m * 16 + 1}:${m * 16 + 16}]"
+        val dls = (0 until 4).map(m =>
+          s"""list_transform(range(0, 16), j ->
+              ${l2(sub("e", m), s"(${cw(m)})[CAST(j + 1 AS INT)]")}) AS dl$m""").mkString(",\n            ")
+        val codes = (0 until 4).map(m =>
+          s"CAST(list_position(dl$m, list_min(dl$m)) - 1 AS INT) AS code$m").mkString(", ")
+        val adist = (0 until 4).map(m =>
+          l2(sub("q", m), s"(${cw(m)})[CAST(c.code$m + 1 AS INT)]")).mkString(" + ")
+        s"""WITH enc0 AS (
+            SELECT e.vec_id, e.embedding,
+            $dls
+            FROM embeddings e),
+          enc AS (SELECT vec_id, embedding, $codes FROM enc0),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              q.embedding AS qvec, c.embedding AS cvec,
+              $adist AS adist
+            FROM enc c CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+            WHERE q.vec_id != c.vec_id),
+          cand AS (
+            SELECT qid, cid, qvec, cvec, adist FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS arank
+              FROM scored) t
+            WHERE arank <= 10),
+          cand2 AS (SELECT qid, cid, adist, ${sqlCos("qvec", "cvec")} AS cos FROM cand)
+        SELECT qid, rank, cid, adist, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM cand2) t
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      })
   )
 }

@@ -69,22 +69,29 @@ object PipelineQueries {
          SELECT w.id, e.y FROM walk w JOIN edges e ON e.x = w.r),
        comp AS (SELECT id AS doc_id, min(r) AS component FROM walk GROUP BY id)"""
 
-  private def simhashSql: String = {
+  /** CTE chain ending in `sim(doc_id, simhash)` — the 32-bit SimHash
+    * mirror of Dedup.simhash32, shared by f4 and f4b.
+    */
+  private def simhashCtes: String = {
     val sums = (0 until 32)
       .map(b => s"SUM(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b")
       .mkString(", ")
     val recompose = (0 until 32)
       .map(b => s"(CASE WHEN s_$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH words AS (
+    s"""words AS (
          SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws
          FROM documents),
        tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
        th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 4294967296 AS th FROM tok),
-       s AS (SELECT doc_id, $sums FROM th GROUP BY doc_id)
-       SELECT doc_id, $recompose AS simhash FROM s ORDER BY doc_id"""
+       s AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+       sim AS (SELECT doc_id, $recompose AS simhash FROM s)"""
   }
+
+  private def simhashSql: String =
+    s"""WITH $simhashCtes
+       SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
 
   /** The component assignment is an expensive ITERATIVE artifact
     * (driver-side loop of Spark jobs) consumed by both f7 and p1 — a
@@ -166,6 +173,88 @@ object PipelineQueries {
             Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text"),
           col("doc_id")),
       Some(simhashSql)),
+
+    // F4b: SimHash near-dup PAIRS — banded Hamming LSH (4 byte-bands
+    // over the 32-bit fingerprint; pigeonhole makes banding LOSSLESS
+    // for Hamming radius ≤ 3), candidates verified by bit_count(xor).
+    // Candidate generation is Σ bucket² equality-join work like
+    // f3/f5, never an all-pairs scan.
+    QueryDef("f4b_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir),
+          "doc_id", "text", 3)
+        .orderBy("a", "b"),
+      Some(s"""WITH $simhashCtes,
+        b0 AS (SELECT doc_id, simhash,
+            unnest(list_transform(range(0, 4),
+              b -> {'band': b, 'bv': (simhash >> CAST(b * 8 AS INT)) & 255})) AS u
+          FROM sim),
+        banded AS (SELECT doc_id, simhash, CAST(u.band AS INT) AS band, u.bv AS bv FROM b0),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb,
+            COUNT(*) AS n_bands
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming, n_bands
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""")),
+
+    // F8: span-level (chunk) dedup — C4/RefinedWeb-style: the corpus
+    // splits into non-overlapping 8-token chunks and every chunk that
+    // already occurred anywhere else (earlier doc, or earlier position
+    // in the same doc) is dropped; exactly one occurrence of each
+    // distinct chunk survives, at the lexicographically-smallest
+    // (doc_id, pos). One hash aggregation chooses keepers (min struct,
+    // map-side combined), one join marks rows — both shuffles carry
+    // 8-byte chunk hashes, so at 100 TB this is the exact-dedup shape
+    // applied below document granularity.
+    QueryDef("f8_span_dedup",
+      (s, dir) => {
+        val C = 8
+        val chunks = Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .withColumn("__ws", TextOps.tokens(col("text")))
+          .withColumn("__nc", floor(size(col("__ws")) / C).cast("int"))
+          .filter(col("__nc") > 0)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), col("__nc") - 1),
+              i => concat_ws(" ", slice(col("__ws"), i * C + 1, lit(C))))))
+          .withColumnRenamed("col", "chunk")
+          .withColumn("ch", HashFunctions.md5prefix64(col("chunk")))
+          .select("doc_id", "pos", "ch")
+        val keeper = chunks.groupBy("ch")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        chunks.join(keeper, "ch")
+          .withColumn("__kept",
+            col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("__kept").cast("int")).as("n_kept"))
+          .withColumn("kept_ratio",
+            col("n_kept").cast("double") / col("n_chunks"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        ch0 AS (
+          SELECT doc_id,
+            unnest(list_transform(range(0, CAST(floor(len(ws) / 8) AS INT)),
+              i -> {'pos': i,
+                    'ch': ('0x' || substr(md5(array_to_string(ws[CAST(i * 8 + 1 AS INT) : CAST(i * 8 + 8 AS INT)], ' ')), 1, 15))::BIGINT})) AS u
+          FROM words WHERE len(ws) >= 8),
+        chunks AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.ch AS ch FROM ch0),
+        keeper AS (SELECT ch, min({'doc_id': doc_id, 'pos': pos}) AS k
+                   FROM chunks GROUP BY ch)
+        SELECT c.doc_id, COUNT(*) AS n_chunks,
+          CAST(SUM(CASE WHEN c.doc_id = struct_extract(kp.k, 'doc_id')
+                         AND c.pos = struct_extract(kp.k, 'pos')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN c.doc_id = struct_extract(kp.k, 'doc_id')
+                         AND c.pos = struct_extract(kp.k, 'pos')
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_ratio
+        FROM chunks c JOIN keeper kp USING (ch)
+        GROUP BY c.doc_id ORDER BY doc_id""")),
 
     // F6: winnowing rolling-hash fingerprints (char 8-grams, window 4).
     // The norm column is materialized BEFORE the gram lambda (an
@@ -494,6 +583,112 @@ object PipelineQueries {
             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_nll
         FROM tok JOIN freq USING (w) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
+
+    // H8: BM25 ranked retrieval (Robertson/Spärck Jones; k1=1.2,
+    // b=0.75) for a fixed query-term set — the keyword-search scoring
+    // a corpus index serves. One token explode feeds doc lengths,
+    // per-(doc, term) TF and per-term DF (all map-side-combined
+    // aggregations; DF/avgdl are term-level/scalar frames, broadcast).
+    // Portability: idf and each term score round to 6 dp (ln ulps),
+    // the per-doc sum is exact decimal, constants are written as
+    // identical double literals in both engines.
+    QueryDef("h8_bm25",
+      (s, dir) => {
+        val terms = Seq("spark", "window", "hash")
+        val tok = Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tt"))
+          .select(col("n_docs"), (col("tt").cast("double") / col("n_docs")).as("avgdl"))
+        val tf = tok.filter(col("w").isin(terms: _*))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val idf = round(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 6)
+        val score = round(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+        tf.join(broadcast(dfT), "w")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("__score", score)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("__score").cast("decimal(18,6)")).cast("double").as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+               WHERE w IN ('spark', 'window', 'hash') GROUP BY doc_id, w),
+        dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        sc AS (
+          SELECT tf.doc_id,
+            round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) * (tf * 2.2) /
+              (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 6) AS score
+          FROM tf JOIN dfq USING (w) JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats)
+        SELECT doc_id, COUNT(*) AS n_terms,
+          CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""")),
+
+    // H9: PII redaction — the scrubbing stage a curation pipeline runs
+    // before training (emails / phone numbers / IPv4 addresses →
+    // placeholder tokens, with per-doc redaction counts for audit).
+    // The PII is synthesized deterministically from doc_id so the
+    // redactor provably fires; patterns stay in the regex subset Java
+    // and RE2 evaluate identically. Row-local regex work — a pure map
+    // stage at any scale.
+    QueryDef("h9_pii_redact",
+      (s, dir) => {
+        val eml = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+        val tel = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        Tables.documents(s, dir)
+          .withColumn("__full", concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com"),
+            lit(" tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+            lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), ((col("doc_id") * 3) % 256).cast("string")))
+          .withColumn("n_emails", regexp_count(col("__full"), lit(eml)))
+          .withColumn("n_ips", regexp_count(col("__full"), lit(ip)))
+          .withColumn("n_phones", regexp_count(col("__full"), lit(tel)))
+          .withColumn("red",
+            regexp_replace(regexp_replace(regexp_replace(col("__full"),
+              eml, "<EMAIL>"), ip, "<IP>"), tel, "<PHONE>"))
+          .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+            md5(col("red")).as("red_fp"),
+            expr("substring(red, greatest(length(red) - 49, 1), 50)").as("tail_preview"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH full0 AS (
+          SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
+            || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+            || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+            || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR) AS f
+          FROM documents),
+        red0 AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(f, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+            CAST(len(regexp_extract_all(f, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS INT) AS n_ips,
+            CAST(len(regexp_extract_all(f, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+            regexp_replace(regexp_replace(regexp_replace(f,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+              '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+          FROM full0)
+        SELECT doc_id, n_emails, n_phones, n_ips, md5(red) AS red_fp,
+          substr(red, greatest(length(red) - 49, 1), 50) AS tail_preview
+        FROM red0 ORDER BY doc_id""")),
 
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",

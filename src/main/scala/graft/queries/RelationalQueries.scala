@@ -609,6 +609,87 @@ object RelationalQueries {
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
         WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // E31: per-key trailing moving average (CH `groupArrayMovingAvg` /
+    // the dashboard smoothing window): 5-row window, decimal-exact
+    // numerator, one IEEE division by the actual window row count
+    // (so leading partial windows are exact too). One key shuffle.
+    QueryDef("e31_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+        Tables.events(s, dir)
+          .withColumn("ma5",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+              count(lit(1)).over(w))
+          .select("event_id", "user_id", "ma5")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
+    // E28: capped distinct count (CH `uniqUpTo(N)`) — exact when the
+    // group has ≤ N distinct values, reports N+1 otherwise ("more than
+    // N"). The scale shape is the pre-aggregated distinct: the
+    // (type, user) dedup is a map-side-combinable aggregation, and the
+    // per-group count that follows moves one row per distinct pair.
+    QueryDef("e28_uniq_upto",
+      (s, dir) => Tables.events(s, dir)
+        .select("event_type", "user_id").distinct()
+        .groupBy("event_type")
+        .agg(least(count(lit(1)), lit(41L)).as("uniq_upto_40"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          least(COUNT(DISTINCT user_id), CAST(41 AS BIGINT)) AS uniq_upto_40
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // E29: GROUP BY ... WITH TOTALS (CH) — the per-group rows plus one
+    // all-groups totals row, computed in the SAME single-shuffle
+    // expand-aggregate as a rollup (no second pass over the data).
+    QueryDef("e29_with_totals",
+      (s, dir) => Tables.events(s, dir)
+        .rollup("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .withColumn("event_type", coalesce(col("event_type"), lit("<TOTALS>")))
+        .orderBy("event_type"),
+      Some(s"""SELECT COALESCE(event_type, '<TOTALS>') AS event_type,
+          COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+        FROM events GROUP BY ROLLUP (event_type)
+        ORDER BY event_type""")),
+
+    // E30: condition-chain retention (CH `retention(cond1, ...)`) —
+    // per user, flag_i = cond_1 AND cond_i; the aggregate reports how
+    // many users satisfy each prefix of the chain. One per-user
+    // aggregation (map-side-combined boolean ORs) + one tiny global
+    // sum — the per-user event list is never materialized.
+    QueryDef("e30_retention_flags",
+      (s, dir) => {
+        def hit(t: String) =
+          max(when(col("event_type") === t, 1).otherwise(0))
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(hit("view").as("c1"), hit("click").as("c2"),
+            hit("purchase").as("c3"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("c1")).as("r_view"),
+            sum(col("c1") * col("c2")).as("r_view_click"),
+            sum(col("c1") * col("c2") * col("c3")).as("r_view_click_purchase"))
+      },
+      Some("""WITH u AS (
+          SELECT user_id,
+            max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+            max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2,
+            max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c3
+          FROM events GROUP BY user_id)
+        SELECT COUNT(*) AS n_users,
+          CAST(SUM(c1) AS BIGINT) AS r_view,
+          CAST(SUM(c1 * c2) AS BIGINT) AS r_view_click,
+          CAST(SUM(c1 * c2 * c3) AS BIGINT) AS r_view_click_purchase
+        FROM u"""))
   )
 }

@@ -110,6 +110,41 @@ object StorageQueries {
       Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
           ${QueryDefs.sqlDsum("o_totalprice")} AS sum_price
         FROM orders JOIN customer ON o_custkey = c_custkey
-        GROUP BY 1 ORDER BY c_mktsegment"""))
+        GROUP BY 1 ORDER BY c_mktsegment""")),
+
+    // B11: AggregatingMergeTree semantics (CH `-State` / `-Merge`
+    // combinators): partial aggregate STATES are materialized per
+    // (day, type) — count, exact-decimal sum, min, max are all
+    // mergeable — written day-partitioned, read back, and MERGED into
+    // per-type finals. The oracle aggregates the raw table directly:
+    // state-merge must be indistinguishable from a one-shot
+    // aggregation (the property that lets a 100 TB deployment roll
+    // day states up into month/total reports without re-reading raw
+    // data). `n_states` exposes that states, not raw rows, were read.
+    QueryDef("b11_agg_state",
+      (s, dir) => {
+        val out = tmp("b11", dir)
+        Tables.events(s, dir)
+          .groupBy(date_format(col("ts"), "yyyyMMdd").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt_state"),
+            sum(col("value").cast("decimal(18,2)")).as("sum_state"),
+            min(unix_micros(col("ts"))).as("min_ts_state"),
+            max(col("value")).as("max_state"))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+        s.read.parquet(out)
+          .groupBy("event_type")
+          .agg(sum(col("cnt_state")).as("n"),
+            sum(col("sum_state")).cast("double").as("sum_value"),
+            min(col("min_ts_state")).as("first_us"),
+            max(col("max_state")).as("max_value"),
+            count(lit(1)).as("n_states"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, COUNT(*) AS n,
+          ${QueryDefs.sqlDsum("value")} AS sum_value,
+          min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+          max(value) AS max_value,
+          COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d')) AS n_states
+        FROM events GROUP BY event_type ORDER BY event_type"""))
   )
 }

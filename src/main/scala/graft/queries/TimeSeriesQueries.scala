@@ -145,6 +145,80 @@ object TimeSeriesQueries {
         LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
         ORDER BY hour_us, t.event_type""")),
 
+    // D13: gap-filled series with LINEAR INTERPOLATION (CH `WITH FILL
+    // ... INTERPOLATE`): 10-minute buckets of mean value per type;
+    // missing buckets get the straight line between their nearest
+    // observed neighbors. Scale shape: raw events reduce map-side to
+    // one row per (type, bucket) FIRST — only the bucket series
+    // (bounded by time range / step, not by corpus size) flows
+    // through the per-type neighbor windows. The spine endpoints are
+    // observed buckets by construction, so every gap is interior and
+    // the interpolation is total. Integer µs bucket arithmetic (div),
+    // decimal-exact means, one rounded IEEE interpolation expression.
+    QueryDef("d13_interpolate",
+      (s, dir) => {
+        val step = 600000000L // 10 min in µs
+        val obs = ev(s, dir)
+          .groupBy(col("event_type"),
+            expr(s"(unix_micros(ts) div $step) * $step").as("m"))
+          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("v"))
+        val bounds = obs.groupBy("event_type")
+          .agg(min("m").as("lo"), max("m").as("hi"))
+        val spine = bounds.select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(step))).as("m"))
+        val w = Window.partitionBy("event_type").orderBy("m")
+        val prev = last(
+          when(col("v").isNotNull, struct(col("m").as("pm"), col("v").as("pv"))),
+          ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val next = first(
+          when(col("v").isNotNull, struct(col("m").as("nm"), col("v").as("nv"))),
+          ignoreNulls = true).over(w.rowsBetween(1, Window.unboundedFollowing))
+        val j = spine.join(obs, Seq("event_type", "m"), "left")
+          .withColumn("p", prev).withColumn("nx", next)
+        val frac = (col("m") - col("p.pm")).cast("double") /
+          (col("nx.nm") - col("p.pm"))
+        // No round(): every term is plain IEEE arithmetic on inputs
+        // already bit-identical across engines (decimal-exact means,
+        // integer µs), and rounding an AVERAGE would itself break
+        // parity — decimal-sum/2^k counts produce genuine ties at the
+        // rounding digit, which Spark (exact decimal half-up) and
+        // DuckDB (scaled-double) resolve differently.
+        val interp = col("p.pv") + (col("nx.nv") - col("p.pv")) * frac
+        j.select(col("event_type"), col("m").as("bucket_us"),
+            when(col("v").isNotNull, col("v")).otherwise(interp)
+              .as("v_filled"),
+            when(col("v").isNotNull, lit("obs")).otherwise(lit("interp")).as("src"))
+          .orderBy("event_type", "bucket_us")
+      },
+      Some("""WITH obs AS (
+          SELECT event_type,
+            (epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600000000 AS m,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+          FROM events GROUP BY 1, 2),
+        bounds AS (SELECT event_type, min(m) AS lo, max(m) AS hi FROM obs GROUP BY event_type),
+        spine AS (SELECT event_type, unnest(generate_series(lo, hi, 600000000)) AS m FROM bounds),
+        j AS (SELECT s.event_type, s.m, o.v
+              FROM spine s LEFT JOIN obs o ON o.event_type = s.event_type AND o.m = s.m),
+        pn AS (
+          SELECT event_type, m, v,
+            last_value(CASE WHEN v IS NOT NULL THEN {'pm': m, 'pv': v} END IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p,
+            first_value(CASE WHEN v IS NOT NULL THEN {'nm': m, 'nv': v} END IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY m
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nx
+          FROM j)
+        SELECT event_type, m AS bucket_us,
+          CASE WHEN v IS NOT NULL THEN v
+               ELSE struct_extract(p, 'pv') +
+                 (struct_extract(nx, 'nv') - struct_extract(p, 'pv')) *
+                 (CAST(m - struct_extract(p, 'pm') AS DOUBLE) /
+                  (struct_extract(nx, 'nm') - struct_extract(p, 'pm')))
+          END AS v_filled,
+          CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
+        FROM pn ORDER BY event_type, bucket_us""")),
+
     // B5: deterministic hash sampling (CH `SAMPLE` clause analog —
     // stable 1-in-10 of users, not rows, so per-user analyses stay
     // coherent).

@@ -316,6 +316,35 @@ object EmbeddingQueries {
           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
           FROM cand2) t
         WHERE rank <= 3 ORDER BY qid, rank"""
-      })
+      }),
+
+    // P8: semantic contamination — the embedding-space complement of
+    // p3's n-gram gate: for each eval vector (vec_id < 10), the max
+    // cosine against the train split and how many train vectors clear
+    // the 0.5 similarity bar. Eval set broadcast, train side streams
+    // through one map-side-combined aggregation — no train-side
+    // shuffle at any scale.
+    QueryDef("p8_semantic_contamination",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ev = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+          .crossJoin(broadcast(ev))
+          .withColumn("cos", graft.functions.VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+          .groupBy("qid")
+          .agg(max(col("cos")).as("max_cos"),
+            count(when(col("cos") >= 0.5, 1)).as("n_above"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id >= 10),
+        scored AS (
+          SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
+          FROM c CROSS JOIN q)
+        SELECT qid, max(cos) AS max_cos,
+          COUNT(CASE WHEN cos >= 0.5 THEN 1 END) AS n_above
+        FROM scored GROUP BY qid ORDER BY qid"""))
   )
 }

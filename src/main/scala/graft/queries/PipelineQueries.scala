@@ -584,6 +584,41 @@ object PipelineQueries {
         FROM tok JOIN freq USING (w) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // P7: vocabulary coverage / OOV rate — induce the top-30 corpus
+    // vocabulary (count desc, word asc: deterministic), then score
+    // each doc by its out-of-vocabulary token fraction (the tokenizer-
+    // fit signal a pipeline checks before committing to a vocab).
+    // Scale: the frequency aggregation moves one row per distinct
+    // word (map-side combined); the vocab is driver-sized and
+    // broadcast back — the corpus never shuffles.
+    QueryDef("p7_vocab_coverage",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(30)
+          .select(col("w"), lit(1).as("__v"))
+        tok.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("__v").isNull, 1)).as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+        vocab AS (SELECT w FROM freq ORDER BY c DESC, w LIMIT 30)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov,
+          CAST(COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
+        FROM tok LEFT JOIN vocab v USING (w)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // H8: BM25 ranked retrieval (Robertson/Spärck Jones; k1=1.2,
     // b=0.75) for a fixed query-term set — the keyword-search scoring
     // a corpus index serves. One token explode feeds doc lengths,

@@ -182,6 +182,59 @@ object AdsbStream {
       }
       .start()
 
+  /** Fold one microbatch into the on-disk partial-aggregate-state log
+    * (J10 helper, exposed for direct testing). States per (day, key):
+    * count, exact-decimal sum, min ts, max value — all mergeable. The
+    * log is APPEND-ONLY by batch: each batch owns its `batch_id=`
+    * partition and writes it with dynamic partition overwrite, so a
+    * failure-replayed batch REPLACES its own states instead of
+    * double-counting — idempotent exactly-once without a transaction
+    * log. Compaction of old batch partitions is B9's job.
+    */
+  def mergeBatchIntoAggState(batch: DataFrame, batchId: Long, tsCol: String,
+                             keyCol: String, valCol: String, path: String): Unit =
+    batch
+      .withColumn("day", date_format(col(tsCol), "yyyyMMdd"))
+      .groupBy(col("day"), col(keyCol))
+      .agg(count(lit(1)).as("cnt_state"),
+        sum(col(valCol).cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_state"),
+        min(col(tsCol)).as("min_ts_state"),
+        max(col(valCol)).as("max_state"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** Streaming AggregatingMergeTree path (J10): the streaming half of
+    * B11 — each microbatch reduces to mergeable partial states before
+    * anything lands on disk, so the sink writes one row per
+    * (day, key) per batch, not per event.
+    */
+  def startAggStateSink(normalized: DataFrame, tsCol: String, keyCol: String,
+                        valCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    normalized.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchIntoAggState(batch, batchId, tsCol, keyCol, valCol, path)
+      }
+      .start()
+
+  /** Merge the partial-state log into per-(day, key) finals — the
+    * read side of J10. Because every state is mergeable (sums of
+    * counts/decimal sums, min of mins, max of maxes), this equals the
+    * one-shot aggregation of every ingested row, touching only state
+    * rows — B11's property, maintained incrementally by the stream.
+    */
+  def readAggState(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("day"), col(keyCol))
+      .agg(sum(col("cnt_state")).as("n"),
+        sum(col("sum_state")).cast("decimal(18,2)").as("sum_value"),
+        min(col("min_ts_state")).as("first_ts"),
+        max(col("max_state")).as("max_value"))
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, endUs: Long, n: Int)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

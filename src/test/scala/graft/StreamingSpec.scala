@@ -257,6 +257,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("streaming agg-state sink: merged states equal one-shot aggregation, replay is idempotent (J10)") {
+    val input = MemoryStream[RawReport](spark)
+    val out = java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_aggckpt").toString
+    input.addData(batch1)
+    val q = AdsbStream.startAggStateSink(
+      AdsbStream.normalize(input.toDF()), "scrape_time", "icao24",
+      "ground_speed", out, ckpt)
+    q.processAllAvailable()
+    input.addData(batch1.take(2).map(_.copy(hex = Some("XYZ789"))))
+    q.processAllAvailable(); q.stop()
+
+    val merged = AdsbStream.readAggState(spark, out, "icao24")
+    val direct = {
+      val all = AdsbStream.normalize(
+        (batch1 ++ batch1.take(2).map(_.copy(hex = Some("XYZ789")))).toDF())
+      all.withColumn("day", date_format(col("scrape_time"), "yyyyMMdd"))
+        .groupBy("day", "icao24")
+        .agg(count(lit(1)).as("n"),
+          sum(col("ground_speed").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"),
+          min(col("scrape_time")).as("first_ts"),
+          max(col("ground_speed")).as("max_value"))
+    }
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+
+    // Failure replay: re-merging the same batchId must REPLACE that
+    // batch's states, not double-count them.
+    val replay = AdsbStream.normalize(batch1.toDF())
+    AdsbStream.mergeBatchIntoAggState(replay, 0L, "scrape_time", "icao24",
+      "ground_speed", out)
+    val after = AdsbStream.readAggState(spark, out, "icao24")
+    assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
+  }
+
   test("combined union of two streaming sources (J4)") {
     val a = MemoryStream[RawReport](spark)
     val b = MemoryStream[RawReport](spark)

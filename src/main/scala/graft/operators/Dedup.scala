@@ -17,33 +17,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
-  /** Frames this object persisted, per session. A long-lived session
-    * processing many corpora would otherwise accumulate block-store
-    * entries until shutdown — every internal persist registers here so
-    * [[releaseCaches]] can free them between corpora.
+  /** Multi-consumer frames persist through [[TrackedCache]] (session-
+    * tracked, releasable between corpora).
     */
-  private val persisted =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.SparkSession, java.util.Queue[DataFrame]]()
+  private def persistTracked(df: DataFrame): DataFrame = TrackedCache.persist(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persisted
-      .computeIfAbsent(df.sparkSession,
-        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
-      .add(p)
-    p
-  }
-
-  /** Unpersist every frame the dedup operators cached for `spark`
-    * (shingle sets, band frames). Call between corpora in a long-lived
-    * session; in-flight queries over the released frames recompute
-    * rather than fail. Duplicate registrations unpersist harmlessly.
+  /** Unpersist every frame the graft operators cached for `spark`
+    * (shingle sets, band frames, token explodes). Call between corpora
+    * in a long-lived session; in-flight queries over the released
+    * frames recompute rather than fail.
     */
-  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val q = persisted.remove(spark)
-    if (q != null) q.forEach(_.unpersist())
-  }
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    TrackedCache.release(spark)
 
   /** Exact dedup groups: content hash → (kept id = min, dup count). */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -291,6 +276,55 @@ object Dedup {
       when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     withHashes.select(col(idCol), simhash.as("simhash"))
+  }
+
+  /** Per-document non-overlapping `c`-token chunk hashes
+    * (id, pos, ch) — the span-dedup unit (F8). Docs shorter than one
+    * chunk yield no rows. The short-doc filter tests the GENERATED
+    * pos column (posexplode_outer of a null array → null pos), not an
+    * inlined tokenize expression — a `size(tokens(text)) ≥ c` filter
+    * would be pushed into the scan and evaluate the tokenizer a
+    * second time, below the repartition (the round-1 f2 lesson).
+    */
+  def chunkSet(df: DataFrame, idCol: String, textCol: String, c: Int): DataFrame =
+    df.repartition(col(idCol))
+      .withColumn("__ws", TextOps.tokens(col(textCol)))
+      .withColumn("__nc", floor(size(col("__ws")) / c).cast("int"))
+      .select(col(idCol),
+        posexplode_outer(when(col("__nc") > 0,
+          transform(sequence(lit(0), col("__nc") - 1),
+            i => concat_ws(" ", slice(col("__ws"), i * c + 1, lit(c)))))))
+      .withColumnRenamed("col", "chunk")
+      .filter(col("pos").isNotNull)
+      .select(col(idCol), col("pos").cast("int").as("pos"),
+        HashFunctions.md5prefix64(col("chunk")).as("ch"))
+
+  /** Span-level dedup stats (F8): every repeat of a chunk anywhere in
+    * the corpus counts as a duplicate; the keeper of each distinct
+    * chunk is the lexicographically-smallest (id, pos). The chunk
+    * frame is persisted — it feeds the keeper stages and the marking
+    * join (one corpus scan + tokenization, not three). The pair-min
+    * is TWO-STAGE (min id per chunk, then min pos within the keeper
+    * doc) so every aggregation is a plain hash aggregate with
+    * map-side combine — a one-shot `min(struct(id, pos))` has no
+    * hash-aggregable buffer and falls back to SortAggregate. All
+    * shuffles carry 8-byte chunk hashes.
+    */
+  def spanDedupStats(df: DataFrame, idCol: String, textCol: String,
+                     c: Int): DataFrame = {
+    val chunks = persistTracked(chunkSet(df, idCol, textCol, c))
+    val kdoc = chunks.groupBy("ch").agg(min(col(idCol)).as("kdoc"))
+    val keeper = chunks.join(kdoc, "ch")
+      .filter(col(idCol) === col("kdoc"))
+      .groupBy("ch", "kdoc").agg(min(col("pos")).as("kpos"))
+    chunks.join(keeper, "ch")
+      .withColumn("__kept",
+        col(idCol) === col("kdoc") && col("pos") === col("kpos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__kept").cast("int")).as("n_kept"))
+      .withColumn("kept_ratio",
+        col("n_kept").cast("double") / col("n_chunks"))
   }
 
   /** SimHash near-dup PAIRS via banded Hamming LSH (the Manku/Jain/

@@ -213,28 +213,37 @@ object Embeddings {
     * centroid frame (no RNG — engine-reproducible); `iters`
     * assignment passes with centroid re-estimation between them.
     *
-    * Scale shape per iteration: assignment is one corpus pass × k
-    * broadcast centroids, collapsed by a min-struct aggregation on
-    * the 8-byte id (never on the vector); the update aggregates
-    * (cluster, dim) partial sums map-side — the shuffle carries
-    * k·dim rows, not the corpus. Means are decimal-exact, distances
-    * strict left folds, ties broken on cluster id — bit-reproducible
-    * across engines. Once centroids converge and become literals,
-    * assignment can drop to the row-local ivfCellFold.
+    * Scale shape per iteration: the centroid frame (k rows) packs
+    * into ONE cluster-sorted array row, broadcast; assignment is then
+    * a row-local argmin fold over that array — NO row expansion and
+    * NO aggregation (a crossJoin×k + min-struct collapse would fall
+    * back to SortAggregate: struct minima have no hash-aggregable
+    * buffer). The update aggregates (cluster, dim) partial sums
+    * map-side — that shuffle carries k·dim rows, not the corpus.
+    * Means are decimal-exact, distances strict left folds, ties
+    * broken on cluster id (fold keeps the FIRST minimum of the
+    * cluster-sorted array) — bit-reproducible across engines.
     */
   def kmeansLloyd(df: DataFrame, init: DataFrame, idCol: String,
                   vecCol: String, iters: Int): DataFrame = {
     val corpus = df.select(col(idCol), col(vecCol))
     val cent0 = init.select(col(idCol).as("cluster"),
       transform(col(vecCol), x => x.cast("double")).as("cv"))
-    def assign(c: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(c))
-        .withColumn("d", VectorFunctions.l2Sq(col(vecCol), col("cv")))
-        .groupBy(col(idCol))
-        .agg(first(col(vecCol)).as(vecCol),
-          min(struct(col("d"), col("cluster"))).as("k"))
+    def assign(c: DataFrame): DataFrame = {
+      val packed = c.agg(
+        sort_array(collect_list(struct(col("cluster"), col("cv")))).as("cents"))
+      corpus.crossJoin(broadcast(packed))
+        .withColumn("k", aggregate(col("cents"),
+          struct(lit(-1L).as("cluster"), lit(Double.PositiveInfinity).as("d")),
+          (acc, ct) => {
+            val d = VectorFunctions.l2Sq(col(vecCol), ct.getField("cv"))
+            when(d < acc.getField("d"),
+              struct(ct.getField("cluster").as("cluster"), d.as("d")))
+              .otherwise(acc)
+          }))
         .select(col(idCol), col(vecCol),
           col("k.cluster").as("cluster"), col("k.d").as("d"))
+    }
     var assigned = assign(cent0)
     for (_ <- 1 until iters) {
       val upd = assigned

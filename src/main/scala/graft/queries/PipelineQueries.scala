@@ -104,6 +104,19 @@ object PipelineQueries {
   private val compMemo =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
+  /** The (doc_id, token) explode, persisted — the shared subplan of
+    * h7 (3 consumers), h8 (2) and p7 (2). All three build the frame
+    * IDENTICALLY, so Spark's plan-keyed CacheManager resolves them to
+    * one materialization: one corpus scan + tokenization serves every
+    * token-level aggregation in the suite (the f2/f3 shingle-set
+    * treatment applied to tokens).
+    */
+  private def tokFrame(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.TrackedCache.persist(
+      Tables.documents(s, dir)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w")))
+
   // Memo entries hold session-backed plans and localCheckpoint RDDs;
   // without eviction they outlive the application in multi-session
   // processes (test suites, notebook hosts). One listener per
@@ -208,31 +221,9 @@ object PipelineQueries {
     // 8-byte chunk hashes, so at 100 TB this is the exact-dedup shape
     // applied below document granularity.
     QueryDef("f8_span_dedup",
-      (s, dir) => {
-        val C = 8
-        val chunks = Tables.documents(s, dir)
-          .repartition(col("doc_id"))
-          .withColumn("__ws", TextOps.tokens(col("text")))
-          .withColumn("__nc", floor(size(col("__ws")) / C).cast("int"))
-          .filter(col("__nc") > 0)
-          .select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), col("__nc") - 1),
-              i => concat_ws(" ", slice(col("__ws"), i * C + 1, lit(C))))))
-          .withColumnRenamed("col", "chunk")
-          .withColumn("ch", HashFunctions.md5prefix64(col("chunk")))
-          .select("doc_id", "pos", "ch")
-        val keeper = chunks.groupBy("ch")
-          .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
-        chunks.join(keeper, "ch")
-          .withColumn("__kept",
-            col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(col("__kept").cast("int")).as("n_kept"))
-          .withColumn("kept_ratio",
-            col("n_kept").cast("double") / col("n_chunks"))
-          .orderBy("doc_id")
-      },
+      (s, dir) => Dedup.spanDedupStats(Tables.documents(s, dir),
+          "doc_id", "text", 8)
+        .orderBy("doc_id"),
       Some("""WITH words AS (
           SELECT doc_id,
             list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
@@ -557,10 +548,7 @@ object PipelineQueries {
     // decimal (fold-order portability), one final IEEE division.
     QueryDef("h7_unigram_logprob",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val tok = docs
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val tok = tokFrame(s, dir)
         val totals = tok.agg(count(lit(1)).as("__n_total"))
         val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
         val nll = round(-log(col("__cnt").cast("double") / col("__n_total")), 6)
@@ -593,9 +581,7 @@ object PipelineQueries {
     // broadcast back — the corpus never shuffles.
     QueryDef("p7_vocab_coverage",
       (s, dir) => {
-        val tok = Tables.documents(s, dir)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val tok = tokFrame(s, dir)
         val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("w")).limit(30)
           .select(col("w"), lit(1).as("__v"))
@@ -630,9 +616,7 @@ object PipelineQueries {
     QueryDef("h8_bm25",
       (s, dir) => {
         val terms = Seq("spark", "window", "hash")
-        val tok = Tables.documents(s, dir)
-          .repartition(col("doc_id"))
-          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val tok = tokFrame(s, dir)
         val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tt"))
           .select(col("n_docs"), (col("tt").cast("double") / col("n_docs")).as("avgdl"))

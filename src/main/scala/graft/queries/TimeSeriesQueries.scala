@@ -158,11 +158,15 @@ object TimeSeriesQueries {
     QueryDef("d13_interpolate",
       (s, dir) => {
         val step = 600000000L // 10 min in µs
-        val obs = ev(s, dir)
-          .groupBy(col("event_type"),
-            expr(s"(unix_micros(ts) div $step) * $step").as("m"))
-          .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
-            count(lit(1))).as("v"))
+        // Persisted: the bucket frame feeds BOTH the spine bounds and
+        // the spine join — unpersisted, each consumer would re-run the
+        // raw-events aggregation (two corpus scans for one query).
+        val obs = graft.operators.TrackedCache.persist(
+          ev(s, dir)
+            .groupBy(col("event_type"),
+              expr(s"(unix_micros(ts) div $step) * $step").as("m"))
+            .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+              count(lit(1))).as("v")))
         val bounds = obs.groupBy("event_type")
           .agg(min("m").as("lo"), max("m").as("hi"))
         val spine = bounds.select(col("event_type"),

@@ -62,9 +62,17 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "TakeOrderedAndProject") == 1, p.take(400))
   }
 
-  test("h7 unigram NLL: bounded shuffles, no cartesian blowup") {
+  test("h7 unigram NLL: consumers share the cached token explode, bounded shuffles") {
     val p = executedPlan("h7_unigram_logprob")
-    assert(count(p, "Exchange hashpartitioning") <= 4, p.take(400))
+    // All three token-level consumers (total, DF, probe) read the
+    // persisted (doc_id, w) frame — the corpus is scanned+tokenized
+    // once. Each InMemoryTableScan replica prints the cache-build
+    // plan (which holds exactly one exchange, the doc repartition),
+    // so the REAL shuffle count is the string count minus one per
+    // consumer.
+    assert(count(p, "InMemoryTableScan") >= 3, p.take(400))
+    assert(count(p, "Exchange hashpartitioning") -
+      count(p, "InMemoryTableScan") <= 4, p.take(400))
     assert(count(p, "CartesianProduct") == 0)
   }
 

@@ -261,12 +261,20 @@ object Dedup {
 
   /** 32-bit SimHash over (non-distinct) tokens.
     *
-    * Entirely row-local: token hashes materialize once per row, the 32
-    * per-bit contribution sums run as `aggregate` folds over that
-    * array. No explode, no shuffle — a document's simhash never needs
-    * data from any other row, so at 100 TB this is a pure map stage.
+    * Entirely row-local — a document's simhash never needs data from
+    * any other row, so at 100 TB this is a pure map stage. Backed by
+    * the native [[graft.functions.SimHash32]] kernel (one compiled
+    * pass per doc); [[simhash32Composed]] keeps the pure-HOF
+    * spelling, which the property spec asserts is byte-equal.
     */
-  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash32(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), HashFunctions.simhash32(col(textCol)).as("simhash"))
+
+  /** The composed HOF spelling of [[simhash32]] (token hashes
+    * materialized once, 32 per-bit `aggregate` folds) — reference
+    * implementation for the kernel-equivalence spec.
+    */
+  def simhash32Composed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val withHashes = df.withColumn("__th",
       transform(TextOps.tokens(col(textCol)),
         w => HashFunctions.md5prefix64(w) % lit(4294967296L)))

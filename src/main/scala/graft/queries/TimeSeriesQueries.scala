@@ -175,9 +175,15 @@ object TimeSeriesQueries {
         val prev = last(
           when(col("v").isNotNull, struct(col("m").as("pm"), col("v").as("pv"))),
           ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, -1))
-        val next = first(
+        // "nearest FOLLOWING observation" spelled as a PRECEDING frame
+        // over the descending order: Spark evaluates an
+        // UnboundedFollowing frame by rescanning to the partition end
+        // for every row — O(n²) per key (measured 6 s on a 4k-bucket
+        // spine); the growing-frame form is incremental O(n).
+        val wDesc = Window.partitionBy("event_type").orderBy(col("m").desc)
+        val next = last(
           when(col("v").isNotNull, struct(col("m").as("nm"), col("v").as("nv"))),
-          ignoreNulls = true).over(w.rowsBetween(1, Window.unboundedFollowing))
+          ignoreNulls = true).over(wDesc.rowsBetween(Window.unboundedPreceding, -1))
         val j = spine.join(obs, Seq("event_type", "m"), "left")
           .withColumn("p", prev).withColumn("nx", next)
         val frac = (col("m") - col("p.pm")).cast("double") /
@@ -222,6 +228,93 @@ object TimeSeriesQueries {
           END AS v_filled,
           CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS src
         FROM pn ORDER BY event_type, bucket_us""")),
+
+    // D14: LTTB-style downsampling (largest-triangle-three-buckets —
+    // the Grafana/CH `lttb` dashboard decimation): one representative
+    // point per hour bucket, the one subtending the largest triangle
+    // against the NEIGHBOR BUCKET AVERAGES. Classic LTTB anchors on
+    // the previously *selected* point — a sequential chain no engine
+    // parallelizes — so this uses the standard parallel variant
+    // (fixed bucket-average anchors), which keeps selection
+    // embarrassingly parallel per bucket. First/last buckets keep
+    // their first/last points, as in LTTB. All triangle areas are
+    // EXACT integers: x rebased to µs-since-2024 and y in cents,
+    // anchor rationals cleared by n1²·n3 (decimal(38,0) here ≡
+    // HUGEINT in the oracle), so the argmax can't be flipped by a
+    // float ulp. Scale: one bucket aggregation (map-side combined),
+    // anchor lag/lead over the tiny bucket series, one rank window
+    // pruned by WindowGroupLimit.
+    QueryDef("d14_lttb_downsample",
+      (s, dir) => {
+        val step = 3600000000L          // 1 h buckets, µs
+        val base = 1704067200000000L    // 2024-01-01 in µs
+        val D = "decimal(38,0)"
+        def dc(c: org.apache.spark.sql.Column) = c.cast(D)
+        val pts = graft.operators.TrackedCache.persist(
+          ev(s, dir).select(col("event_type"),
+              (unix_micros(col("ts")) - base).as("x"),
+              (col("value").cast("decimal(18,2)") * 100).cast("bigint").as("yc"),
+              col("value"), col("event_id"))
+            .withColumn("b", expr(s"x div $step")))
+        val ba = pts.groupBy("event_type", "b")
+          .agg(sum(col("x")).as("sx"), sum(col("yc")).as("sy"),
+            count(lit(1)).as("n"))
+        val aw = Window.partitionBy("event_type").orderBy("b")
+        val anch = ba
+          .withColumn("sx1", lag("sx", 1).over(aw))
+          .withColumn("sy1", lag("sy", 1).over(aw))
+          .withColumn("n1", lag("n", 1).over(aw))
+          .withColumn("sx3", lead("sx", 1).over(aw))
+          .withColumn("sy3", lead("sy", 1).over(aw))
+          .withColumn("n3", lead("n", 1).over(aw))
+        val t1 = (dc(col("sx1")) * dc(col("n3")) - dc(col("sx3")) * dc(col("n1"))) *
+          (dc(col("yc")) * dc(col("n1")) - dc(col("sy1")))
+        val t2 = (dc(col("sx1")) - dc(col("x")) * dc(col("n1"))) *
+          (dc(col("sy3")) * dc(col("n1")) - dc(col("sy1")) * dc(col("n3")))
+        val key = when(col("n1").isNull, dc(col("x")))
+          .when(col("n3").isNull, dc(-col("x")))
+          .otherwise(-abs(t1 - t2))
+        val pw = Window.partitionBy("event_type", "b")
+          .orderBy(key.asc, col("x").asc, col("event_id").asc)
+        pts.join(anch, Seq("event_type", "b"))
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("b").as("bucket"),
+            (col("x") + base).as("ts_us"), col("value"), col("n"))
+          .orderBy("event_type", "bucket")
+      },
+      Some("""WITH pts AS (
+          SELECT event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000 AS x,
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc,
+            value, event_id,
+            (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) // 3600000000 AS b
+          FROM events),
+        ba AS (SELECT event_type, b, SUM(x) AS sx, SUM(yc) AS sy, COUNT(*) AS n
+               FROM pts GROUP BY 1, 2),
+        anch AS (SELECT event_type, b, n,
+            lag(sx) OVER w AS sx1, lag(sy) OVER w AS sy1, lag(n) OVER w AS n1,
+            lead(sx) OVER w AS sx3, lead(sy) OVER w AS sy3, lead(n) OVER w AS n3
+          FROM ba WINDOW w AS (PARTITION BY event_type ORDER BY b)),
+        j AS (SELECT p.event_type, p.b, p.x, p.yc, p.value, p.event_id,
+                a.n, a.sx1, a.sy1, a.n1, a.sx3, a.sy3, a.n3
+              FROM pts p JOIN anch a USING (event_type, b)),
+        sc AS (SELECT *,
+            (CAST(sx1 AS HUGEINT) * CAST(n3 AS HUGEINT) - CAST(sx3 AS HUGEINT) * CAST(n1 AS HUGEINT)) *
+              (CAST(yc AS HUGEINT) * CAST(n1 AS HUGEINT) - CAST(sy1 AS HUGEINT))
+            - (CAST(sx1 AS HUGEINT) - CAST(x AS HUGEINT) * CAST(n1 AS HUGEINT)) *
+              (CAST(sy3 AS HUGEINT) * CAST(n1 AS HUGEINT) - CAST(sy1 AS HUGEINT) * CAST(n3 AS HUGEINT)) AS t
+          FROM j),
+        pick AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type, b ORDER BY
+                CASE WHEN n1 IS NULL THEN CAST(x AS HUGEINT)
+                     WHEN n3 IS NULL THEN -CAST(x AS HUGEINT)
+                     ELSE -abs(t) END,
+                x, event_id) AS rn
+            FROM sc) z
+          WHERE rn = 1)
+        SELECT event_type, b AS bucket, x + 1704067200000000 AS ts_us, value, n
+        FROM pick ORDER BY event_type, bucket""")),
 
     // B5: deterministic hash sampling (CH `SAMPLE` clause analog —
     // stable 1-in-10 of users, not rows, so per-user analyses stay

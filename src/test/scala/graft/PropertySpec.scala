@@ -103,6 +103,23 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("native simhash32 kernel equals the composed HOF spelling") {
+    import graft.operators.Dedup
+    val vocab = Vector("Alpha", "beta", "GAMMA", "delta", "x1", "@@", "", " ",
+      "tab\tsep", "ünïcode", "mixedCASE")
+    val docs = (0 until 60).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Vector.fill(r.nextInt(25))(vocab(r.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, "")
+    val df = docs.toDF("doc_id", "text")
+    val native = Dedup.simhash32(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val composed = Dedup.simhash32Composed(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(native == composed)
+    assert(native(999L) == 0L)
+  }
+
   test("windowFunnelDepth equals brute-force chain search on random event streams") {
     val types = Seq("s1", "s2", "s3", "s4")
     val gen = for {

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GramHashes64, Md5Prefix64}
+import graft.functions.{GramHashes64, Md5Prefix64, SimHash32, SlidingMinDistinct64, TokenShingleHashes64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -38,6 +38,26 @@ object GraftFunctions {
           case Literal(k: Int, _) => GramHashes64(args.head, k)
           case other => throw new IllegalArgumentException(
             s"gramhashes64 k must be an integer literal, got $other")
+        }),
+      (FunctionIdentifier("simhash32"),
+        info("simhash32",
+          "simhash32(str) - 32-bit SimHash of the lowercased whitespace tokens (fused native kernel)."),
+        (args: Seq[Expression]) => SimHash32(args.head)),
+      (FunctionIdentifier("tokenshinglehashes64"),
+        info("tokenshinglehashes64",
+          "tokenshinglehashes64(str, n) - distinct md5prefix64 hashes of the word n-gram shingles; n must be a literal."),
+        (args: Seq[Expression]) => args(1) match {
+          case Literal(n: Int, _) => TokenShingleHashes64(args.head, n)
+          case other => throw new IllegalArgumentException(
+            s"tokenshinglehashes64 n must be an integer literal, got $other")
+        }),
+      (FunctionIdentifier("slidingmindistinct64"),
+        info("slidingmindistinct64",
+          "slidingmindistinct64(arr, w) - ordered-distinct sliding-window minima of a long array (winnowing step 2); w must be a literal."),
+        (args: Seq[Expression]) => args(1) match {
+          case Literal(w: Int, _) => SlidingMinDistinct64(args.head, w)
+          case other => throw new IllegalArgumentException(
+            s"slidingmindistinct64 w must be an integer literal, got $other")
         }))
 
   /** Register into an existing session's function registry. */

@@ -853,6 +853,19 @@ object PipelineQueries {
           ('0x' || substr(md5(text), 1, 15))::BIGINT % 97 AS bucket
         FROM documents ORDER BY doc_id""")),
 
+    // K4b: a whole dedup kernel from SQL — the fused SimHash32
+    // expression through the runtime registry, checked against the
+    // same DuckDB mirror as f4 (the SQL surface and the Scala API
+    // produce identical fingerprints).
+    QueryDef("k4b_sql_simhash",
+      (s, dir) => {
+        graft.plans.GraftFunctions.register(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_docs_k4b")
+        s.sql("""SELECT doc_id, simhash32(text) AS simhash
+                 FROM graft_docs_k4b ORDER BY doc_id""")
+      },
+      Some(simhashSql)),
+
     // I1: multimodal binary column + typed metadata (decode itself is
     // stubbed deterministically — see graft.operators.Multimodal).
     QueryDef("i1_multimodal_meta",

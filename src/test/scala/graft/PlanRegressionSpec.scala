@@ -87,4 +87,31 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "BroadcastNestedLoopJoin") + count(p, "BroadcastHashJoin") >= 1)
     assert(count(p, "SortMergeJoin") == 0)
   }
+
+  test("f8 span dedup: chunk frame cached for all consumers, keeper picks are hash aggregates") {
+    val p = executedPlan("f8_span_dedup")
+    assert(count(p, "InMemoryTableScan") >= 3, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
+  test("g5 k-means: assignment is a row-local fold (packed broadcast centroids, no struct-min aggregation)") {
+    val p = executedPlan("g5_kmeans")
+    // one BroadcastNestedLoopJoin per assignment pass (single-row
+    // packed centroid frame); no SortAggregate fallback anywhere
+    assert(count(p, "BroadcastNestedLoopJoin") >= 2, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
+  test("d13 interpolation: bucket series cached, no unbounded-following frame") {
+    val p = executedPlan("d13_interpolate")
+    assert(count(p, "InMemoryTableScan") >= 2, p.take(400))
+    // the O(n²) frame shape (see TimeSeriesQueries d13 comment)
+    assert(count(p, "UnboundedFollowing") == 0, p.take(400))
+  }
+
+  test("d14 LTTB: rank window pruned via WindowGroupLimit") {
+    val p = executedPlan("d14_lttb_downsample")
+    assert(count(p, "WindowGroupLimit") >= 1, p.take(400))
+    assert(count(p, "CartesianProduct") == 0)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GramHashes64, Md5Prefix64, SimHash32, SlidingMinDistinct64, TokenShingleHashes64}
+import graft.functions.{GramHashes64, KmvDistinct, Md5Prefix64, SimHash32, SlidingMinDistinct64, TokenShingleHashes64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -58,6 +58,14 @@ object GraftFunctions {
           case Literal(w: Int, _) => SlidingMinDistinct64(args.head, w)
           case other => throw new IllegalArgumentException(
             s"slidingmindistinct64 w must be an integer literal, got $other")
+        }),
+      (FunctionIdentifier("kmvdistinct64"),
+        info("kmvdistinct64",
+          "kmvdistinct64(h, k) - AGGREGATE: KMV approximate-distinct estimate from the k smallest distinct 60-bit hashes; k must be a literal."),
+        (args: Seq[Expression]) => args(1) match {
+          case Literal(k: Int, _) => KmvDistinct(args.head, k)
+          case other => throw new IllegalArgumentException(
+            s"kmvdistinct64 k must be an integer literal, got $other")
         }))
 
   /** Register into an existing session's function registry. */

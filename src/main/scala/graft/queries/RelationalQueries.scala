@@ -326,6 +326,39 @@ object RelationalQueries {
                ELSE 63.0 * power(2.0, 60) / hk END AS approx_users
         FROM agg ORDER BY event_type""")),
 
+    // E13e: the SAME KMV sketch as e13c, but as a native
+    // TypedImperativeAggregate (graft.functions.KmvDistinct) — the CH
+    // imperative-aggregate / -State-combinator shape: ONE
+    // ObjectHashAggregate pass, partial ≤k-long buffers combined
+    // map-side, merge is a bounded set union. Nothing but sketches
+    // ever shuffles (e13c's composed spelling shuffles every distinct
+    // key once). Same estimator arithmetic → same oracle SQL as e13c,
+    // hash-matched bit for bit.
+    QueryDef("e13e_kmv_aggregate",
+      (s, dir) => {
+        val h = HashFunctions.md5prefix64(col("user_id").cast("string"))
+        Tables.events(s, dir)
+          .select(col("event_type"), h.as("h"))
+          .groupBy("event_type")
+          .agg(graft.functions.KmvDistinct.kmvDistinct64(col("h"), 64).as("approx_users"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (
+          SELECT DISTINCT event_type,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events),
+        mins AS (
+          SELECT event_type, h,
+            row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+        agg AS (
+          SELECT event_type, max(h) AS hk, COUNT(*) AS n_mins
+          FROM mins WHERE rn <= 64 GROUP BY event_type)
+        SELECT event_type,
+          CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE)
+               ELSE 63.0 * power(2.0, 60) / hk END AS approx_users
+        FROM agg ORDER BY event_type""")),
+
     // E13d: KMV sketch SET ALGEBRA — estimate |clickers ∩ purchasers|
     // without an exact distinct-intersection: per-set k-min sketches,
     // merged into the union sketch (k smallest of the combined mins),

@@ -158,6 +158,58 @@ object HashUtil {
     out
   }
 
+  /** Fused 64-bit SimHash kernel for [[graft.functions.SimHash64]] —
+    * the scale-safe fingerprint behind the banded Hamming LSH
+    * (graft.operators.Dedup.simhashPairs). Same one-pass vote loop as
+    * [[simhash32]], but each token contributes 64 bit votes drawn
+    * from TWO 60-bit md5-prefix pieces (hex chars 1-15 and 16-30 of
+    * the digest): fingerprint bits 0..59 are voted by the bits of
+    * piece 1, bits 60..63 by the low 4 bits of piece 2. Both pieces
+    * are ≤60 bits so each is reproducible in any SQL engine as a
+    * signed-BIGINT hex cast (a raw 16-hex-char piece can exceed
+    * 2^63−1 and overflow the cast — that is why the token hash is
+    * split rather than widened). Bit 63 of the fingerprint is the
+    * sign bit; identical two's-complement recompose on the oracle
+    * side keeps the comparison exact. A token-less doc fingerprints
+    * to 0.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val toks = Whitespace.split(s.toLowerCase.toString)
+    val counts = new Array[Int](64)
+    val md = localMd.get()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        md.reset()
+        val d = md.digest(UTF8String.fromString(t).getBytes)
+        // piece 1: hex chars 1..15 = bytes 0..6 + high nibble of byte 7
+        var h1 = 0L
+        var j = 0
+        while (j < 7) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
+        h1 = (h1 << 4) | ((d(7) & 0xf0L) >> 4)
+        // piece 2: hex chars 16..30 = low nibble of byte 7 + bytes 8..14
+        var h2 = d(7) & 0x0fL
+        j = 8
+        while (j < 15) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
+        var b = 0
+        while (b < 60) {
+          if (((h1 >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        while (b < 64) {
+          if (((h2 >> (b - 60)) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   /** Rolling k-gram kernel for [[graft.functions.GramHashes64]]:
     * hashes of every k-char substring, mod P, as Spark ArrayData.
     * Character-based indexing (UTF8String.substringSQL), matching SQL
@@ -276,6 +328,22 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The 64-bit per-document SimHash pipeline as one native kernel —
+  * see [[HashUtil.simhash64]].
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.simhash64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** 60-bit md5-prefix hash as a Column (native expression, codegen'd). */
   def md5prefix64(c: Column): Column =
@@ -300,6 +368,10 @@ object HashFunctions {
   /** 32-bit SimHash fingerprint (native, codegen'd) — see [[SimHash32]]. */
   def simhash32(c: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))
+
+  /** 64-bit SimHash fingerprint (native, codegen'd) — see [[SimHash64]]. */
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
 
   /** Seeded hash h_i(s) = (a*(md5prefix64(s) mod P) + b) mod P. */
   def seededHash(c: Column, a: Long, b: Long): Column =

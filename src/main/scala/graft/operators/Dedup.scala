@@ -286,6 +286,40 @@ object Dedup {
     withHashes.select(col(idCol), simhash.as("simhash"))
   }
 
+  /** 64-bit SimHash over (non-distinct) tokens — the scale-safe
+    * fingerprint behind [[simhashPairs]]. Row-local like
+    * [[simhash32]]; backed by the native
+    * [[graft.functions.SimHash64]] kernel. The wider fingerprint
+    * matters at corpus scale twice over: 16-bit LSH bands give
+    * 65 536 buckets per band (vs 256 for byte-bands of a 32-bit
+    * fingerprint), and 64-bit fingerprints don't birthday-collide
+    * until ~2^30 documents (32-bit saturates from ~10^5).
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), HashFunctions.simhash64(col(textCol)).as("simhash"))
+
+  /** The composed HOF spelling of [[simhash64]] (two 60-bit md5-prefix
+    * token-hash arrays, 64 per-bit `aggregate` folds) — reference
+    * implementation for the kernel-equivalence spec. The bit-63 term
+    * is the sign bit; OR-recompose keeps the arithmetic exact.
+    */
+  def simhash64Composed(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withHashes = df
+      .withColumn("__t1",
+        transform(TextOps.tokens(col(textCol)), w => HashFunctions.md5prefix64(w)))
+      .withColumn("__t2",
+        transform(TextOps.tokens(col(textCol)),
+          w => conv(substring(md5(w), 16, 15), 16, 10).cast("long")))
+    val simhash = (0 until 64).map { b =>
+      val bits = if (b < 60) col("__t1") else col("__t2")
+      val sh = if (b < 60) b else b - 60
+      val bitSum = aggregate(bits, lit(0),
+        (acc, h) => acc + when(shiftright(h, sh).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    withHashes.select(col(idCol), simhash.as("simhash"))
+  }
+
   /** Per-document non-overlapping `c`-token chunk hashes
     * (id, pos, ch) — the span-dedup unit (F8). Docs shorter than one
     * chunk yield no rows. The short-doc filter tests the GENERATED
@@ -336,24 +370,30 @@ object Dedup {
   }
 
   /** SimHash near-dup PAIRS via banded Hamming LSH (the Manku/Jain/
-    * Sarma WWW'07 scheme): the 32-bit fingerprint splits into 4
-    * byte-bands; a pair within Hamming distance `maxHamming` ≤ 3 can
-    * flip bits in at most 3 bands, so by pigeonhole it agrees EXACTLY
-    * on ≥ 1 band — candidate generation is 4 equality self-joins
-    * (Σ bucket² work on 1-byte keys), never all-pairs, and banding is
-    * LOSSLESS at this radius (every true pair is a candidate; the
-    * bit_count(xor) verify then filters exactly). The fingerprint
+    * Sarma WWW'07 scheme): the 64-bit fingerprint splits into 4
+    * 16-bit bands; a pair within Hamming distance `maxHamming` ≤ 3
+    * can flip bits in at most 3 bands, so by pigeonhole it agrees
+    * EXACTLY on ≥ 1 band — candidate generation is 4 equality
+    * self-joins (Σ bucket² work over 65 536 buckets per band), never
+    * all-pairs, and banding is LOSSLESS at this radius (every true
+    * pair is a candidate; the bit_count(xor) verify then filters
+    * exactly). 16-bit bands are what makes this survive corpus
+    * scale: byte-bands of a 32-bit fingerprint cap at 256 buckets
+    * per band (candidate work ≈ N²/256), and 32-bit fingerprints
+    * birthday-collide from ~10^5 docs, flooding buckets with false
+    * twins; 65 536 buckets and a 64-bit fingerprint push both
+    * cliffs out by ~2^8 and ~2^16 respectively. The fingerprint
     * frame is persisted: it feeds both self-join sides.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4 byte-bands are only lossless for Hamming radius <= 3")
+    require(maxHamming <= 3, "4 16-bit bands are only lossless for Hamming radius <= 3")
     val sim = persistTracked(
-      simhash32(df.repartition(col(idCol)), idCol, textCol))
+      simhash64(df.repartition(col(idCol)), idCol, textCol))
     val banded = sim.select(col(idCol), col("simhash"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bv"))
         }: _*)).as("bb"))
       .select(col(idCol), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GramHashes64, KmvDistinct, Md5Prefix64, SimHash32, SlidingMinDistinct64, TokenShingleHashes64}
+import graft.functions.{GramHashes64, KmvDistinct, Md5Prefix64, SimHash32, SimHash64, SlidingMinDistinct64, TokenShingleHashes64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -43,6 +43,10 @@ object GraftFunctions {
         info("simhash32",
           "simhash32(str) - 32-bit SimHash of the lowercased whitespace tokens (fused native kernel)."),
         (args: Seq[Expression]) => SimHash32(args.head)),
+      (FunctionIdentifier("simhash64"),
+        info("simhash64",
+          "simhash64(str) - 64-bit SimHash of the lowercased whitespace tokens (fused native kernel; scale-safe fingerprint for banded Hamming LSH)."),
+        (args: Seq[Expression]) => SimHash64(args.head)),
       (FunctionIdentifier("tokenshinglehashes64"),
         info("tokenshinglehashes64",
           "tokenshinglehashes64(str, n) - distinct md5prefix64 hashes of the word n-gram shingles; n must be a literal."),

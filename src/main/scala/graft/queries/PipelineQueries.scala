@@ -93,6 +93,38 @@ object PipelineQueries {
     s"""WITH $simhashCtes
        SELECT doc_id, simhash FROM sim ORDER BY doc_id"""
 
+  /** DuckDB mirror of Dedup.simhash64 (shared by f4c and f4b). Token
+    * hash = TWO signed-BIGINT-safe 60-bit md5-prefix pieces (hex
+    * chars 1-15, 16-30); fingerprint bits 0..59 voted by piece 1,
+    * bits 60..63 by piece 2's low bits. Bit 63 recomposes as the
+    * two's-complement sign term (-2^63), written as an expression so
+    * the literal never overflows the parser's BIGINT range.
+    */
+  private def simhash64Ctes: String = {
+    val sums = (0 until 64).map { b =>
+      if (b < 60) s"SUM(CASE WHEN (t1 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b"
+      else s"SUM(CASE WHEN (t2 >> ${b - 60}) & 1 = 1 THEN 1 ELSE -1 END) AS s_$b"
+    }.mkString(", ")
+    val recompose = (0 until 64).map { b =>
+      val term = if (b == 63) "(-9223372036854775807 - 1)" else s"CAST(${1L << b} AS BIGINT)"
+      s"(CASE WHEN s_$b > 0 THEN $term ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    s"""words AS (
+         SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws
+         FROM documents),
+       tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+       th AS (SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 15))::BIGINT AS t1,
+         ('0x' || substr(md5(w), 16, 15))::BIGINT AS t2 FROM tok),
+       s AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+       sim64 AS (SELECT doc_id, $recompose AS simhash FROM s)"""
+  }
+
+  private def simhash64Sql: String =
+    s"""WITH $simhash64Ctes
+       SELECT doc_id, simhash FROM sim64 ORDER BY doc_id"""
+
   /** The component assignment is an expensive ITERATIVE artifact
     * (driver-side loop of Spark jobs) consumed by both f7 and p1 — a
     * production pipeline materializes it once and reads it
@@ -187,20 +219,30 @@ object PipelineQueries {
           col("doc_id")),
       Some(simhashSql)),
 
-    // F4b: SimHash near-dup PAIRS — banded Hamming LSH (4 byte-bands
-    // over the 32-bit fingerprint; pigeonhole makes banding LOSSLESS
-    // for Hamming radius ≤ 3), candidates verified by bit_count(xor).
-    // Candidate generation is Σ bucket² equality-join work like
-    // f3/f5, never an all-pairs scan.
+    // F4c: 64-bit SimHash fingerprints — the scale-safe fingerprint
+    // feeding f4b's 16-bit Hamming bands (see Dedup.simhash64).
+    QueryDef("f4c_simhash64",
+      (s, dir) => QueryDefs.sortedSmall(
+          Dedup.simhash64(
+            Tables.documents(s, dir).repartition(col("doc_id")), "doc_id", "text"),
+          col("doc_id")),
+      Some(simhash64Sql)),
+
+    // F4b: SimHash near-dup PAIRS — banded Hamming LSH (4 16-bit
+    // bands over the 64-bit fingerprint; pigeonhole makes banding
+    // LOSSLESS for Hamming radius ≤ 3), candidates verified by
+    // bit_count(xor). Candidate generation is Σ bucket² equality-join
+    // work like f3/f5 — 65 536 buckets per band — never an all-pairs
+    // scan.
     QueryDef("f4b_simhash_pairs",
       (s, dir) => Dedup.simhashPairs(Tables.documents(s, dir),
           "doc_id", "text", 3)
         .orderBy("a", "b"),
-      Some(s"""WITH $simhashCtes,
+      Some(s"""WITH $simhash64Ctes,
         b0 AS (SELECT doc_id, simhash,
             unnest(list_transform(range(0, 4),
-              b -> {'band': b, 'bv': (simhash >> CAST(b * 8 AS INT)) & 255})) AS u
-          FROM sim),
+              b -> {'band': b, 'bv': (simhash >> CAST(b * 16 AS INT)) & 65535})) AS u
+          FROM sim64),
         banded AS (SELECT doc_id, simhash, CAST(u.band AS INT) AS band, u.bv AS bv FROM b0),
         pairs AS (
           SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb,

@@ -120,6 +120,26 @@ class PropertySpec extends SparkSpecBase {
     assert(native(999L) == 0L)
   }
 
+  test("native simhash64 kernel equals the composed HOF spelling") {
+    import graft.operators.Dedup
+    val vocab = Vector("Alpha", "beta", "GAMMA", "delta", "x1", "@@", "", " ",
+      "tab\tsep", "ünïcode", "mixedCASE")
+    val docs = (0 until 60).map { i =>
+      val r = new scala.util.Random(7000 + i)
+      (i.toLong, Vector.fill(r.nextInt(25))(vocab(r.nextInt(vocab.size))).mkString(" "))
+    } :+ (999L, "")
+    val df = docs.toDF("doc_id", "text")
+    val native = Dedup.simhash64(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val composed = Dedup.simhash64Composed(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(native == composed)
+    assert(native(999L) == 0L)
+    // the sign bit is reachable: some fingerprint must use bits >= 32
+    assert(native.values.exists(v => (v >>> 32) != 0L),
+      "64-bit fingerprints should populate the high word")
+  }
+
   test("windowFunnelDepth equals brute-force chain search on random event streams") {
     val types = Seq("s1", "s2", "s3", "s4")
     val gen = for {

@@ -4,9 +4,9 @@ import graft.operators.Dedup
 import org.apache.spark.sql.functions._
 
 /** F4b: banded Hamming LSH over SimHash. The load-bearing claim is
-  * LOSSLESSNESS: with 4 byte-bands over a 32-bit fingerprint, any
-  * pair within Hamming distance 3 flips bits in at most 3 bands, so
-  * it must agree exactly on at least one band (pigeonhole) — the
+  * LOSSLESSNESS: with 4 16-bit bands over the 64-bit fingerprint,
+  * any pair within Hamming distance 3 flips bits in at most 3 bands,
+  * so it must agree exactly on at least one band (pigeonhole) — the
   * banded candidate join therefore finds EVERY true pair, and the
   * bit_count(xor) verify keeps exactly those. Checked against the
   * brute-force all-pairs answer on a corpus constructed to contain
@@ -33,7 +33,7 @@ class SimhashPairsSpec extends SparkSpecBase {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", 3)
       .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
 
-    val sim = Dedup.simhash32(docs, "doc_id", "text")
+    val sim = Dedup.simhash64(docs, "doc_id", "text")
     val l = sim.select(col("doc_id").as("a"), col("simhash").as("sa"))
     val r = sim.select(col("doc_id").as("b"), col("simhash").as("sb"))
     val brute = l.crossJoin(r).filter(col("a") < col("b"))

@@ -19,7 +19,10 @@ object ExplainCheck {
         "g1_knn_bruteforce", "f2_dedup_ngram_jaccard", "f7_dedup_components",
         "p1_curation_pipeline", "b6_bucketed_join", "b2_clustered_layout",
         "e13d_kmv_intersect", "e14d_weighted_median", "e20b_window_funnel",
-        "e26_correlation", "h7_unigram_logprob", "p5_source_mixing")
+        "e26_correlation", "h7_unigram_logprob", "p5_source_mixing",
+        "e13e_kmv_aggregate", "f4b_simhash_pairs", "f8_span_dedup",
+        "g5_kmeans", "g6_ann_pq_adc", "d13_interpolate", "d14_lttb_downsample",
+        "g7_ivf_pq", "g7b_ann_ivf_trained", "f4c_simhash64")
     for (name <- names) {
       println(s"========== $name")
       val df = SparkEntry.queries(name)(spark, dir)

@@ -145,4 +145,23 @@ object VectorFunctions {
       },
       acc => acc.getField("i"))
   }
+
+  /** The `nprobe` nearest cells of a LITERAL codebook, as an int
+    * array — the multi-probe counterpart of [[ivfCellFold]], still
+    * fully row-local (score every centroid once, sort the k-element
+    * struct array, slice). Ranking score and tie-break (higher
+    * dot/‖c‖ first, lower index on ties) match [[ivfCellFold]]
+    * exactly, so probing with nprobe=1 reproduces the fold
+    * assignment. Meant for the tiny QUERY side of an IVF join — the
+    * corpus keeps its single fold-assigned cell.
+    */
+  def ivfProbeCells(v: Column, cb: Seq[Array[Double]], nprobe: Int): Column = {
+    val cbLit = typedLit(cb.map(_.toSeq))
+    val normLit = typedLit(cb.map(c => math.sqrt(c.map(x => x * x).sum)))
+    val scored = transform(sequence(lit(0), lit(cb.length - 1)), i =>
+      struct(
+        (-(dot(v, element_at(cbLit, i + 1)) / element_at(normLit, i + 1))).as("ns"),
+        i.as("i")))
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+  }
 }

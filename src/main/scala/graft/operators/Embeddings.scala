@@ -206,6 +206,45 @@ object Embeddings {
       .select("qid", "rank", "cid", "adist", "cos")
   }
 
+  /** IVF × PQ composed — the billion-vector serving shape. The corpus
+    * index is built entirely row-locally (one projection pass: fold-
+    * assigned coarse cell + mSub PQ codes per vector — nothing
+    * shuffles, nothing expands); each query probes its `nprobe`
+    * nearest coarse cells ([[graft.functions.VectorFunctions.ivfProbeCells]],
+    * fan-out on the tiny broadcast side only), ADC-scores ONLY the
+    * probed cells' codes, and exact-cosine reranks the ADC top-
+    * `rerank`. Per-query candidate work is O(nprobe·N/cells) codeword
+    * lookups instead of [[annPqAdc]]'s O(N) full scan — the missing
+    * composition between [[annIvfFold]] (cells, exact distances) and
+    * [[annPqAdc]] (full scan, compressed distances). A corpus row has
+    * ONE cell and query probe cells are distinct, so no candidate
+    * dedup is needed.
+    */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, coarse: Seq[Array[Double]],
+               idCol: String, vecCol: String, mSub: Int, kCw: Int, subDim: Int,
+               nprobe: Int, rerank: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val codes = array((0 until mSub).map(m =>
+      VectorFunctions.pqSubCode(col(vecCol), m, kCw, subDim)): _*)
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      VectorFunctions.ivfCellFold(col(vecCol), coarse).as("cell"),
+      codes.as("codes"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      explode(VectorFunctions.ivfProbeCells(col(vecCol), coarse, nprobe)).as("cell"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("adist",
+        VectorFunctions.pqAdcDist(col("qvec"), col("codes"), mSub, kCw, subDim))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+    val cand = scored.withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= rerank)
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cell", "adist", "cos")
+  }
+
   /** Lloyd k-means over an embedding column — the clustering step a
     * training-data pipeline runs for semantic dedup / mixture
     * balancing (SemDeDup-style cluster-then-dedup), and the trainer
@@ -227,37 +266,83 @@ object Embeddings {
   def kmeansLloyd(df: DataFrame, init: DataFrame, idCol: String,
                   vecCol: String, iters: Int): DataFrame = {
     val corpus = df.select(col(idCol), col(vecCol))
-    val cent0 = init.select(col(idCol).as("cluster"),
-      transform(col(vecCol), x => x.cast("double")).as("cv"))
-    def assign(c: DataFrame): DataFrame = {
-      val packed = c.agg(
-        sort_array(collect_list(struct(col("cluster"), col("cv")))).as("cents"))
-      corpus.crossJoin(broadcast(packed))
-        .withColumn("k", aggregate(col("cents"),
-          struct(lit(-1L).as("cluster"), lit(Double.PositiveInfinity).as("d")),
-          (acc, ct) => {
-            val d = VectorFunctions.l2Sq(col(vecCol), ct.getField("cv"))
-            when(d < acc.getField("d"),
-              struct(ct.getField("cluster").as("cluster"), d.as("d")))
-              .otherwise(acc)
-          }))
-        .select(col(idCol), col(vecCol),
-          col("k.cluster").as("cluster"), col("k.d").as("d"))
-    }
-    var assigned = assign(cent0)
+    var assigned = kmeansAssign(corpus, seedCentroids(init, idCol, vecCol),
+      idCol, vecCol)
     for (_ <- 1 until iters) {
-      val upd = assigned
-        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim")
-        .agg((sum(col("x").cast("double").cast("decimal(27,12)")).cast("double") /
-          count(lit(1))).as("mx"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-          p => p.getField("mx")).as("cv"))
-      assigned = assign(upd)
+      assigned = kmeansAssign(corpus, kmeansUpdate(assigned, vecCol),
+        idCol, vecCol)
     }
     assigned.select(col(idCol), col("cluster"), col("d"))
   }
+
+  /** The trained centroid frame (cluster, cv: array<double>) that
+    * [[kmeansLloyd]]'s FINAL assignment pass uses — i.e. the seed
+    * centroids refined by `iters − 1` Lloyd updates. This is the
+    * "swap in trained centroids" seam for the literal-codebook ANN
+    * paths: collect the k·dim doubles driver-side (tiny by design)
+    * and feed [[annIvfFold]] / [[annIvfPq]], e.g. via
+    * [[collectCodebook]].
+    */
+  def kmeansCentroids(df: DataFrame, init: DataFrame, idCol: String,
+                      vecCol: String, iters: Int): DataFrame = {
+    val corpus = df.select(col(idCol), col(vecCol))
+    var cent = seedCentroids(init, idCol, vecCol)
+    for (_ <- 1 until iters) {
+      cent = kmeansUpdate(kmeansAssign(corpus, cent, idCol, vecCol),
+        vecCol)
+    }
+    cent
+  }
+
+  /** Centroid frame → driver-side literal codebook, ordered by
+    * cluster id so fold index i = rank of cluster i in sorted order.
+    * k·dim doubles — the one collect in the ANN family, bounded by
+    * the codebook size, never the corpus.
+    */
+  def collectCodebook(centroids: DataFrame): Seq[Array[Double]] =
+    centroids.orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray).toSeq
+
+  private def seedCentroids(init: DataFrame, idCol: String,
+                            vecCol: String): DataFrame =
+    init.select(col(idCol).as("cluster"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+
+  /** One Lloyd assignment pass: the centroid frame (k rows) packs
+    * into ONE cluster-sorted array row, broadcast; assignment is a
+    * row-local argmin fold over that array — no row expansion, no
+    * aggregation (see [[kmeansLloyd]]'s scale note).
+    */
+  private def kmeansAssign(corpus: DataFrame, c: DataFrame, idCol: String,
+                           vecCol: String): DataFrame = {
+    val packed = c.agg(
+      sort_array(collect_list(struct(col("cluster"), col("cv")))).as("cents"))
+    corpus.crossJoin(broadcast(packed))
+      .withColumn("k", aggregate(col("cents"),
+        struct(lit(-1L).as("cluster"), lit(Double.PositiveInfinity).as("d")),
+        (acc, ct) => {
+          val d = VectorFunctions.l2Sq(col(vecCol), ct.getField("cv"))
+          when(d < acc.getField("d"),
+            struct(ct.getField("cluster").as("cluster"), d.as("d")))
+            .otherwise(acc)
+        }))
+      .select(col(idCol), col(vecCol),
+        col("k.cluster").as("cluster"), col("k.d").as("d"))
+  }
+
+  /** One Lloyd update pass: decimal-exact per-(cluster, dim) means,
+    * map-side combined — the shuffle carries k·dim rows, not the
+    * corpus.
+    */
+  private def kmeansUpdate(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg((sum(col("x").cast("double").cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("mx"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+        p => p.getField("mx")).as("cv"))
 
   /** Near-dup pairs: bucket-cogrouped all-pairs with exact cosine,
     * top `topN` by similarity (set a threshold filter for the real

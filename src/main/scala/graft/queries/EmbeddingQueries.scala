@@ -318,6 +318,148 @@ object EmbeddingQueries {
         WHERE rank <= 3 ORDER BY qid, rank"""
       }),
 
+    // G7: IVF × PQ composed — the billion-vector serving path: the
+    // corpus index is one row-local projection (fold-assigned coarse
+    // cell + 4 PQ codes), queries probe their 2 nearest cells, ADC
+    // scores only the probed cells' codes, exact rerank of the ADC
+    // top-10. Same coarse codebook as g3c and the same PQ codebooks
+    // as g6, so the oracle composes their (already-verified) CTEs.
+    QueryDef("g7_ivf_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annIvfPq(emb, emb.filter(col("vec_id") < 3),
+            graft.functions.VectorFunctions.codebook(8, 64),
+            "vec_id", "embedding", 4, 16, 16, 2, 10, 3)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        def l2(a: String, b: String): String =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y)"""
+        def cw(m: Int): String =
+          s"""list_transform(range(0, 16), j -> list_transform(range(0, 16), i ->
+              CAST((('0x' || substr(md5('pq$m,' || CAST(j AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                % 2001 - 1000) AS DOUBLE) / 1000.0))"""
+        def sub(tbl: String, m: Int): String =
+          s"$tbl.embedding[${m * 16 + 1}:${m * 16 + 16}]"
+        val dls = (0 until 4).map(m =>
+          s"""list_transform(range(0, 16), j ->
+              ${l2(sub("e", m), s"(${cw(m)})[CAST(j + 1 AS INT)]")}) AS dl$m""").mkString(",\n            ")
+        val codes = (0 until 4).map(m =>
+          s"CAST(list_position(dl$m, list_min(dl$m)) - 1 AS INT) AS code$m").mkString(", ")
+        val adist = (0 until 4).map(m =>
+          l2(s"q.qvec[${m * 16 + 1}:${m * 16 + 16}]",
+            s"(${cw(m)})[CAST(c.code$m + 1 AS INT)]")).mkString(" + ")
+        val cbUnion = (0 until 8)
+          .map(j => s"SELECT $j AS j, ${sqlCentroid(j)} AS cv").mkString(" UNION ALL ")
+        s"""WITH cb AS ($cbUnion),
+          cbn AS (SELECT j, cv,
+            sqrt(list_reduce(list_transform(cv, e -> e * e), (x, y) -> x + y)) AS nrm
+            FROM cb),
+          assign AS (
+            SELECT vec_id, j AS cell FROM (
+              SELECT e.vec_id, b.j,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${sqlDot("e.embedding", "b.cv")} / b.nrm DESC, b.j) AS rn
+              FROM embeddings e CROSS JOIN cbn b) t
+            WHERE rn = 1),
+          enc0 AS (
+            SELECT e.vec_id, e.embedding,
+            $dls
+            FROM embeddings e),
+          enc AS (SELECT vec_id, embedding, $codes FROM enc0),
+          corpus AS (
+            SELECT enc.vec_id, enc.embedding, assign.cell,
+              enc.code0, enc.code1, enc.code2, enc.code3
+            FROM enc JOIN assign USING (vec_id)),
+          qprobe AS (
+            SELECT vec_id AS qid, embedding AS qvec, j AS cell FROM (
+              SELECT e.vec_id, e.embedding, b.j,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${sqlDot("e.embedding", "b.cv")} / b.nrm DESC, b.j) AS rn
+              FROM embeddings e CROSS JOIN cbn b WHERE e.vec_id < 3) t
+            WHERE rn <= 2),
+          scored AS (
+            SELECT q.qid, c.vec_id AS cid, c.cell,
+              q.qvec, c.embedding AS cvec,
+              $adist AS adist
+            FROM corpus c JOIN qprobe q USING (cell)
+            WHERE q.qid != c.vec_id),
+          cand AS (
+            SELECT qid, cid, cell, qvec, cvec, adist FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS arank
+              FROM scored) t
+            WHERE arank <= 10),
+          cand2 AS (SELECT qid, cid, cell, adist, ${sqlCos("qvec", "cvec")} AS cos FROM cand)
+        SELECT qid, rank, cid, cell, adist, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM cand2) t
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
+    // G7b: TRAINED codebook feeding the fold-based ANN path — closes
+    // the loop between g5 (k-means training) and g3c/g7 (literal-
+    // codebook serving): kmeansCentroids' k·dim doubles are collected
+    // driver-side (tiny by design) and fed to the same annIvfFold
+    // that served the md5-derived demo codebook. The oracle replays
+    // the training arithmetic (g5's CTEs) and the fold assignment
+    // (g3c's CTEs) end to end, so this green entry proves trained-
+    // codebook ANN is bit-reproducible across engines too.
+    QueryDef("g7b_ann_ivf_trained",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cb = Embeddings.collectCodebook(
+          Embeddings.kmeansCentroids(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 2))
+        Embeddings.annIvfFold(emb, emb.filter(col("vec_id") < 3),
+            cb, "vec_id", "embedding", 3)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        def l2(a: String, b: String): String =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y)"""
+        s"""WITH c0 AS (
+            SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id < 8),
+          s1 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
+                 FROM embeddings e CROSS JOIN c0 c),
+          a1 AS (SELECT vec_id, embedding, cluster, d FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                   FROM s1) t
+                 WHERE rn = 1),
+          x1 AS (SELECT cluster, unnest(list_transform(range(0, len(embedding)),
+                   i -> {'dim': i, 'x': CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
+                 FROM a1),
+          u1 AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
+                   CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+                 FROM x1 GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
+          cbn AS (SELECT CAST(cluster AS INT) AS j, cv,
+            sqrt(list_reduce(list_transform(cv, e -> e * e), (x, y) -> x + y)) AS nrm
+            FROM c1),
+          assign AS (
+            SELECT vec_id, embedding, j AS cell FROM (
+              SELECT e.vec_id, e.embedding, b.j,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${sqlDot("e.embedding", "b.cv")} / b.nrm DESC, b.j) AS rn
+              FROM embeddings e CROSS JOIN cbn b) t
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS qid, embedding AS qvec, cell FROM assign WHERE vec_id < 3),
+          c AS (SELECT vec_id AS cid, embedding AS cvec, cell FROM assign),
+          scored AS (
+            SELECT qid, cid, cell, ${sqlCos("qvec", "cvec")} AS cos
+            FROM c JOIN q USING (cell) WHERE qid != cid)
+        SELECT qid, rank, cid, cell, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM scored) t
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
     // P8: semantic contamination — the embedding-space complement of
     // p3's n-gram gate: for each eval vector (vec_id < 10), the max
     // cosine against the train split and how many train vectors clear

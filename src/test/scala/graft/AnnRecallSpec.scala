@@ -41,4 +41,35 @@ class AnnRecallSpec extends SparkSpecBase {
     // loss), not noise.
     assert(recallMulti >= 0.12, f"multi-probe recall collapsed: $recallMulti%.3f")
   }
+
+  test("ivfProbeCells with nprobe=1 reproduces the ivfCellFold assignment") {
+    import graft.functions.VectorFunctions
+    val cb = VectorFunctions.codebook(8, 64)
+    val emb = Tables.embeddings(spark, sf)
+    val both = emb.select(
+      VectorFunctions.ivfCellFold(col("embedding"), cb).as("cell"),
+      element_at(VectorFunctions.ivfProbeCells(col("embedding"), cb, 1), 1)
+        .as("probe1"))
+    assert(both.filter(col("cell") =!= col("probe1")).count() == 0)
+  }
+
+  test("IVF-PQ recall is monotone in nprobe and exact when probing every cell") {
+    import graft.functions.VectorFunctions
+    val cb = VectorFunctions.codebook(8, 64)
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < NQ)
+    val truth = pairs(Embeddings.knnBruteForce(emb, q, "vec_id", "embedding", K))
+    // rerank >> corpus removes the ADC-truncation variable: the result
+    // is then the EXACT cosine top-k within the probed cells, so more
+    // probed cells can only widen the candidate set (monotone recall),
+    // and probing all 8 cells must reproduce brute force identically.
+    def got(nprobe: Int): Set[(Long, Long)] =
+      pairs(Embeddings.annIvfPq(emb, q, cb, "vec_id", "embedding",
+        4, 16, 16, nprobe, 1000000, K))
+    val r1 = (truth & got(1)).size.toDouble / truth.size
+    val r4 = (truth & got(4)).size.toDouble / truth.size
+    info(f"IVF-PQ recall@$K nprobe=1 $r1%.3f nprobe=4 $r4%.3f")
+    assert(r4 >= r1, f"nprobe=4 ($r4%.3f) below nprobe=1 ($r1%.3f)")
+    assert(got(8) == truth, "nprobe=all-cells with exhaustive rerank must equal brute force")
+  }
 }

@@ -37,4 +37,30 @@ class KmeansSpec extends SparkSpecBase {
     assert(clusters.subsetOf((0L until 8L).toSet))
     assert(a.filter(col("d") < 0).count() == 0)
   }
+
+  test("kmeansCentroids returns the centroids the final assignment used") {
+    // Reassigning the corpus against the returned centroid frame must
+    // reproduce kmeansLloyd's own assignment exactly — the seam that
+    // lets trained centroids feed the literal-codebook ANN paths.
+    val emb = Tables.embeddings(spark, sf)
+    val init = emb.filter(col("vec_id") < 8)
+    val cents = Embeddings.kmeansCentroids(emb, init, "vec_id", "embedding", 2)
+    assert(cents.count() == 8)
+    val cb = Embeddings.collectCodebook(cents)
+    assert(cb.length == 8 && cb.forall(_.length == 64))
+
+    // Fold-based IVF assignment over the collected codebook (cosine
+    // ranking) vs the DataFrame path (ivfAssign over the same
+    // centroid frame): same cells for every vector. Fold cell i maps
+    // to cluster id i because collectCodebook orders by cluster.
+    val foldCells = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.ivfCellFold(col("embedding"), cb)
+          .cast("long").as("cell"))
+    val dfCells = Embeddings.ivfAssign(emb,
+        cents.select(col("cluster").as("vec_id"), col("cv").as("embedding")),
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("cell"))
+    assert(foldCells.join(dfCells.withColumnRenamed("cell", "cell2"), "vec_id")
+      .filter(col("cell") =!= col("cell2")).count() == 0)
+  }
 }

@@ -114,4 +114,34 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "WindowGroupLimit") >= 1, p.take(400))
     assert(count(p, "CartesianProduct") == 0)
   }
+
+  test("g7 IVF-PQ: index build is row-local, candidates keyed by cell (one broadcast join)") {
+    val p = executedPlan("g7_ivf_pq")
+    // cell assignment + PQ encode are projections — no aggregation or
+    // expansion before the cell join; the only join is the broadcast
+    // equality join on cell (queries broadcast, corpus streams)
+    assert(count(p, "BroadcastHashJoin") == 1, p.take(400))
+    assert(count(p, "SortMergeJoin") == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0)
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "SortAggregate") == 0)
+    // rank windows pruned before materializing
+    assert(count(p, "WindowGroupLimit") >= 2, p.take(400))
+  }
+
+  test("g7b trained-codebook ANN: same fold-path plan shape as the demo codebook") {
+    val p = executedPlan("g7b_ann_ivf_trained")
+    assert(count(p, "BroadcastHashJoin") == 1, p.take(400))
+    assert(count(p, "SortMergeJoin") == 0)
+    assert(count(p, "SortAggregate") == 0)
+  }
+
+  test("f4b simhash pairs: banded join on 16-bit band values, hash-only aggregation") {
+    val p = executedPlan("f4b_simhash_pairs")
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") >= 1)
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+    // both self-join sides read the persisted fingerprint frame
+    assert(count(p, "InMemoryTableScan") >= 2, p.take(400))
+  }
 }

@@ -30,9 +30,9 @@ object EmbeddingQueries {
         CAST((('0x' || substr(md5('$plane' || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
           % 2001 - 1000) AS DOUBLE) / 1000.0)"""
 
-  /** DuckDB mirror of VectorFunctions.lshBucket(v, 8, 64). */
-  private def sqlBucket(v: String): String =
-    (0 until 8).map { j =>
+  /** DuckDB mirror of VectorFunctions.lshBucket(v, planes, 64). */
+  private def sqlBucket(v: String, planes: Int = 8): String =
+    (0 until planes).map { j =>
       s"(CASE WHEN ${sqlDot(v, sqlHyperplane(j))} > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -97,6 +97,38 @@ object EmbeddingQueries {
           .mkString("[", ", ", "]")
         s"""WITH b AS (
           SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        q0 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 3),
+        q AS (SELECT qid, qvec, unnest($probes) AS bucket FROM q0),
+        c AS (SELECT vec_id AS cid, embedding AS cvec, bucket FROM b),
+        scored AS (
+          SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
+          FROM c JOIN q USING (bucket) WHERE qid != cid)
+        SELECT qid, rank, cid, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM scored) t
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
+    // G2c: the SAME LSH path with the plane count SIZED BY THE RULE
+    // (SURVEY §5: buckets ≈ N / target-bucket-size, planes = log2) —
+    // for this corpus (N≈500-2000) that is 4 planes = 16 buckets of
+    // ~30-125 rows, where g2's 8-plane demo constant leaves mostly
+    // singleton buckets (recall 0.04) and 16+ planes degenerate to
+    // empty joins. Planes is a parameter on every path, so the
+    // 1B-vector deployment (~20-25 planes) is a constant change, not
+    // a code change; multi-probe stays the recall knob at any size.
+    QueryDef("g2c_ann_lsh_sized",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annLshMultiProbe(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 4, 64, 3)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val probes = ("bucket" +: (0 until 4).map(j => s"xor(bucket, ${1L << j})"))
+          .mkString("[", ", ", "]")
+        s"""WITH b AS (
+          SELECT vec_id, embedding, ${sqlBucket("embedding", 4)} AS bucket FROM embeddings),
         q0 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM b WHERE vec_id < 3),
         q AS (SELECT qid, qvec, unnest($probes) AS bucket FROM q0),
         c AS (SELECT vec_id AS cid, embedding AS cvec, bucket FROM b),

@@ -40,6 +40,16 @@ class AnnRecallSpec extends SparkSpecBase {
     // multi-probe value to catch regressions (bucket fn change, probe
     // loss), not noise.
     assert(recallMulti >= 0.12, f"multi-probe recall collapsed: $recallMulti%.3f")
+
+    // The SURVEY §5 sizing rule applied to this corpus (N≈500 →
+    // 4 planes = 16 buckets of ~30) must dominate the 8-plane demo
+    // constant, whose buckets are mostly singletons here — the
+    // measurable version of "bucket counts scale with N".
+    val sized = pairs(Embeddings.annLshMultiProbe(emb, q, "vec_id", "embedding", 4, 64, K))
+    val recallSized = (truth & sized).size.toDouble / truth.size
+    info(f"recall@$K rule-sized(4 planes)=$recallSized%.3f")
+    assert(recallSized >= recallMulti,
+      f"rule-sized recall ($recallSized%.3f) below demo-constant recall ($recallMulti%.3f)")
   }
 
   test("ivfProbeCells with nprobe=1 reproduces the ivfCellFold assignment") {

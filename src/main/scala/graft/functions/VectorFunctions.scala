@@ -5,40 +5,70 @@ import org.apache.spark.sql.functions._
 
 /** Dense-vector column math over `array<float>` embedding columns.
   *
-  * All folds are strict left-to-right (`aggregate` with a 0.0 init),
-  * with per-element promotion to double, so results are bit-reproducible
-  * across engines that fold in the same order — the property the
-  * DuckDB oracle relies on.
+  * All folds are strict left-to-right with per-element promotion to
+  * double, so results are bit-reproducible across engines that fold
+  * in the same order — the property the DuckDB oracle relies on.
+  * The element-wise ops are native codegen'd kernels
+  * ([[VectorUtil]]); `dotComposed`/`normSqComposed`/`l2SqComposed`/
+  * `cosineSimComposed` keep the pure-HOF spellings the kernel
+  * property specs compare against.
   */
 object VectorFunctions {
 
-  /** Σ a_i*b_i as a strict left fold in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Σ a_i² (left fold, double). */
+  /** Σ a_i*b_i as a strict left fold in double (native kernel). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Σ a_i² (left fold, double; native kernel). */
   def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+    ColumnBridge.column(NormSq64(ColumnBridge.expression(a)))
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
   /** Σ (a_i − b_i)² as a strict left fold in double — squared
     * euclidean distance (promotes both sides, so float and double
-    * arrays mix safely).
+    * arrays mix safely; native kernel).
     */
   def l2Sq(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      L2Sq64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine similarity = dot/(‖a‖·‖b‖) over the native fold kernels.
+    * The division stays a Spark `Divide` on purpose: under ANSI mode
+    * a zero norm raises DIVIDE_BY_ZERO exactly like the composed
+    * spelling always did — a fused kernel returning IEEE NaN would
+    * silently change that contract.
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** The composed HOF spelling of [[dot]] — kernel-equivalence spec
+    * reference.
+    */
+  def dotComposed(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** The composed HOF spelling of [[normSq]]. */
+  def normSqComposed(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** The composed HOF spelling of [[l2Sq]]. */
+  def l2SqComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Cosine similarity = dot/(‖a‖·‖b‖). */
-  def cosineSim(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** The composed spelling of [[cosineSim]]. */
+  def cosineSimComposed(a: Column, b: Column): Column =
+    dotComposed(a, b) / (sqrt(normSqComposed(a)) * sqrt(normSqComposed(b)))
 
   /** v / ‖v‖ as array<double>. */
   def l2Normalize(a: Column): Column =

@@ -140,6 +140,46 @@ class PropertySpec extends SparkSpecBase {
       "64-bit fingerprints should populate the high word")
   }
 
+  test("native vector kernels equal the composed HOF spellings bit for bit") {
+    import graft.functions.VectorFunctions._
+    // float arrays incl. empties and mixed lengths — the cases where
+    // the composed spelling returns null (length mismatch), which the
+    // kernels must reproduce exactly. No zero-norm vectors: under
+    // ANSI both spellings raise DIVIDE_BY_ZERO on the cosine, which
+    // is the contract cosineSim keeps by composing the kernels with
+    // a Spark Divide instead of fusing the quotient.
+    val r = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val n = i % 7 match { case 0 => 0; case 1 => 64; case _ => 1 + r.nextInt(80) }
+      val m = if (i % 11 == 0) n + 1 else n // some length mismatches
+      def vec(k: Int) = Seq.fill(k)((r.nextFloat() - 0.5f) * 4f + 0.01f)
+      (i.toLong, vec(n), vec(m))
+    }.toDF("id", "a", "b")
+    def bits(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None
+      else Some(java.lang.Double.doubleToLongBits(r.getDouble(i)))
+    // folds: all rows, including empties and length mismatches
+    val folds = rows.select(
+      dot(col("a"), col("b")).as("nd"), dotComposed(col("a"), col("b")).as("cd"),
+      normSq(col("a")).as("nn"), normSqComposed(col("a")).as("cn"),
+      l2Sq(col("a"), col("b")).as("nl"), l2SqComposed(col("a"), col("b")).as("cl"))
+      .collect()
+    folds.foreach { row =>
+      (0 until 6 by 2).foreach { i =>
+        assert(bits(row, i) == bits(row, i + 1), s"col $i: $row")
+      }
+    }
+    assert(folds.exists(_.isNullAt(0)), "no length-mismatch case exercised")
+    // cosine: non-empty rows only (an empty array has zero norm, and
+    // BOTH spellings raise DIVIDE_BY_ZERO there under ANSI)
+    val cosines = rows.filter(size(col("a")) > 0 && size(col("b")) > 0)
+      .select(cosineSim(col("a"), col("b")).as("nc"),
+        cosineSimComposed(col("a"), col("b")).as("cc"))
+      .collect()
+    assert(cosines.nonEmpty)
+    cosines.foreach { row => assert(bits(row, 0) == bits(row, 1), row.toString) }
+  }
+
   test("windowFunnelDepth equals brute-force chain search on random event streams") {
     val types = Seq("s1", "s2", "s3", "s4")
     val gen = for {

@@ -120,16 +120,19 @@ object VectorFunctions {
       }.toArray
     }
 
-  /** PQ code of subvector `m`: argmin-l2 codeword index as a row-local
-    * fold over the literal codebook (no row expansion, no aggregation
-    * — the same 100 TB shape as [[ivfCellFold]]). Strict `<` keeps the
-    * FIRST minimal index on exact ties.
+  /** PQ code of subvector `m` over an EXPLICIT literal codebook —
+    * argmin-l2 codeword index as a row-local fold (no row expansion,
+    * no aggregation — the same 100 TB shape as [[ivfCellFold]]).
+    * Strict `<` keeps the FIRST minimal index on exact ties. This is
+    * the "swap in trained codewords" seam: feed it
+    * `Embeddings.trainPqCodebooks` output instead of the md5 demo
+    * codebook.
     */
-  def pqSubCode(v: Column, m: Int, k: Int, subDim: Int): Column = {
-    val cbLit = typedLit(pqCodebook(m, k, subDim).map(_.toSeq))
+  def pqSubCodeFrom(v: Column, cb: Seq[Array[Double]], m: Int, subDim: Int): Column = {
+    val cbLit = typedLit(cb.map(_.toSeq))
     val sub = slice(v, m * subDim + 1, subDim)
     aggregate(
-      sequence(lit(0), lit(k - 1)),
+      sequence(lit(0), lit(cb.length - 1)),
       struct(lit(-1).as("j"), lit(Double.PositiveInfinity).as("d")),
       (acc, j) => {
         val d = l2Sq(sub, element_at(cbLit, j + 1))
@@ -138,17 +141,28 @@ object VectorFunctions {
       acc => acc.getField("j"))
   }
 
-  /** Asymmetric (ADC) PQ distance: Σ_m ‖q_m − codeword(m, code_m)‖².
-    * The query stays exact; the candidate is represented only by its
-    * `mSub` codes — 4-bit codes compress a 64-float vector to 2 bytes,
-    * the memory ratio that lets billion-vector indexes live in RAM.
+  /** [[pqSubCodeFrom]] over the deterministic md5 demo codebook. */
+  def pqSubCode(v: Column, m: Int, k: Int, subDim: Int): Column =
+    pqSubCodeFrom(v, pqCodebook(m, k, subDim), m, subDim)
+
+  /** Asymmetric (ADC) PQ distance over EXPLICIT per-subvector
+    * codebooks: Σ_m ‖q_m − codeword(m, code_m)‖². The query stays
+    * exact; the candidate is represented only by its codes — 4-bit
+    * codes compress a 64-float vector to 2 bytes, the memory ratio
+    * that lets billion-vector indexes live in RAM.
     */
-  def pqAdcDist(q: Column, codes: Column, mSub: Int, k: Int, subDim: Int): Column =
-    (0 until mSub).map { m =>
-      val cbLit = typedLit(pqCodebook(m, k, subDim).map(_.toSeq))
+  def pqAdcDistFrom(q: Column, codes: Column, cbs: Seq[Seq[Array[Double]]],
+                    subDim: Int): Column =
+    cbs.zipWithIndex.map { case (cb, m) =>
+      val cbLit = typedLit(cb.map(_.toSeq))
       l2Sq(slice(q, m * subDim + 1, subDim),
         element_at(cbLit, element_at(codes, m + 1) + 1))
     }.reduce(_ + _)
+
+  /** [[pqAdcDistFrom]] over the md5 demo codebooks. */
+  def pqAdcDist(q: Column, codes: Column, mSub: Int, k: Int, subDim: Int): Column =
+    pqAdcDistFrom(q, codes,
+      (0 until mSub).map(m => pqCodebook(m, k, subDim)), subDim)
 
   /** IVF cell assignment as a row-local fold over a LITERAL codebook —
     * the 100 TB path. The DataFrame-based `Embeddings.ivfAssign`

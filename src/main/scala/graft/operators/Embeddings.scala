@@ -186,16 +186,30 @@ object Embeddings {
     */
   def annPqAdc(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, mSub: Int, k: Int, subDim: Int,
-               topK: Int, rerank: Int): DataFrame = {
-    val codes = array((0 until mSub).map(m =>
-      VectorFunctions.pqSubCode(col(vecCol), m, k, subDim)): _*)
+               topK: Int, rerank: Int): DataFrame =
+    annPqAdcWith(corpus, queries,
+      (0 until mSub).map(m => VectorFunctions.pqCodebook(m, k, subDim)),
+      idCol, vecCol, subDim, topK, rerank)
+
+  /** [[annPqAdc]] over EXPLICIT per-subvector codebooks — the trained
+    * half of the PQ seam: feed [[trainPqCodebooks]] output and the
+    * encode/ADC/rerank plan is unchanged (codebooks are literals
+    * either way, so nothing new shuffles or broadcasts).
+    */
+  def annPqAdcWith(corpus: DataFrame, queries: DataFrame,
+                   cbs: Seq[Seq[Array[Double]]], idCol: String,
+                   vecCol: String, subDim: Int,
+                   topK: Int, rerank: Int): DataFrame = {
+    val codes = array(cbs.zipWithIndex.map { case (cb, m) =>
+      VectorFunctions.pqSubCodeFrom(col(vecCol), cb, m, subDim)
+    }: _*)
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
       codes.as("codes"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .withColumn("adist",
-        VectorFunctions.pqAdcDist(col("qvec"), col("codes"), mSub, k, subDim))
+        VectorFunctions.pqAdcDistFrom(col("qvec"), col("codes"), cbs, subDim))
     val aw = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
     val cand = scored.withColumn("arank", row_number().over(aw))
       .filter(col("arank") <= rerank)
@@ -205,6 +219,28 @@ object Embeddings {
       .filter(col("rank") <= topK)
       .select("qid", "rank", "cid", "adist", "cos")
   }
+
+  /** Per-subvector PQ codebook training: `mSub` independent k-means
+    * runs over the sliced subvectors ([[kmeansCentroids]] — same
+    * deterministic seeding and decimal-exact means as G5, so any
+    * engine reproduces the same codewords), collected driver-side as
+    * literal codebooks for [[annPqAdcWith]]/[[annIvfPq]]. The
+    * training cost is mSub corpus passes per iteration; the collect
+    * is mSub·k·subDim doubles — codebook-sized, never corpus-sized.
+    * A cluster that loses all members drops out of its codebook
+    * (fewer codewords, indices still dense via cluster-sorted
+    * collection) — identically in any engine replaying the same
+    * arithmetic.
+    */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                       mSub: Int, k: Int, subDim: Int,
+                       iters: Int): Seq[Seq[Array[Double]]] =
+    (0 until mSub).map { m =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), m * subDim + 1, subDim).as("__sub"))
+      collectCodebook(kmeansCentroids(sub, sub.filter(col(idCol) < k),
+        idCol, "__sub", iters))
+    }
 
   /** IVF × PQ composed — the billion-vector serving shape. The corpus
     * index is built entirely row-locally (one projection pass: fold-

@@ -492,6 +492,89 @@ object EmbeddingQueries {
         WHERE rank <= 3 ORDER BY qid, rank"""
       }),
 
+    // G7c: PQ with TRAINED codebooks — the PQ half of the trained
+    // seam (G7b is the coarse half): 4 per-subvector k-means runs
+    // (same deterministic seeding + decimal-exact means as g5)
+    // collected driver-side, then the same encode/ADC/rerank plan as
+    // g6. The oracle replays all four trainings, the dense cluster→
+    // code index, encoding, ADC and rerank end to end in SQL.
+    QueryDef("g7c_pq_trained",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cbs = Embeddings.trainPqCodebooks(emb, "vec_id", "embedding",
+          4, 16, 16, 2)
+        // adist is a function of TRAINED codeword values, whose
+        // decimal→double conversion can differ by 1 ulp across
+        // engines (unlike the md5-literal codebooks of g6/g7, which
+        // are bit-identical constants) — round like g5's mean_dist.
+        // cos stays raw: it reads the original vectors only.
+        Embeddings.annPqAdcWith(emb, emb.filter(col("vec_id") < 3), cbs,
+            "vec_id", "embedding", 16, 3, 10)
+          .withColumn("adist", round(col("adist"), 6))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        def l2(a: String, b: String): String =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y)"""
+        // one k-means + dense-code block per subvector m
+        def pqTrainCtes(m: Int): String = {
+          val lo = m * 16 + 1
+          val hi = m * 16 + 16
+          s"""sub$m AS (SELECT vec_id, embedding[$lo:$hi] AS sub FROM embeddings),
+          c0_$m AS (SELECT vec_id AS cluster, list_transform(sub, x -> CAST(x AS DOUBLE)) AS cv
+                    FROM sub$m WHERE vec_id < 16),
+          s1_$m AS (SELECT e.vec_id, e.sub, c.cluster, ${l2("e.sub", "c.cv")} AS d
+                    FROM sub$m e CROSS JOIN c0_$m c),
+          a1_$m AS (SELECT vec_id, sub, cluster FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                      FROM s1_$m) t
+                    WHERE rn = 1),
+          x1_$m AS (SELECT cluster, unnest(list_transform(range(0, len(sub)),
+                      i -> {'dim': i, 'x': CAST(sub[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
+                    FROM a1_$m),
+          u1_$m AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
+                      CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+                    FROM x1_$m GROUP BY 1, 2),
+          c1_$m AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1_$m GROUP BY cluster),
+          cb$m AS (SELECT row_number() OVER (ORDER BY cluster) - 1 AS j, cv FROM c1_$m),
+          encs$m AS (SELECT e.vec_id, b.j, ${l2("e.sub", "b.cv")} AS d
+                     FROM sub$m e CROSS JOIN cb$m b),
+          enc$m AS (SELECT vec_id, j AS code$m FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+                      FROM encs$m) t
+                    WHERE rn = 1)"""
+        }
+        val adist = (0 until 4).map(m =>
+          l2(s"q.qvec[${m * 16 + 1}:${m * 16 + 16}]", s"b$m.cv")).mkString(" + ")
+        val cbJoins = (0 until 4).map(m => s"JOIN cb$m b$m ON b$m.j = c.code$m").mkString(" ")
+        s"""WITH ${(0 until 4).map(pqTrainCtes).mkString(",\n")},
+          enc AS (SELECT e.vec_id, e.embedding, enc0.code0, enc1.code1, enc2.code2, enc3.code3
+                  FROM embeddings e
+                  JOIN enc0 USING (vec_id) JOIN enc1 USING (vec_id)
+                  JOIN enc2 USING (vec_id) JOIN enc3 USING (vec_id)),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              q.qvec AS qvec, c.embedding AS cvec,
+              $adist AS adist
+            FROM enc c
+            CROSS JOIN (SELECT vec_id, embedding AS qvec FROM embeddings WHERE vec_id < 3) q
+            $cbJoins
+            WHERE q.vec_id != c.vec_id),
+          cand AS (
+            SELECT qid, cid, qvec, cvec, adist FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS arank
+              FROM scored) t
+            WHERE arank <= 10),
+          cand2 AS (SELECT qid, cid, adist, ${sqlCos("qvec", "cvec")} AS cos FROM cand)
+        SELECT qid, rank, cid, round(adist, 6) AS adist, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM cand2) t
+        WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
     // P8: semantic contamination — the embedding-space complement of
     // p3's n-gram gate: for each eval vector (vec_id < 10), the max
     // cosine against the train split and how many train vectors clear

@@ -131,15 +131,18 @@ object VectorFunctions {
   def pqSubCodeFrom(v: Column, cb: Seq[Array[Double]], m: Int, subDim: Int): Column = {
     val cbLit = typedLit(cb.map(_.toSeq))
     val sub = slice(v, m * subDim + 1, subDim)
-    aggregate(
-      sequence(lit(0), lit(cb.length - 1)),
-      struct(lit(-1).as("j"), lit(Double.PositiveInfinity).as("d")),
-      (acc, j) => {
-        val d = l2Sq(sub, element_at(cbLit, j + 1))
-        when(d < acc.getField("d"), struct(j.as("j"), d.as("d"))).otherwise(acc)
-      },
-      acc => acc.getField("j"))
+    argminL2(sub, cbLit).getField("j")
   }
+
+  /** Row-local argmin-by-l2 over a candidate array as ONE compiled
+    * pass (native kernel, struct(j, d) result) — the assignment
+    * inner loop of PQ encoding and k-means; fold semantics preserved
+    * exactly (first minimal index on ties, null distances skipped,
+    * (-1, +Inf) on empty candidates).
+    */
+  def argminL2(v: Column, candidates: Column): Column =
+    ColumnBridge.column(ArgminL2Indexed(
+      ColumnBridge.expression(v), ColumnBridge.expression(candidates)))
 
   /** [[pqSubCodeFrom]] over the deterministic md5 demo codebook. */
   def pqSubCode(v: Column, m: Int, k: Int, subDim: Int): Column =

@@ -83,6 +83,65 @@ object VectorUtil {
 
 }
 
+/** Compiled argmin-by-l2 over a candidate array — the inner loop of
+  * k-means assignment and PQ encoding as ONE kernel call per row.
+  * Reproduces the `aggregate`-fold spelling exactly:
+  *
+  *   aggregate(sequence(0, k-1), struct(-1, +Inf),
+  *     (acc, j) => { val d = l2Sq(v, cands[j+1])
+  *                   when(d < acc.d, struct(j, d)).otherwise(acc) })
+  *
+  * i.e. strict `<` keeps the FIRST minimal index on exact ties; a
+  * null distance (null candidate, length mismatch, null element)
+  * leaves the accumulator untouched (`when(null, ...)` takes the
+  * otherwise branch); no candidates → (-1, +Infinity).
+  */
+object ArgminL2Util {
+  def argminL2(v: ArrayData, cands: ArrayData, vf: Boolean,
+               cf: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    var bj = -1
+    var bd = Double.PositiveInfinity
+    val k = cands.numElements()
+    var j = 0
+    while (j < k) {
+      if (!cands.isNullAt(j)) {
+        val d = VectorUtil.l2Sq(v, cands.getArray(j), vf, cf)
+        if (d != null && d.doubleValue() < bd) {
+          bd = d.doubleValue()
+          bj = j
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bj, bd))
+  }
+}
+
+case class ArgminL2Indexed(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("j",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("d", DoubleType, nullable = false)))
+
+  @transient private lazy val vFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val cFloat: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ArgminL2Util.argminL2(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      vFloat, cFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ArgminL2Util.argminL2($a, $b, $vFloat, $cFloat)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArgminL2Indexed =
+    copy(left = l, right = r)
+}
+
 /** Shared shape of the binary vector kernels: array<float|double> ×
   * array<float|double> → nullable double, with the element accessors
   * resolved from the (post-analysis) child types.

@@ -345,25 +345,28 @@ object Embeddings {
       transform(col(vecCol), x => x.cast("double")).as("cv"))
 
   /** One Lloyd assignment pass: the centroid frame (k rows) packs
-    * into ONE cluster-sorted array row, broadcast; assignment is a
-    * row-local argmin fold over that array — no row expansion, no
-    * aggregation (see [[kmeansLloyd]]'s scale note).
+    * into ONE cluster-sorted pair of arrays (ids + vectors), built
+    * once in the 1-row packed frame and broadcast; assignment is the
+    * native [[graft.functions.ArgminL2Indexed]] kernel — one
+    * compiled loop per corpus row, no row expansion, no aggregation
+    * (see [[kmeansLloyd]]'s scale note). The kernel's first-min /
+    * null-skip semantics are those of the fold it replaced, and the
+    * candidate order is the same cluster-sorted order, so
+    * assignments (and ties) are unchanged.
     */
   private def kmeansAssign(corpus: DataFrame, c: DataFrame, idCol: String,
                            vecCol: String): DataFrame = {
     val packed = c.agg(
-      sort_array(collect_list(struct(col("cluster"), col("cv")))).as("cents"))
+        sort_array(collect_list(struct(col("cluster"), col("cv")))).as("cents"))
+      .select(
+        transform(col("cents"), s => s.getField("cluster")).as("__cls"),
+        transform(col("cents"), s => s.getField("cv")).as("__cvs"))
     corpus.crossJoin(broadcast(packed))
-      .withColumn("k", aggregate(col("cents"),
-        struct(lit(-1L).as("cluster"), lit(Double.PositiveInfinity).as("d")),
-        (acc, ct) => {
-          val d = VectorFunctions.l2Sq(col(vecCol), ct.getField("cv"))
-          when(d < acc.getField("d"),
-            struct(ct.getField("cluster").as("cluster"), d.as("d")))
-            .otherwise(acc)
-        }))
+      .withColumn("__am", VectorFunctions.argminL2(col(vecCol), col("__cvs")))
       .select(col(idCol), col(vecCol),
-        col("k.cluster").as("cluster"), col("k.d").as("d"))
+        when(col("__am.j") >= 0, element_at(col("__cls"), col("__am.j") + 1))
+          .otherwise(lit(-1L)).as("cluster"),
+        col("__am.d").as("d"))
   }
 
   /** One Lloyd update pass: decimal-exact per-(cluster, dim) means,

@@ -180,6 +180,47 @@ class PropertySpec extends SparkSpecBase {
     cosines.foreach { row => assert(bits(row, 0) == bits(row, 1), row.toString) }
   }
 
+  test("ArgminL2Indexed kernel equals the aggregate-fold spelling") {
+    import graft.functions.VectorFunctions
+    val r = new scala.util.Random(7)
+    // candidate arrays with exact-duplicate entries (tie-break),
+    // length mismatches (null distance, skipped) and an empty set
+    val rows = (0 until 120).map { i =>
+      val dim = 8
+      val v = Seq.fill(dim)((r.nextInt(5) - 2).toFloat)
+      val k = i % 9 match { case 0 => 0; case n => n }
+      val cands = Seq.tabulate(k) { j =>
+        if (j % 4 == 3) Seq.fill(dim + 1)(0.0) // mismatched length -> skipped
+        else if (j % 4 == 2 && j > 0) Seq.fill(dim)((r.nextInt(5) - 2).toDouble)
+        else Seq.fill(dim)((r.nextInt(3) - 1).toDouble) // small range -> real ties
+      }
+      (i.toLong, v, cands)
+    }.toDF("id", "v", "cands")
+    // the fold reference must guard the empty case itself: sequence(0,
+    // size-1) DESCENDS for size=0 and ANSI element_at then throws —
+    // the production folds only ever ran over non-empty literal
+    // codebooks, which is also why the kernel defines (-1, +Inf) there
+    val folded = rows.withColumn("f", when(size(col("cands")) > 0, aggregate(
+        sequence(lit(0), size(col("cands")) - 1),
+        struct(lit(-1).as("j"), lit(Double.PositiveInfinity).as("d")),
+        (acc, j) => {
+          val d = VectorFunctions.l2Sq(col("v"), element_at(col("cands"), j + 1))
+          when(d < acc.getField("d"), struct(j.cast("int").as("j"), d.as("d")))
+            .otherwise(acc)
+        }))
+        .otherwise(struct(lit(-1).as("j"), lit(Double.PositiveInfinity).as("d"))))
+      .withColumn("n", VectorFunctions.argminL2(col("v"), col("cands")))
+      .select(col("f.j"), col("f.d"), col("n.j"), col("n.d"))
+      .collect()
+    folded.foreach { row =>
+      assert(row.getInt(0) == row.getInt(2), row.toString)
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(3)), row.toString)
+    }
+    // the sample must exercise empty (-1) and skipped-candidate cases
+    assert(folded.exists(_.getInt(2) == -1))
+  }
+
   test("windowFunnelDepth equals brute-force chain search on random event streams") {
     val types = Seq("s1", "s2", "s3", "s4")
     val gen = for {

@@ -81,6 +81,65 @@ object HashUtil {
 
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
+  /** Polynomial base of the rolling gram hash (coprime to P, larger
+    * than any... no — simply a classic odd base; code points reduce
+    * mod P on entry and P ≈ 2^30 keeps every intermediate product in
+    * i64).
+    */
+  final val RollB: Long = 131L
+
+  /** TRUE rolling k-gram hash for [[graft.functions.RollingGramHashes64]]:
+    * Horner hashes h_i = Σ_t cp(s[i+t])·B^(k−1−t) mod P over CODE
+    * POINTS, computed with the Rabin–Karp recurrence — O(n) total
+    * arithmetic where the md5-per-position spelling
+    * ([[gramHashes]]) pays a full digest per position (O(n·k) digest
+    * work; it remains for callers that need the md5 gram space).
+    * Clamping matches [[gramHashes]]: a string shorter than k yields
+    * ONE hash of the whole string; the empty string hashes to 0
+    * (Horner over zero points). SQL-reproducible as
+    * `list_reduce(cps[i:i+k-1], (a,b) -> (a*B + b) % P)` over
+    * `ord(substr(s,i,1))` code points — a left Horner fold, like
+    * every other cross-engine hash here.
+    */
+  def rollingGramHashes(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val cps = new Array[Long](len) // ≥ #code points
+    var n = 0
+    var idx = 0
+    while (idx < len) {
+      val cp = str.codePointAt(idx)
+      cps(n) = cp.toLong
+      n += 1
+      idx += Character.charCount(cp)
+    }
+    val P = HashUtil.P
+    val B = RollB
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * B + cps(i)) % P; i += 1 }
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(h))
+    }
+    val m = n - k + 1
+    val out = new Array[Long](m)
+    var bk = 1L // B^(k-1) mod P
+    var t = 0
+    while (t < k - 1) { bk = (bk * B) % P; t += 1 }
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % P; i += 1 }
+    out(0) = h
+    var j = 1
+    while (j < m) {
+      h = ((h - (cps(j - 1) % P) * bk) % P + P) % P
+      h = (h * B + cps(j + k - 1)) % P
+      out(j) = h
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Tokenize→shingle→hash kernel for
     * [[graft.functions.TokenShingleHashes64]]: first-occurrence-ordered
     * DISTINCT md5-prefix hashes of the word n-gram shingles of
@@ -328,6 +387,24 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** True O(n) rolling k-gram hash (Rabin–Karp over code points) — see
+  * [[HashUtil.rollingGramHashes]].
+  */
+case class RollingGramHashes64(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram size must be >= 1, got $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.rollingGramHashes(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.rollingGramHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingGramHashes64 =
+    copy(child = newChild)
+}
+
 /** The 64-bit per-document SimHash pipeline as one native kernel —
   * see [[HashUtil.simhash64]].
   */
@@ -349,9 +426,15 @@ object HashFunctions {
   def md5prefix64(c: Column): Column =
     ColumnBridge.column(Md5Prefix64(ColumnBridge.expression(c)))
 
-  /** Rolling k-gram hash array (native, codegen'd) — see [[GramHashes64]]. */
+  /** md5 k-gram hash array (native, codegen'd) — see [[GramHashes64]]. */
   def gramHashes64(c: Column, k: Int): Column =
     ColumnBridge.column(GramHashes64(ColumnBridge.expression(c), k))
+
+  /** TRUE rolling k-gram hash array, O(n) Rabin–Karp (native,
+    * codegen'd) — see [[RollingGramHashes64]].
+    */
+  def rollingGramHashes64(c: Column, k: Int): Column =
+    ColumnBridge.column(RollingGramHashes64(ColumnBridge.expression(c), k))
 
   /** Ordered-distinct sliding-window minima (native, codegen'd) — see
     * [[SlidingMinDistinct64]].

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GramHashes64, KmvDistinct, Md5Prefix64, SimHash32, SimHash64, SlidingMinDistinct64, TokenShingleHashes64}
+import graft.functions.{GramHashes64, KmvDistinct, Md5Prefix64, RollingGramHashes64, SimHash32, SimHash64, SlidingMinDistinct64, TokenShingleHashes64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -47,6 +47,14 @@ object GraftFunctions {
         info("simhash64",
           "simhash64(str) - 64-bit SimHash of the lowercased whitespace tokens (fused native kernel; scale-safe fingerprint for banded Hamming LSH)."),
         (args: Seq[Expression]) => SimHash64(args.head)),
+      (FunctionIdentifier("rollinggramhashes64"),
+        info("rollinggramhashes64",
+          "rollinggramhashes64(str, k) - O(n) Rabin-Karp rolling k-gram Horner hashes over code points, mod 1e9+7; k must be a literal."),
+        (args: Seq[Expression]) => args(1) match {
+          case Literal(k: Int, _) => RollingGramHashes64(args.head, k)
+          case other => throw new IllegalArgumentException(
+            s"rollinggramhashes64 k must be an integer literal, got $other")
+        }),
       (FunctionIdentifier("tokenshinglehashes64"),
         info("tokenshinglehashes64",
           "tokenshinglehashes64(str, n) - distinct md5prefix64 hashes of the word n-gram shingles; n must be a literal."),

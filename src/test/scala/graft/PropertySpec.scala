@@ -180,6 +180,28 @@ class PropertySpec extends SparkSpecBase {
     cosines.foreach { row => assert(bits(row, 0) == bits(row, 1), row.toString) }
   }
 
+  test("RollingGramHashes64 equals the naive per-position Horner hash") {
+    import graft.functions.{HashFunctions, HashUtil}
+    // reference: O(n·k) recompute of every window from scratch
+    def naive(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray.map(_.toLong)
+      def horner(w: Seq[Long]): Long =
+        w.foldLeft(0L)((a, c) => (a * HashUtil.RollB + c) % HashUtil.P)
+      if (cps.length < k) Seq(horner(cps.toSeq))
+      else (0 to cps.length - k).map(i => horner(cps.slice(i, i + k).toSeq))
+    }
+    val docs = Seq("", "a", "short", "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaa", "ünïcode ünïcode ünïcode", "emoji 😀 pair x y",
+      (0 until 300).map(i => ('a' + i % 26).toChar).mkString)
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = docs.toDF("id", "s")
+      .select(col("id"), HashFunctions.rollingGramHashes64(col("s"), 8).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    docs.foreach { case (id, s) =>
+      assert(got(id) == naive(s, 8), s"doc $id: '$s'")
+    }
+  }
+
   test("ArgminL2Indexed kernel equals the aggregate-fold spelling") {
     import graft.functions.VectorFunctions
     val r = new scala.util.Random(7)

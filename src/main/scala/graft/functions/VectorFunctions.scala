@@ -177,20 +177,19 @@ object VectorFunctions {
     * dot(v,c)/‖c‖ ≡ ranking by cosine (‖v‖ is a common positive
     * factor), so the division by ‖v‖ is skipped; centroid norms are
     * driver-side constants. Strict `>` keeps the LOWEST index on
-    * exact ties — the same tie-break as ivfAssign's max_by.
+    * exact ties — the same tie-break as ivfAssign's max_by. Runs as
+    * the native [[ArgmaxDotNormIndexed]] kernel (one compiled pass
+    * per row); the score division is plain IEEE inside the kernel —
+    * a zero-norm centroid would yield ±Inf/NaN scores instead of the
+    * old fold's ANSI DIVIDE_BY_ZERO, a corner no real codebook hits
+    * (norms are of trained means or md5 weights, never zero).
     */
   def ivfCellFold(v: Column, cb: Seq[Array[Double]]): Column = {
     val cbLit = typedLit(cb.map(_.toSeq))
     val normLit = typedLit(cb.map(c => math.sqrt(c.map(x => x * x).sum)))
-    aggregate(
-      sequence(lit(0), lit(cb.length - 1)),
-      struct(lit(-1).as("i"), lit(Double.NegativeInfinity).as("s")),
-      (acc, i) => {
-        val score = dot(v, element_at(cbLit, i + 1)) / element_at(normLit, i + 1)
-        when(score > acc.getField("s"),
-          struct(i.as("i"), score.as("s"))).otherwise(acc)
-      },
-      acc => acc.getField("i"))
+    ColumnBridge.column(ArgmaxDotNormIndexed(
+      ColumnBridge.expression(v), ColumnBridge.expression(cbLit),
+      ColumnBridge.expression(normLit))).getField("i")
   }
 
   /** The `nprobe` nearest cells of a LITERAL codebook, as an int

@@ -118,6 +118,62 @@ object ArgminL2Util {
   }
 }
 
+/** Compiled argmax of dot(v, cand_j)/norm_j over a candidate array —
+  * the IVF cell-assignment loop ([[VectorFunctions.ivfCellFold]]) as
+  * one kernel call per corpus row. Fold semantics preserved: strict
+  * `>` keeps the FIRST maximal index on exact ties, a null score
+  * (length mismatch / null element) leaves the accumulator
+  * untouched, no candidates → (-1, -Infinity).
+  */
+object ArgmaxDotNormUtil {
+  def argmaxDotNorm(v: ArrayData, cands: ArrayData, norms: ArrayData,
+                    vf: Boolean, cf: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    var bi = -1
+    var bs = Double.NegativeInfinity
+    val k = cands.numElements()
+    var i = 0
+    while (i < k) {
+      if (!cands.isNullAt(i) && !norms.isNullAt(i)) {
+        val d = VectorUtil.dot(v, cands.getArray(i), vf, cf)
+        if (d != null) {
+          val s = d.doubleValue() / norms.getDouble(i)
+          if (s > bs) { bs = s; bi = i }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bi, bs))
+  }
+}
+
+case class ArgmaxDotNormIndexed(first: Expression, second: Expression,
+                                third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("i",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("s", DoubleType, nullable = false)))
+
+  @transient private lazy val vFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val cFloat: Boolean =
+    second.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, c: Any, n: Any): Any =
+    ArgmaxDotNormUtil.argmaxDotNorm(v.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], n.asInstanceOf[ArrayData], vFloat, cFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.ArgmaxDotNormUtil.argmaxDotNorm($a, $b, $c, $vFloat, $cFloat)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+                                                 c: Expression): ArgmaxDotNormIndexed =
+    copy(first = a, second = b, third = c)
+}
+
 case class ArgminL2Indexed(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("j",

@@ -22,7 +22,8 @@ object ExplainCheck {
         "e26_correlation", "h7_unigram_logprob", "p5_source_mixing",
         "e13e_kmv_aggregate", "f4b_simhash_pairs", "f8_span_dedup",
         "g5_kmeans", "g6_ann_pq_adc", "d13_interpolate", "d14_lttb_downsample",
-        "g7_ivf_pq", "g7b_ann_ivf_trained", "f4c_simhash64")
+        "g7_ivf_pq", "g7b_ann_ivf_trained", "f4c_simhash64",
+        "g7c_pq_trained", "g2c_ann_lsh_sized", "f9_incremental_dedup")
     for (name <- names) {
       println(s"========== $name")
       val df = SparkEntry.queries(name)(spark, dir)

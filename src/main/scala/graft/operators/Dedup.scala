@@ -191,6 +191,29 @@ object Dedup {
       .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Incremental near-dup screening (F9): match a DELTA batch against
+    * the historical band index without touching historical text. The
+    * history side is the minhash band index a production pipeline
+    * materializes once and appends to (here built by [[minhashBands]]
+    * from the history split; at 100 TB it is a parquet read, not a
+    * recompute); only the delta pays fingerprint cost, row-locally
+    * ([[minhashBandsRowLocal]] — identical signatures by spec, no
+    * shuffle before the join). The join keys are (band, sig) — a
+    * daily delta joining a corpus-sized index is the standard
+    * big/small shape: AQE broadcasts the delta side when it fits,
+    * and the index can be bucketed by (band, sig) to avoid even
+    * that shuffle.
+    */
+  def incrementalNearDup(historyBands: DataFrame, delta: DataFrame,
+                         idCol: String, textCol: String, n: Int): DataFrame = {
+    val hist = historyBands
+      .select(col(idCol).as("hist_id"), col("band"), col("sig"))
+    val del = minhashBandsRowLocal(delta, idCol, textCol, n)
+      .select(col(idCol).as("delta_id"), col("band"), col("sig"))
+    del.join(hist, Seq("band", "sig"))
+      .groupBy("delta_id", "hist_id").agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Connected components over an undirected edge list — the step
     * that turns near-dup PAIRS into dedup GROUPS (keep one doc per
     * component, drop the rest). Iterative min-label propagation:

@@ -209,6 +209,27 @@ object PipelineQueries {
         .orderBy("a", "b"),
       Some(minhashSql)),
 
+    // F9: incremental near-dup screening — a delta batch (doc_id % 5
+    // == 0) against the HISTORICAL band index (the rest), the shape
+    // that avoids re-fingerprinting the corpus for each new batch:
+    // history is an index read (here built once from the history
+    // split), the delta fingerprints row-locally, and the only
+    // corpus-scale work is the (band, sig)-keyed join.
+    QueryDef("f9_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val histBands = Dedup.minhashBands(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 4)
+        Dedup.incrementalNearDup(histBands,
+            docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 4)
+          .orderBy("delta_id", "hist_id")
+      },
+      Some(s"""WITH $minhashBandCtes
+        SELECT d.doc_id AS delta_id, h.doc_id AS hist_id, COUNT(*) AS n_bands
+        FROM bands d JOIN bands h ON d.band = h.band AND d.sig = h.sig
+        WHERE d.doc_id % 5 = 0 AND h.doc_id % 5 != 0
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // F4: 32-bit SimHash fingerprints. The operator itself is pure
     // map-side work; the repartition only spreads the single test
     // split across cores (see f6 note).

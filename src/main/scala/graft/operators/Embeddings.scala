@@ -221,26 +221,62 @@ object Embeddings {
   }
 
   /** Per-subvector PQ codebook training: `mSub` independent k-means
-    * runs over the sliced subvectors ([[kmeansCentroids]] — same
-    * deterministic seeding and decimal-exact means as G5, so any
-    * engine reproduces the same codewords), collected driver-side as
-    * literal codebooks for [[annPqAdcWith]]/[[annIvfPq]]. The
-    * training cost is mSub corpus passes per iteration; the collect
-    * is mSub·k·subDim doubles — codebook-sized, never corpus-sized.
-    * A cluster that loses all members drops out of its codebook
-    * (fewer codewords, indices still dense via cluster-sorted
-    * collection) — identically in any engine replaying the same
-    * arithmetic.
+    * problems (same deterministic seeding and decimal-exact means as
+    * G5, so any engine reproduces the same codewords), trained
+    * TOGETHER in one unioned frame keyed by subvector index — each
+    * iteration is ONE assignment pass and ONE update aggregation for
+    * all mSub subquantizers, not mSub separate job chains (at 100 TB
+    * that is 1 corpus scan per iteration instead of mSub; locally it
+    * cuts the driver job count ~mSub×). Per-(m) centroids reach rows
+    * through a broadcast join on the mSub-row packed frame;
+    * assignment is the native argmin kernel; updates aggregate per
+    * (m, cluster, dim) — the shuffle carries mSub·k·subDim partials.
+    * The collected result is mSub·k·subDim doubles — codebook-sized,
+    * never corpus-sized. A cluster that loses all members drops out
+    * of its codebook (fewer codewords, indices still dense via
+    * cluster-sorted collection) — identically in any engine
+    * replaying the same arithmetic (the g7c oracle replays the
+    * trainings independently and matches, proving the grouped run
+    * changes nothing).
     */
   def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
                        mSub: Int, k: Int, subDim: Int,
-                       iters: Int): Seq[Seq[Array[Double]]] =
-    (0 until mSub).map { m =>
-      val sub = df.select(col(idCol),
+                       iters: Int): Seq[Seq[Array[Double]]] = {
+    val subs = (0 until mSub).map { m =>
+      df.select(lit(m).as("__m"), col(idCol).as("__id"),
         slice(col(vecCol), m * subDim + 1, subDim).as("__sub"))
-      collectCodebook(kmeansCentroids(sub, sub.filter(col(idCol) < k),
-        idCol, "__sub", iters))
+    }.reduce(_ unionByName _)
+    var cent = subs.filter(col("__id") < k)
+      .select(col("__m"), col("__id").as("cluster"),
+        transform(col("__sub"), x => x.cast("double")).as("cv"))
+    for (_ <- 1 until iters) {
+      val packed = cent.groupBy("__m")
+        .agg(sort_array(collect_list(struct(col("cluster"), col("cv")))).as("cents"))
+        .select(col("__m"),
+          transform(col("cents"), s => s.getField("cluster")).as("__cls"),
+          transform(col("cents"), s => s.getField("cv")).as("__cvs"))
+      val assigned = subs.join(broadcast(packed), "__m")
+        .withColumn("__am", VectorFunctions.argminL2(col("__sub"), col("__cvs")))
+        .select(col("__m"),
+          when(col("__am.j") >= 0, element_at(col("__cls"), col("__am.j") + 1))
+            .otherwise(lit(-1L)).as("cluster"),
+          col("__sub"))
+      cent = assigned
+        .select(col("__m"), col("cluster"),
+          posexplode(col("__sub")).as(Seq("dim", "x")))
+        .groupBy("__m", "cluster", "dim")
+        .agg((sum(col("x").cast("double").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("mx"))
+        .groupBy("__m", "cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          p => p.getField("mx")).as("cv"))
     }
+    val rows = cent.select(col("__m"), col("cluster"), col("cv")).collect()
+    (0 until mSub).map { m =>
+      rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))
+        .map(_.getSeq[Double](2).toArray).toSeq
+    }
+  }
 
   /** IVF × PQ composed — the billion-vector serving shape. The corpus
     * index is built entirely row-locally (one projection pass: fold-

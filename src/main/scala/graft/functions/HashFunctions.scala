@@ -387,6 +387,67 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused multi-pattern count-and-redact over one materialized string
+  * (K16) — the PII-redaction shape: per pattern, the match count
+  * against the ORIGINAL text, then the replacements applied
+  * SEQUENTIALLY (pass i+1 sees pass i's output) — exactly the
+  * semantics of a `regexp_count` column per pattern plus a chained
+  * `regexp_replace`, which cost 2·N regex passes with a UTF8String →
+  * String conversion and result materialization EACH; this runs all
+  * of it against one String with the same java.util.regex engine, so
+  * results are identical byte for byte. Returns
+  * struct(counts: array<int>, red: string).
+  */
+case class RegexRedactStats(child: Expression, patterns: Seq[String],
+                            replacements: Seq[String]) extends UnaryExpression {
+  require(patterns.nonEmpty && patterns.length == replacements.length,
+    "patterns and replacements must pair up")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("counts",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false),
+      nullable = false),
+    org.apache.spark.sql.types.StructField("red",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
+  @transient private lazy val compiled =
+    patterns.map(java.util.regex.Pattern.compile).toArray
+
+  /** Public: invoked from generated code via an object reference. */
+  def redact(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = v.toString
+    val counts = new Array[Int](compiled.length)
+    var i = 0
+    while (i < compiled.length) {
+      val m = compiled(i).matcher(s)
+      var c = 0
+      while (m.find()) c += 1
+      counts(i) = c
+      i += 1
+    }
+    var cur = s
+    i = 0
+    while (i < compiled.length) {
+      cur = compiled(i).matcher(cur).replaceAll(replacements(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(counts),
+      UTF8String.fromString(cur)))
+  }
+
+  override def nullSafeEval(v: Any): Any = redact(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("redactor", this, classOf[RegexRedactStats].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.redact($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexRedactStats =
+    copy(child = newChild)
+}
+
 /** True O(n) rolling k-gram hash (Rabin–Karp over code points) — see
   * [[HashUtil.rollingGramHashes]].
   */
@@ -435,6 +496,14 @@ object HashFunctions {
     */
   def rollingGramHashes64(c: Column, k: Int): Column =
     ColumnBridge.column(RollingGramHashes64(ColumnBridge.expression(c), k))
+
+  /** Fused multi-pattern count-and-redact (native, codegen'd) — see
+    * [[RegexRedactStats]].
+    */
+  def regexRedactStats(c: Column, patterns: Seq[String],
+                       replacements: Seq[String]): Column =
+    ColumnBridge.column(
+      RegexRedactStats(ColumnBridge.expression(c), patterns, replacements))
 
   /** Ordered-distinct sliding-window minima (native, codegen'd) — see
     * [[SlidingMinDistinct64]].

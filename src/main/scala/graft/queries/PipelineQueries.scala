@@ -750,12 +750,17 @@ object PipelineQueries {
             lit("-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
             lit(" ip 10."), (col("doc_id") % 256).cast("string"),
             lit(".0."), ((col("doc_id") * 3) % 256).cast("string")))
-          .withColumn("n_emails", regexp_count(col("__full"), lit(eml)))
-          .withColumn("n_ips", regexp_count(col("__full"), lit(ip)))
-          .withColumn("n_phones", regexp_count(col("__full"), lit(tel)))
-          .withColumn("red",
-            regexp_replace(regexp_replace(regexp_replace(col("__full"),
-              eml, "<EMAIL>"), ip, "<IP>"), tel, "<PHONE>"))
+          // fused kernel (K16): 3 counts + 3 sequential replaces over
+          // ONE materialized String — the regexp_count×3 +
+          // regexp_replace-chain spelling paid 6 regex passes with a
+          // conversion and result string each; same java.util.regex
+          // engine, byte-identical results
+          .withColumn("__rr", graft.functions.HashFunctions.regexRedactStats(
+            col("__full"), Seq(eml, ip, tel), Seq("<EMAIL>", "<IP>", "<PHONE>")))
+          .withColumn("n_emails", element_at(col("__rr.counts"), 1))
+          .withColumn("n_ips", element_at(col("__rr.counts"), 2))
+          .withColumn("n_phones", element_at(col("__rr.counts"), 3))
+          .withColumn("red", col("__rr.red"))
           .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
             md5(col("red")).as("red_fp"),
             expr("substring(red, greatest(length(red) - 49, 1), 50)").as("tail_preview"))

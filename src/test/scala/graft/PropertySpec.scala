@@ -180,6 +180,42 @@ class PropertySpec extends SparkSpecBase {
     cosines.foreach { row => assert(bits(row, 0) == bits(row, 1), row.toString) }
   }
 
+  test("RegexRedactStats equals the regexp_count + chained regexp_replace spelling") {
+    import graft.functions.HashFunctions
+    val eml = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val tel = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val docs = Seq(
+      "plain text, nothing to redact",
+      "mail a@b.co and c.d+e@f-g.org twice",
+      "ip 10.0.0.1 then 255.255.255.255",
+      "call 555-123-4567 or 111-222-3333",
+      "overlap: 1.2.3.4@no — 12.34.56.78 near x@y.zz tel 999-888-7777",
+      // a phone-shaped string INSIDE an email: sequential semantics
+      // redact the email first, so the phone pass must not count it
+      // as a replacement — but n_phones counts the ORIGINAL text
+      "555-123-4567@mail.com",
+      "")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val checked = docs
+      .withColumn("rr", HashFunctions.regexRedactStats(col("s"),
+        Seq(eml, ip, tel), Seq("<EMAIL>", "<IP>", "<PHONE>")))
+      .select(
+        element_at(col("rr.counts"), 1).as("ne"), regexp_count(col("s"), lit(eml)).as("ce"),
+        element_at(col("rr.counts"), 2).as("ni"), regexp_count(col("s"), lit(ip)).as("ci"),
+        element_at(col("rr.counts"), 3).as("np"), regexp_count(col("s"), lit(tel)).as("cp"),
+        col("rr.red").as("nr"),
+        regexp_replace(regexp_replace(regexp_replace(col("s"),
+          eml, "<EMAIL>"), ip, "<IP>"), tel, "<PHONE>").as("cr"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), r.toString)
+      assert(r.getInt(2) == r.getInt(3), r.toString)
+      assert(r.getInt(4) == r.getInt(5), r.toString)
+      assert(r.getString(6) == r.getString(7), r.toString)
+    }
+  }
+
   test("RollingGramHashes64 equals the naive per-position Horner hash") {
     import graft.functions.{HashFunctions, HashUtil}
     // reference: O(n·k) recompute of every window from scratch

@@ -136,6 +136,21 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "SortAggregate") == 0)
   }
 
+  test("f9 incremental dedup: keyed join (delta broadcastable), hash-only aggregation") {
+    val p = executedPlan("f9_incremental_dedup")
+    assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") >= 1, p.take(400))
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "BroadcastNestedLoopJoin") == 0)
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
+  test("f6 winnowing: row-local kernels only — no join, no window, one output sort") {
+    val p = executedPlan("f6_winnowing")
+    assert(count(p, "Join") == 0, p.take(400))
+    assert(count(p, " Window ") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0)
+  }
+
   test("f4b simhash pairs: banded join on 16-bit band values, hash-only aggregation") {
     val p = executedPlan("f4b_simhash_pairs")
     assert(count(p, "BroadcastHashJoin") + count(p, "SortMergeJoin") >= 1)

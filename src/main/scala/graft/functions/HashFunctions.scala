@@ -81,10 +81,14 @@ object HashUtil {
 
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
-  /** Polynomial base of the rolling gram hash (coprime to P, larger
-    * than any... no — simply a classic odd base; code points reduce
-    * mod P on entry and P ≈ 2^30 keeps every intermediate product in
-    * i64).
+  /** Polynomial base of the rolling gram hash (a classic small odd
+    * base). Invariant the arithmetic relies on: code points are
+    * stored RAW (not pre-reduced) — correctness holds because the
+    * max code point 0x10FFFF < P, so the Horner accumulator stays
+    * < P and every product acc·B + cp < P·B + P ≈ 2^37 fits i64;
+    * the rolling-subtraction term reduces cp·B^(k-1) mod P as it
+    * goes (powers are pre-reduced), keeping that product < P·P ≈
+    * 2^60 < 2^63 as well.
     */
   final val RollB: Long = 131L
 

@@ -124,6 +124,15 @@ object ArgminL2Util {
   * `>` keeps the FIRST maximal index on exact ties, a null score
   * (length mismatch / null element) leaves the accumulator
   * untouched, no candidates → (-1, -Infinity).
+  *
+  * Divergence from the SQL fold, by design: a candidate with a
+  * non-positive or NaN norm is SKIPPED outright (the SQL `Divide`
+  * would raise DIVIDE_BY_ZERO under ANSI for norm==0), and a NaN
+  * score loses the Java `>` comparison (Spark SQL's comparator
+  * treats NaN as greater-than-all). Both cases require a degenerate
+  * codebook — a zero/NaN-norm centroid — which trained and literal
+  * codebooks never contain; skipping keeps the kernel total and
+  * deterministic instead of propagating Inf/NaN winners.
   */
 object ArgmaxDotNormUtil {
   def argmaxDotNorm(v: ArrayData, cands: ArrayData, norms: ArrayData,
@@ -133,7 +142,7 @@ object ArgmaxDotNormUtil {
     val k = cands.numElements()
     var i = 0
     while (i < k) {
-      if (!cands.isNullAt(i) && !norms.isNullAt(i)) {
+      if (!cands.isNullAt(i) && !norms.isNullAt(i) && norms.getDouble(i) > 0.0) {
         val d = VectorUtil.dot(v, cands.getArray(i), vf, cf)
         if (d != null) {
           val s = d.doubleValue() / norms.getDouble(i)

@@ -123,12 +123,21 @@ object Dedup {
     1013L, 2039L, 4079L, 8161L, 16319L, 32633L, 65269L, 130553L, 261101L)
   val MinhashRowsPerBand = 4
 
-  /** Per-(doc, band) MinHash signature strings.
+  /** Per-(doc, band) MinHash signatures, one LONG per band.
     *
     * All 16 minhashes are computed as parallel `min` aggregates in ONE
     * hash aggregation over the shingle set (map-side combined, a
     * single shuffle on the doc id) — no 16× row explosion, no
     * per-(doc,seed) re-shuffle. Bands then pivot out row-locally.
+    *
+    * The band signature is `xxhash64` of the band's 4 minhashes — an
+    * 8-byte join/shuffle key instead of the previous ~25-byte
+    * comma-joined string, and the natural fixed-width schema for a
+    * persisted band index ([[graft.operators.ScaleOps]] bucketing).
+    * Collisions would need two distinct 4-tuples hashing equal WITHIN
+    * one band (birthday over 2^64 — negligible at any corpus size we
+    * target); the DuckDB oracle keeps the portable 4-tuple spelling
+    * and matches on the resulting PAIR sets, which are identical.
     */
   def minhashBands(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val sh = sharedShingleSet(df, idCol, textCol, n)
@@ -140,8 +149,8 @@ object Dedup {
     val nBands = MinhashA.length / MinhashRowsPerBand
     mh.select(col(idCol), explode(array((0 until nBands).map { band =>
         struct(lit(band).as("band"),
-          concat_ws(",", (0 until MinhashRowsPerBand).map(r =>
-            col(s"mh_${band * MinhashRowsPerBand + r}").cast("string")): _*).as("sig"))
+          xxhash64((0 until MinhashRowsPerBand).map(r =>
+            col(s"mh_${band * MinhashRowsPerBand + r}")): _*).as("sig"))
       }: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
@@ -168,10 +177,15 @@ object Dedup {
       aggregate(col("__b"), lit(Long.MaxValue),
         (acc, b) => least(acc, (lit(MinhashA(i)) * b + lit(MinhashB(i))) % lit(HashUtil.P)))
     }
-    withB.select(col(idCol), explode(array((0 until nBands).map { band =>
+    // zero-shingle docs are dropped to agree with [[minhashBands]],
+    // whose aggregate path emits no group for them — without this a
+    // row-local side would emit Long.MaxValue fold-init signatures
+    // and two empty docs would spuriously "match" on every band.
+    withB.filter(size(col("__shs")) > 0)
+      .select(col(idCol), explode(array((0 until nBands).map { band =>
         struct(lit(band).as("band"),
-          concat_ws(",", (0 until MinhashRowsPerBand).map(r =>
-            mins(band * MinhashRowsPerBand + r).cast("string")): _*).as("sig"))
+          xxhash64((0 until MinhashRowsPerBand).map(r =>
+            mins(band * MinhashRowsPerBand + r)): _*).as("sig"))
       }: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
@@ -214,6 +228,41 @@ object Dedup {
       .groupBy("delta_id", "hist_id").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Persist a [[minhashBands]] frame as the HISTORY band index,
+    * bucketed+sorted on the full (band, sig) join key — the layout
+    * that makes every future delta screen exchange-free on the index
+    * side ([[incrementalNearDupBucketed]]). `sig` (the 64-bit band
+    * signature) is a uniform hash, so buckets are balanced by
+    * construction.
+    */
+  def writeBandIndex(bands: DataFrame, table: String, buckets: Int): Unit =
+    bands.write.mode("overwrite")
+      .bucketBy(buckets, "band", "sig").sortBy("band", "sig")
+      .format("parquet").saveAsTable(table)
+
+  /** F9 against a BUCKETED band index ([[writeBandIndex]]): the
+    * corpus-sized index side joins with ZERO exchange — its bucketed
+    * layout already satisfies the join distribution — so the only
+    * shuffle-sized-by-anything is the (small) delta side, and that
+    * holds even when the delta exceeds the broadcast threshold (the
+    * gap in the plain [[incrementalNearDup]], whose index side
+    * re-shuffles on every screen once AQE can't broadcast the
+    * delta). This is the production daily-batch shape at 100 TB:
+    * write the index once, bucketed; every batch pays only its own
+    * fingerprints plus a delta-sized shuffle.
+    */
+  def incrementalNearDupBucketed(spark: org.apache.spark.sql.SparkSession,
+                                 indexTable: String, idCol: String,
+                                 delta: DataFrame, textCol: String,
+                                 n: Int): DataFrame = {
+    val hist = spark.table(indexTable)
+      .select(col(idCol).as("hist_id"), col("band"), col("sig"))
+    val del = minhashBandsRowLocal(delta, idCol, textCol, n)
+      .select(col(idCol).as("delta_id"), col("band"), col("sig"))
+    del.join(hist, Seq("band", "sig"))
+      .groupBy("delta_id", "hist_id").agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Connected components over an undirected edge list — the step
     * that turns near-dup PAIRS into dedup GROUPS (keep one doc per
     * component, drop the rest). Iterative min-label propagation:
@@ -242,13 +291,21 @@ object Dedup {
     // label(x) = min(x, neighbors(x)) — one aggregation instead of a
     // full join round (iterative rounds are job-latency-bound on
     // small graphs, so every round saved matters).
+    // EVERY round's labels cut lineage via localCheckpoint (eager —
+    // it doubles as the round's materializing action). `next`
+    // references `labels` TWICE (neighbor join + own-row union), so
+    // a merely-persisted chain doubles the embedded logical plan per
+    // round: execution would survive (the cache truncates it) but
+    // plan stringification — AQE logs, explain, any toString — goes
+    // exponential and OOMs the driver once the graph diameter pushes
+    // past a handful of rounds. Checkpointed rounds keep the plan
+    // O(1) deep regardless of diameter; superseded round RDDs are
+    // unreferenced and reclaimed by the ContextCleaner. (On a cluster
+    // with executor loss in play, swap for a reliable checkpoint dir.)
     var labels = sym.groupBy(col("x"))
       .agg(min(col("y")).as("__nmin"))
       .select(col("x").as("id"), least(col("x"), col("__nmin")).as("component"))
-      .persist(lvl)
-    // The persisted frame backing `labels` (labels itself may be a
-    // projection of it — unpersist must hit the cached frame).
-    var backing = labels
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -263,23 +320,13 @@ object Dedup {
         .groupBy("id")
         .agg(min(col("component")).as("component"),
           max(when(col("own"), col("component"))).as("prev"))
-        .persist(lvl)
+        .localCheckpoint()
       changed = next.filter(col("component") =!= col("prev")).count()
-      backing.unpersist()
-      backing = next
       labels = next.select("id", "component")
       iter += 1
     }
     sym.unpersist()
-    // Truncate the iteration lineage: each round's plan embeds the
-    // previous round's, so a consumer of the raw frame would carry
-    // (and re-optimize) the whole history — the classic iterative-
-    // algorithm driver cost. localCheckpoint materializes the final
-    // labels and hands consumers a flat leaf. (On a cluster with
-    // executor loss in play, swap for a reliable checkpoint dir.)
-    val result = labels.localCheckpoint()
-    backing.unpersist()
-    result
+    labels
   }
 
   /** 32-bit SimHash over (non-distinct) tokens.

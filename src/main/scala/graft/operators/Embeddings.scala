@@ -242,12 +242,16 @@ object Embeddings {
   def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
                        mSub: Int, k: Int, subDim: Int,
                        iters: Int): Seq[Seq[Array[Double]]] = {
+    require(iters >= 1, s"trainPqCodebooks needs iters >= 1, got $iters")
     val subs = (0 until mSub).map { m =>
       df.select(lit(m).as("__m"), col(idCol).as("__id"),
         slice(col(vecCol), m * subDim + 1, subDim).as("__sub"))
     }.reduce(_ unionByName _)
+    // cluster is cast to long in the seed so the iters==1 collect path
+    // (which returns the raw seed frame) has the same column type as
+    // the post-aggregation path.
     var cent = subs.filter(col("__id") < k)
-      .select(col("__m"), col("__id").as("cluster"),
+      .select(col("__m"), col("__id").cast("long").as("cluster"),
         transform(col("__sub"), x => x.cast("double")).as("cv"))
     for (_ <- 1 until iters) {
       val packed = cent.groupBy("__m")
@@ -262,6 +266,7 @@ object Embeddings {
             .otherwise(lit(-1L)).as("cluster"),
           col("__sub"))
       cent = assigned
+        .filter(col("cluster") >= 0) // argmin j=-1 (degenerate sub-vector) must not mint a phantom cluster
         .select(col("__m"), col("cluster"),
           posexplode(col("__sub")).as(Seq("dim", "x")))
         .groupBy("__m", "cluster", "dim")
@@ -317,6 +322,64 @@ object Embeddings {
       .select("qid", "rank", "cid", "cell", "adist", "cos")
   }
 
+  /** Recall@k report of the fully-TRAINED IVF-PQ serving path
+    * ([[kmeansCentroids]] coarse + [[trainPqCodebooks]] PQ) against
+    * the [[knnBruteForce]] ground truth, at each probe width in
+    * `nprobes` — THE number a user reads to pick nprobe/cells for a
+    * recall target. The index (cell + PQ codes per corpus vector) is
+    * built ONCE — one row-local projection, persisted — and each
+    * probe width re-joins it exactly as production would re-query an
+    * index; only the tiny query fan-out differs per width. The exact-
+    * rerank budget scales WITH the probe width (`rerankPerProbe` ×
+    * nprobe) — the production pairing: a FIXED budget makes recall
+    * non-monotone in nprobe (measured 0.51→0.43 on this corpus going
+    * 1→8 probes at rerank=20), because widening the pool floods a
+    * constant-size ADC cut with false positives from foreign cells
+    * while the cell restriction itself was filtering for true
+    * neighbors. Recall is |ANN top-k ∩ exact top-k| / |exact top-k|
+    * over the whole query set; a probe width with zero hits drops
+    * out of the report (both engines aggregate the same empty group
+    * away).
+    */
+  def recallReport(corpus: DataFrame, queries: DataFrame,
+                   coarse: Seq[Array[Double]], cbs: Seq[Seq[Array[Double]]],
+                   idCol: String, vecCol: String, subDim: Int,
+                   nprobes: Seq[Int], rerankPerProbe: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val codes = array(cbs.zipWithIndex.map { case (cb, m) =>
+      VectorFunctions.pqSubCodeFrom(col(vecCol), cb, m, subDim)
+    }: _*)
+    val index = TrackedCache.persist(corpus.select(col(idCol).as("cid"),
+      col(vecCol).as("cvec"),
+      VectorFunctions.ivfCellFold(col(vecCol), coarse).as("cell"),
+      codes.as("codes")))
+    val truth = knnBruteForce(corpus, queries, idCol, vecCol, k)
+      .select(col("qid"), col("cid"))
+    val perNp = nprobes.map { np =>
+      val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        explode(VectorFunctions.ivfProbeCells(col(vecCol), coarse, np)).as("cell"))
+      val scored = index.join(broadcast(q), "cell")
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("adist",
+          VectorFunctions.pqAdcDistFrom(col("qvec"), col("codes"), cbs, subDim))
+      val aw = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
+      val cand = scored.withColumn("arank", row_number().over(aw))
+        .filter(col("arank") <= rerankPerProbe * np)
+        .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(np).as("nprobe"), col("qid"), col("cid"))
+    }.reduce(_ unionByName _)
+    val totals = truth.agg(count(lit(1)).as("n_truth"))
+    perNp.join(truth, Seq("qid", "cid"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(totals))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / col("n_truth"), 4))
+      .select("nprobe", "n_hits", "recall")
+  }
+
   /** Lloyd k-means over an embedding column — the clustering step a
     * training-data pipeline runs for semantic dedup / mixture
     * balancing (SemDeDup-style cluster-then-dedup), and the trainer
@@ -345,6 +408,75 @@ object Embeddings {
         idCol, vecCol)
     }
     assigned.select(col(idCol), col("cluster"), col("d"))
+  }
+
+  /** [[kmeansLloyd]]'s final assignment WITH the vectors retained —
+    * (id, vec, cluster, d). Same assignments (same centroids, same
+    * kernel, same tie-breaks) as kmeansLloyd at equal `iters`; the
+    * retained vector column is what downstream per-cluster geometry
+    * ([[semanticDedup]]'s in-cluster cosines) consumes without a
+    * corpus-to-corpus re-join on id.
+    */
+  def kmeansAssignments(df: DataFrame, init: DataFrame, idCol: String,
+                        vecCol: String, iters: Int): DataFrame = {
+    val corpus = df.select(col(idCol), col(vecCol))
+    kmeansAssign(corpus, kmeansCentroids(df, init, idCol, vecCol, iters),
+      idCol, vecCol)
+  }
+
+  /** SemDeDup (Abbas et al. 2023): cluster-then-dedup-within-cluster —
+    * the composition [[kmeansLloyd]] exists for. k-means buckets the
+    * corpus semantically; near-dup candidates are ONLY in-cluster
+    * pairs (never all-pairs — the join is keyed by `cluster`, so the
+    * work is Σ cluster², the same bounded-bucket shape as LSH band
+    * joins, and k grows with the corpus to keep clusters bounded);
+    * pairs with exact cosine ≥ `tau` become edges; semantic groups
+    * are their connected components ([[Dedup.connectedComponents]] —
+    * edges are cluster-bounded so components are too); the canonical
+    * member per group is keep-best under P6's policy with centrality
+    * as the quality score: the member CLOSEST to its cluster centroid
+    * (min assignment distance, ties to the smallest id) — two
+    * map-side-combined aggregations, deterministic across engines.
+    * Non-edge members are their own singleton groups, so the output
+    * partitions the corpus: one keeper per semantic group.
+    */
+  /** The Σ cluster² candidate stage of [[semanticDedup]]: in-cluster
+    * pairs (equi-join keyed by `cluster` — never an all-pairs
+    * product) with exact cosine. Exposed separately so the plan pin
+    * can assert the join shape (the full operator checkpoints its
+    * component iterations, which hides this stage from the final
+    * query plan).
+    */
+  def semanticPairs(assigned: DataFrame, idCol: String,
+                    vecCol: String): DataFrame = {
+    val l = assigned.select(col("cluster"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = assigned.select(col("cluster"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("cluster")).filter(col("a") < col("b"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("va"), col("vb")))
+      .select(col("cluster"), col("a"), col("b"), col("cos"))
+  }
+
+  def semanticDedup(df: DataFrame, init: DataFrame, idCol: String,
+                    vecCol: String, iters: Int, tau: Double): DataFrame = {
+    val a = TrackedCache.persist(
+      kmeansAssignments(df, init, idCol, vecCol, iters))
+    val edges = semanticPairs(a, idCol, vecCol)
+      .filter(col("cos") >= tau)
+      .select("a", "b")
+    val comp = Dedup.connectedComponents(edges, "a", "b")
+      .select(col("id").as(idCol), col("component"))
+    val withComp = a.select(col(idCol), col("cluster"), col("d"))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val best = withComp.groupBy(col("component"))
+      .agg(min(col("d")).as("__best_d"), count(lit(1)).as("n_members"))
+    withComp.join(best, "component")
+      .filter(col("d") === col("__best_d"))
+      .groupBy(col("component"), col("n_members"))
+      .agg(min(col(idCol)).as("keep_id"),
+        // d is a function of TRAINED centroid values → round like g5
+        round(min(col("__best_d")), 6).as("keep_d"))
+      .select("component", "keep_id", "n_members", "keep_d")
   }
 
   /** The trained centroid frame (cluster, cv: array<double>) that

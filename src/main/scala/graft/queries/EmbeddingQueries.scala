@@ -471,7 +471,7 @@ object EmbeddingQueries {
                    CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
                  FROM x1 GROUP BY 1, 2),
           c1 AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
-          cbn AS (SELECT CAST(cluster AS INT) AS j, cv,
+          cbn AS (SELECT CAST(row_number() OVER (ORDER BY cluster) - 1 AS INT) AS j, cv,
             sqrt(list_reduce(list_transform(cv, e -> e * e), (x, y) -> x + y)) AS nrm
             FROM c1),
           assign AS (
@@ -602,6 +602,207 @@ object EmbeddingQueries {
           FROM c CROSS JOIN q)
         SELECT qid, max(cos) AS max_cos,
           COUNT(CASE WHEN cos >= 0.5 THEN 1 END) AS n_above
-        FROM scored GROUP BY qid ORDER BY qid"""))
+        FROM scored GROUP BY qid ORDER BY qid""")),
+
+    // P9: SemDeDup — the composition g5 exists for (cluster, then
+    // dedup WITHIN clusters): trained k-means assignment bounds the
+    // candidate pairs (join keyed by cluster — Σ cluster² work, never
+    // all-pairs), exact cosine ≥ τ makes edges, connected components
+    // make semantic groups, and the canonical keeper per group is
+    // P6's keep-best policy with centroid-centrality as quality
+    // (min assignment distance, ties to smallest id). The oracle
+    // replays training (g5's CTEs), in-cluster pairs, recursive
+    // reachability (f7's pattern) and the keep-best aggregation end
+    // to end. τ = 0.3 keeps real multi-member groups in the random
+    // test vectors; output partitions the corpus (Σ n_members = N).
+    QueryDef("p9_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.semanticDedup(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 2, 0.3)
+          .orderBy("component")
+      },
+      Some {
+        def l2(a: String, b: String): String =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y)"""
+        s"""WITH RECURSIVE c0 AS (
+            SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id < 8),
+          s1 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
+                 FROM embeddings e CROSS JOIN c0 c),
+          a1 AS (SELECT vec_id, embedding, cluster, d FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                   FROM s1) t
+                 WHERE rn = 1),
+          x1 AS (SELECT cluster, unnest(list_transform(range(0, len(embedding)),
+                   i -> {'dim': i, 'x': CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
+                 FROM a1),
+          u1 AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
+                   CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+                 FROM x1 GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
+          s2 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
+                 FROM embeddings e CROSS JOIN c1 c),
+          a2 AS (SELECT vec_id, embedding, cluster, d FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                   FROM s2) t
+                 WHERE rn = 1),
+          pairs AS (
+            SELECT x.vec_id AS a, y.vec_id AS b
+            FROM a2 x JOIN a2 y
+              ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+            WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.3),
+          edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+          cnodes AS (SELECT DISTINCT x AS id FROM edges),
+          walk(id, r) AS (
+            SELECT id, id FROM cnodes
+            UNION
+            SELECT w.id, e.y FROM walk w JOIN edges e ON e.x = w.r),
+          comp AS (SELECT id AS vec_id, min(r) AS component FROM walk GROUP BY id),
+          wc AS (SELECT a2.vec_id, a2.d,
+                   coalesce(comp.component, a2.vec_id) AS component
+                 FROM a2 LEFT JOIN comp USING (vec_id)),
+          best AS (SELECT component, min(d) AS best_d, COUNT(*) AS n_members
+                   FROM wc GROUP BY component)
+        SELECT component, min(vec_id) AS keep_id, n_members,
+          round(best_d, 6) AS keep_d
+        FROM wc JOIN best USING (component)
+        WHERE d = best_d
+        GROUP BY component, n_members, best_d
+        ORDER BY component"""
+      }),
+
+    // G8: the recall report — trained-coarse (g7b) × trained-PQ (g7c)
+    // IVF-PQ serving measured against exact brute force at nprobe ∈
+    // {1,2,4,8}, over a fixed 10-query set at k=10. This is the
+    // operating-curve a user reads to choose nprobe for a recall
+    // target (and, with the SURVEY §5 sizing rule, cells for a
+    // corpus). The exact-rerank budget scales with the probe width
+    // (20 per probed cell) — the production pairing; see
+    // Embeddings.recallReport for why a fixed budget bends the curve
+    // DOWN. The oracle replays BOTH trainings and all four serving
+    // chains via an nprobe VALUES fan-out — recall fractions are
+    // integer-count ratios, so the hash match is exact.
+    QueryDef("g8_recall_report",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val coarse = Embeddings.collectCodebook(
+          Embeddings.kmeansCentroids(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 2))
+        val cbs = Embeddings.trainPqCodebooks(emb, "vec_id", "embedding",
+          4, 16, 16, 2)
+        Embeddings.recallReport(emb, emb.filter(col("vec_id") < 10),
+            coarse, cbs, "vec_id", "embedding", 16, Seq(1, 2, 4, 8), 20, 10)
+          .orderBy("nprobe")
+      },
+      Some {
+        def l2(a: String, b: String): String =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y)"""
+        // trained PQ per subvector m (g7c's replay, k=16 codewords)
+        def pqTrainCtes(m: Int): String = {
+          val lo = m * 16 + 1
+          val hi = m * 16 + 16
+          s"""sub$m AS (SELECT vec_id, embedding[$lo:$hi] AS sub FROM embeddings),
+          c0_$m AS (SELECT vec_id AS cluster, list_transform(sub, x -> CAST(x AS DOUBLE)) AS cv
+                    FROM sub$m WHERE vec_id < 16),
+          s1_$m AS (SELECT e.vec_id, e.sub, c.cluster, ${l2("e.sub", "c.cv")} AS d
+                    FROM sub$m e CROSS JOIN c0_$m c),
+          a1_$m AS (SELECT vec_id, sub, cluster FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                      FROM s1_$m) t
+                    WHERE rn = 1),
+          x1_$m AS (SELECT cluster, unnest(list_transform(range(0, len(sub)),
+                      i -> {'dim': i, 'x': CAST(sub[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
+                    FROM a1_$m),
+          u1_$m AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
+                      CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+                    FROM x1_$m GROUP BY 1, 2),
+          c1_$m AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1_$m GROUP BY cluster),
+          cb$m AS (SELECT row_number() OVER (ORDER BY cluster) - 1 AS j, cv FROM c1_$m),
+          encs$m AS (SELECT e.vec_id, b.j, ${l2("e.sub", "b.cv")} AS d
+                     FROM sub$m e CROSS JOIN cb$m b),
+          enc$m AS (SELECT vec_id, j AS code$m FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+                      FROM encs$m) t
+                    WHERE rn = 1)"""
+        }
+        val adist = (0 until 4).map(m =>
+          l2(s"qv.qvec[${m * 16 + 1}:${m * 16 + 16}]", s"b$m.cv")).mkString(" + ")
+        val cbJoins = (0 until 4).map(m => s"JOIN cb$m b$m ON b$m.j = c.code$m").mkString(" ")
+        s"""WITH c0 AS (
+            SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id < 8),
+          s1 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
+                 FROM embeddings e CROSS JOIN c0 c),
+          a1 AS (SELECT vec_id, embedding, cluster, d FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                   FROM s1) t
+                 WHERE rn = 1),
+          x1 AS (SELECT cluster, unnest(list_transform(range(0, len(embedding)),
+                   i -> {'dim': i, 'x': CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
+                 FROM a1),
+          u1 AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
+                   CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+                 FROM x1 GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
+          cbn AS (SELECT CAST(row_number() OVER (ORDER BY cluster) - 1 AS INT) AS j, cv,
+            sqrt(list_reduce(list_transform(cv, e -> e * e), (x, y) -> x + y)) AS nrm
+            FROM c1),
+          ${(0 until 4).map(pqTrainCtes).mkString(",\n")},
+          assign AS (
+            SELECT vec_id, j AS cell FROM (
+              SELECT e.vec_id, b.j,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${sqlDot("e.embedding", "b.cv")} / b.nrm DESC, b.j) AS rn
+              FROM embeddings e CROSS JOIN cbn b) t
+            WHERE rn = 1),
+          cidx AS (SELECT a.vec_id AS cid, a.cell, e.embedding AS cvec,
+              enc0.code0, enc1.code1, enc2.code2, enc3.code3
+            FROM assign a JOIN embeddings e USING (vec_id)
+            JOIN enc0 USING (vec_id) JOIN enc1 USING (vec_id)
+            JOIN enc2 USING (vec_id) JOIN enc3 USING (vec_id)),
+          q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+          crank AS (
+            SELECT q.qid, b.j AS cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${sqlDot("q.qvec", "b.cv")} / b.nrm DESC, b.j) AS prn
+            FROM q CROSS JOIN cbn b),
+          nv(np) AS (VALUES (1), (2), (4), (8)),
+          probed AS (SELECT nv.np, crank.qid, crank.cell
+                     FROM crank CROSS JOIN nv WHERE crank.prn <= nv.np),
+          scored AS (
+            SELECT p.np, p.qid, c.cid, qv.qvec, c.cvec, $adist AS adist
+            FROM cidx c JOIN probed p USING (cell)
+            JOIN q qv ON qv.qid = p.qid
+            $cbJoins
+            WHERE p.qid != c.cid),
+          cand AS (
+            SELECT np, qid, cid, qvec, cvec FROM (
+              SELECT *, row_number() OVER (PARTITION BY np, qid ORDER BY adist, cid) AS arank
+              FROM scored) t
+            WHERE arank <= 20 * np),
+          cand2 AS (SELECT np, qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM cand),
+          topk AS (SELECT np, qid, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, cid) AS rank
+              FROM cand2) t
+            WHERE rank <= 10),
+          bfs AS (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
+                  FROM (SELECT vec_id AS cid, embedding AS cvec FROM embeddings) c
+                  CROSS JOIN q WHERE qid != cid),
+          bf AS (SELECT qid, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+              FROM bfs) t
+            WHERE rank <= 10)
+        SELECT np AS nprobe, COUNT(*) AS n_hits,
+          round(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM bf), 4) AS recall
+        FROM topk JOIN bf USING (qid, cid)
+        GROUP BY np ORDER BY nprobe"""
+      })
   )
 }

@@ -230,6 +230,35 @@ object PipelineQueries {
         WHERE d.doc_id % 5 = 0 AND h.doc_id % 5 != 0
         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // F9b: the ZERO-index-shuffle spelling of f9 — the history band
+    // index is WRITTEN bucketed+sorted on `sig` (the production
+    // materialization; Dedup.writeBandIndex) and the delta screens
+    // against the bucketed READ: the corpus-sized side needs no
+    // exchange at all (asserted in BucketedBandIndexSpec), the only
+    // shuffle is delta-sized — and that stays true when the delta
+    // outgrows the broadcast threshold, which is where plain f9
+    // falls back to re-shuffling the index every batch. Same answer
+    // as f9 by construction (same bands, same join).
+    QueryDef("f9b_incremental_dedup_bucketed",
+      (s, dir) => {
+        val table = s"g_band_idx_${math.abs(dir.hashCode)}"
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        val docs = Tables.documents(s, dir)
+        Dedup.writeBandIndex(Dedup.minhashBands(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 4), table, 8)
+        Dedup.incrementalNearDupBucketed(s, table, "doc_id",
+            docs.filter(col("doc_id") % 5 === 0), "text", 4)
+          .orderBy("delta_id", "hist_id")
+      },
+      Some(s"""WITH $minhashBandCtes
+        SELECT d.doc_id AS delta_id, h.doc_id AS hist_id, COUNT(*) AS n_bands
+        FROM bands d JOIN bands h ON d.band = h.band AND d.sig = h.sig
+        WHERE d.doc_id % 5 = 0 AND h.doc_id % 5 != 0
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // F4: 32-bit SimHash fingerprints. The operator itself is pure
     // map-side work; the repartition only spreads the single test
     // split across cores (see f6 note).

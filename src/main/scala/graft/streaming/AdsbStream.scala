@@ -70,6 +70,9 @@ object AdsbStream {
                              ground_speed: Double, source: String,
                              scrape_time: java.sql.Timestamp)
 
+  /** A document arriving on the ingest stream (J11 screening loop). */
+  case class StreamDoc(doc_id: Long, text: String)
+
   /** The Kafka-MV normalization, streaming-safe (pure row-local
     * transforms — no shuffle, runs in the same microbatch stage as
     * the source).
@@ -330,4 +333,64 @@ object AdsbStream {
     normalized
       .withWatermark("scrape_time", watermark)
       .dropDuplicatesWithinWatermark(keys :+ "scrape_time")
+
+  /** One step of the streaming incremental-dedup LOOP (J11 — the
+    * streaming closure of F9, exposed for direct testing): the
+    * microbatch (1) fingerprints row-locally (`minhashBandsRowLocal`
+    * — a pure map stage, no stateful aggregation inside the batch),
+    * (2) SCREENS against every band row of PRIOR batches in the
+    * on-disk index (a doc sharing ≥1 band signature with history is
+    * a near-dup and is dropped; survivors land under the batch's own
+    * partition), and (3) APPENDS its own band rows to the index
+    * under `batch_id=<id>` with dynamic partition overwrite — J10's
+    * replay-idempotency pattern: a failure-replayed batch REPLACES
+    * its own band rows and survivor rows rather than duplicating
+    * them, and the `batch_id != current` read filter keeps a replay
+    * from screening against its own half-written first attempt. At
+    * scale the index read is [[graft.operators.Dedup.writeBandIndex]]'s
+    * bucketed layout; the loop shape is identical.
+    */
+  def screenAndIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
+                          textCol: String, n: Int, indexPath: String,
+                          survivorsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val bands = graft.operators.Dedup
+      .minhashBandsRowLocal(batch, idCol, textCol, n)
+    val priorBands =
+      try spark.read.parquet(indexPath)
+        .filter(col("batch_id") =!= batchId)
+        .select("band", "sig")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        // first batch: no index yet
+        import spark.implicits._
+        Seq.empty[(Int, Long)].toDF("band", "sig")
+      }
+    val dupIds = bands.join(priorBands, Seq("band", "sig"))
+      .select(col(idCol)).distinct()
+    val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+    survivors.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(survivorsPath)
+    bands.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexPath)
+  }
+
+  /** The J11 sink: every microbatch screens against all prior
+    * batches' band index and appends its own bands — the streaming
+    * daily-batch dedup loop running continuously.
+    */
+  def startScreeningSink(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, indexPath: String, survivorsPath: String,
+                         checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        screenAndIndexBatch(batch, batchId, idCol, textCol, n,
+          indexPath, survivorsPath)
+      }
+      .start()
 }

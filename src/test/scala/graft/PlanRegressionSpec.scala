@@ -159,4 +159,27 @@ class PlanRegressionSpec extends SparkSpecBase {
     // both self-join sides read the persisted fingerprint frame
     assert(count(p, "InMemoryTableScan") >= 2, p.take(400))
   }
+
+  test("p9 semantic dedup: candidate pairs keyed by cluster, hash-only aggregations") {
+    // the candidate stage directly (the full operator checkpoints
+    // its component iterations, hiding the pair join from the final
+    // plan): the self-join must be an equi-join on the cluster id —
+    // never an all-pairs product over the corpus
+    import graft.operators.Embeddings
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = Embeddings.semanticPairs(
+      Embeddings.kmeansAssignments(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 2), "vec_id", "embedding")
+    pairs.write.format("noop").mode("overwrite").save()
+    val pp = pairs.queryExecution.executedPlan.toString.replace("\n", " ")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cluster#"
+      .r.findFirstIn(pp).isDefined, pp.take(600))
+    assert(count(pp, "CartesianProduct") == 0)
+    // and the query-level keep-best stage stays hash-aggregated
+    val p = executedPlan("p9_semantic_dedup")
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
 }

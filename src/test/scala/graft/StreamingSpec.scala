@@ -304,4 +304,45 @@ class StreamingSpec extends SparkSpecBase {
     val m = spark.table("j4_out").as[(String, Long)].collect().toMap
     assert(m == Map("local" -> 2L, "regional" -> 2L))
   }
+
+  test("J11 screening loop: later batches screen against earlier ones, replay is idempotent") {
+    import graft.streaming.AdsbStream.StreamDoc
+    val dir = java.nio.file.Files.createTempDirectory("graft_j11").toString
+    val idx = s"$dir/index"
+    val out = s"$dir/survivors"
+    val b0 = Seq(
+      StreamDoc(1L, "the quick brown fox jumps over the lazy dog tonight"),
+      StreamDoc(2L, "completely different text about spark engines and scale limits")
+    ).toDF()
+    val b1 = Seq(
+      StreamDoc(3L, "the quick brown fox jumps over the lazy dog tonight"), // exact near-dup of doc 1
+      StreamDoc(4L, "novel content sharing no window of four words anywhere")
+    ).toDF()
+    AdsbStream.screenAndIndexBatch(b0, 0L, "doc_id", "text", 4, idx, out)
+    AdsbStream.screenAndIndexBatch(b1, 1L, "doc_id", "text", 4, idx, out)
+    def survivorIds: Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivorIds == Set(1L, 2L, 4L), "doc 3 must be screened by batch 0's index")
+    val idxRows = spark.read.parquet(idx).count()
+    assert(idxRows == 16, "4 docs x 4 bands in the index")
+
+    // failure-replay of batch 1: index and survivors must not grow
+    AdsbStream.screenAndIndexBatch(b1, 1L, "doc_id", "text", 4, idx, out)
+    assert(spark.read.parquet(idx).count() == idxRows, "replay duplicated index rows")
+    assert(survivorIds == Set(1L, 2L, 4L), "replay changed the survivor set")
+
+    // same loop through the actual streaming sink
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_j11s").toString
+    val input = MemoryStream[StreamDoc](spark)
+    val q = AdsbStream.startScreeningSink(input.toDF(), "doc_id", "text", 4,
+      s"$dir2/index", s"$dir2/survivors", s"$dir2/ckpt")
+    input.addData(StreamDoc(1L, "alpha beta gamma delta epsilon zeta eta theta"))
+    q.processAllAvailable()
+    input.addData(StreamDoc(2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      StreamDoc(3L, "one two three four five six seven eight nine"))
+    q.processAllAvailable(); q.stop()
+    val s2 = spark.read.parquet(s"$dir2/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 == Set(1L, 3L), "streamed doc 2 must be screened against batch 0")
+  }
 }

@@ -35,6 +35,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** [[exactGroups]] on 8-byte keys — the 10¹⁰-doc spelling: the
+    * shuffle carries a 60-bit md5 prefix (long) instead of the
+    * 32-char hex string (~4× smaller group keys, cheap equality).
+    * Prefix collisions (~N²·2⁻⁶¹) would merge two distinct-content
+    * groups; at the scale where that matters, re-verify survivors
+    * with the full digest INSIDE each group — a per-group check,
+    * never a corpus-wide string shuffle. The oracle hashes
+    * identically, so the same (astronomically unlikely) merges would
+    * appear on both sides.
+    */
+  def exactGroups64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(HashFunctions.md5prefix64(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Exact dedup: keep the min-id row of each identical-content group. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("__h", md5(col(textCol)))

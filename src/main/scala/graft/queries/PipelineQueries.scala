@@ -184,6 +184,16 @@ object PipelineQueries {
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM documents GROUP BY md5(text) ORDER BY h""")),
 
+    // F1b: exact dedup on 8-byte keys — the corpus-scale spelling
+    // (the 32-char hex key of f1 is oracle-portable but shuffles 4x
+    // the bytes; see Dedup.exactGroups64 for the collision story).
+    QueryDef("f1b_dedup_exact64",
+      (s, dir) => Dedup.exactGroups64(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("h"),
+      Some("""SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+          min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY 1 ORDER BY h""")),
+
     // F2: n-gram Jaccard near-dup candidates, top-20 by similarity.
     QueryDef("f2_dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),

@@ -23,7 +23,9 @@ object ExplainCheck {
         "e13e_kmv_aggregate", "f4b_simhash_pairs", "f8_span_dedup",
         "g5_kmeans", "g6_ann_pq_adc", "d13_interpolate", "d14_lttb_downsample",
         "g7_ivf_pq", "g7b_ann_ivf_trained", "f4c_simhash64",
-        "g7c_pq_trained", "g2c_ann_lsh_sized", "f9_incremental_dedup")
+        "g7c_pq_trained", "g2c_ann_lsh_sized", "f9_incremental_dedup",
+        "f1b_dedup_exact64", "p9_semantic_dedup", "b12_bloom_semi_join",
+        "b12b_bloom_anti_join", "g9_ann_sq_int8")
     for (name <- names) {
       println(s"========== $name")
       val df = SparkEntry.queries(name)(spark, dir)

@@ -322,6 +322,54 @@ object Embeddings {
       .select("qid", "rank", "cid", "cell", "adist", "cos")
   }
 
+  /** G9: int8 scalar-quantization ANN — the THIRD quantization family
+    * (after hyperplane LSH and PQ), and the one production serves
+    * most often because it is transform-free: each vector stores one
+    * double `amax` plus its dims as signed bytes (4× smaller than
+    * float32; for a 100 TB float corpus the scan-side index drops to
+    * ~25 TB and the per-candidate score loop reads bytes, not
+    * floats). Quantization is per-vector symmetric: scale =
+    * 127/max|v_i|, code_i = floor(v_i·scale + 0.5) ∈ [−127,127]
+    * (`floor(x+0.5)` spelled identically in both engines — ties
+    * round toward +∞, unambiguous where `round()`'s half-away/
+    * half-even dialects differ). Candidates are scored by exact
+    * cosine against the RECONSTRUCTED vector ((code·amax)/127 —
+    * parenthesization fixed, one multiply then one divide), then the
+    * top-`rerank` get the true-vector cosine rerank, so quantization
+    * error costs recall, never correctness of the final ordering.
+    * An all-zero vector (amax = 0) keeps all-zero codes and scores
+    * asim = −2 (below any cosine) instead of raising ANSI
+    * DIVIDE_BY_ZERO on the zero reconstruction norm.
+    */
+  def annSqInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, rerank: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val amax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val c = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), amax.as("amax"))
+      .withColumn("codes", when(col("amax") > 0,
+          transform(col("cvec"), x =>
+            floor(x.cast("double") * (lit(127.0) / col("amax")) + lit(0.5))
+              .cast("tinyint")))
+        .otherwise(transform(col("cvec"), _ => lit(0).cast("tinyint"))))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val recon = transform(col("codes"),
+      c2 => (c2.cast("double") * col("amax")) / lit(127.0))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("asim", when(col("amax") > 0,
+          VectorFunctions.cosineSim(col("qvec"), recon))
+        .otherwise(lit(-2.0)))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("cid"))
+    val cand = scored.withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= rerank)
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "asim", "cos")
+  }
+
   /** Recall@k report of the fully-TRAINED IVF-PQ serving path
     * ([[kmeansCentroids]] coarse + [[trainPqCodebooks]] PQ) against
     * the [[knnBruteForce]] ground truth, at each probe width in

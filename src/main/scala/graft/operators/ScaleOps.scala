@@ -148,6 +148,49 @@ object ScaleOps {
       .drop("__bkt", "__rnb")
   }
 
+  /** Bloom-prefiltered left-semi join — the runtime-filter /
+    * semi-join-reduction pattern made explicit (see
+    * [[graft.functions.BloomFilter]]): build a deterministic bitset
+    * over the build side's keys (one ObjectHashAggregate whose
+    * shuffle moves bitsets, not keys), materialize it at the driver
+    * (one ~KBs row — NOT a data collect), and probe it inside the
+    * fact side's scan filter so non-matching rows die before any
+    * exchange. The exact semi join that follows removes bloom false
+    * positives; false negatives are impossible — output is bit-exact
+    * equal to `fact ⋉ keys` while only the might-contain fraction of
+    * the fact table is ever shuffled. Use when the build side is too
+    * big to broadcast as a hash relation but its bitset is not
+    * (10⁹ keys ≈ 1–2 GB hashed relation vs ~150 MB bloom at 1% FPP).
+    */
+  def bloomSemiJoin(fact: DataFrame, factKey: String, keys: DataFrame,
+                    keyCol: String, numBits: Int = 1 << 20,
+                    numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val bytes = keys.agg(bloomAgg(col(keyCol), numBits, numHashes))
+      .head().getAs[Array[Byte]](0)
+    fact.filter(bloomMightContain(bytes, col(factKey)))
+      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
+  }
+
+  /** Bloom-split left-anti join: rows FAILING the bloom probe are
+    * definite non-members — kept immediately, map-side, no shuffle.
+    * Only the might-contain sliver takes the exact anti join. Output
+    * is bit-exact equal to `fact ▷ keys`; cost is two map-side scans
+    * of the fact table (each cheap, columnar) in exchange for
+    * shuffling ~FPP·|fact| instead of |fact|.
+    */
+  def bloomAntiJoin(fact: DataFrame, factKey: String, keys: DataFrame,
+                    keyCol: String, numBits: Int = 1 << 20,
+                    numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val bytes = keys.agg(bloomAgg(col(keyCol), numBits, numHashes))
+      .head().getAs[Array[Byte]](0)
+    val definiteOut = fact.filter(!bloomMightContain(bytes, col(factKey)))
+    val maybe = fact.filter(bloomMightContain(bytes, col(factKey)))
+      .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_anti")
+    definiteOut.unionAll(maybe)
+  }
+
   /** Persist bucketed+sorted by key — the MergeTree ORDER BY analogue
     * for the join path. Joins between tables bucketed identically on
     * the join key are exchange-free.

@@ -803,6 +803,53 @@ object EmbeddingQueries {
           round(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM bf), 4) AS recall
         FROM topk JOIN bf USING (qid, cid)
         GROUP BY np ORDER BY nprobe"""
+      }),
+
+    // G9: int8 scalar-quantization ANN (Embeddings.annSqInt8) — the
+    // oracle replays the per-vector quantize → reconstruct → approx
+    // cosine → exact rerank chain arithmetic-for-arithmetic:
+    // floor(x·(127/amax) + 0.5) codes, (code·amax)/127 reconstruction
+    // (parenthesization matches the Spark column expressions), the
+    // shared strict-left-fold cosine.
+    QueryDef("g9_ann_sq_int8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annSqInt8(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 10, 3)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val recon = """list_transform(codes, c2 -> (CAST(c2 AS DOUBLE) * amax) / 127.0)"""
+        s"""WITH sq AS (
+            SELECT vec_id, embedding,
+              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+            FROM embeddings),
+          enc AS (
+            SELECT vec_id, embedding, amax,
+              CASE WHEN amax > 0 THEN
+                list_transform(embedding, x ->
+                  CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT))
+              ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS codes
+            FROM sq),
+          scored AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              q.embedding AS qvec, c.embedding AS cvec,
+              CASE WHEN c.amax > 0
+                THEN ${sqlCos("q.embedding", recon)}
+                ELSE -2.0 END AS asim
+            FROM enc c
+            CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+            WHERE q.vec_id != c.vec_id),
+          cand AS (
+            SELECT qid, cid, qvec, cvec, asim FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY asim DESC, cid) AS arank
+              FROM scored) t
+            WHERE arank <= 10),
+          cand2 AS (SELECT qid, cid, asim, ${sqlCos("qvec", "cvec")} AS cos FROM cand)
+        SELECT qid, rank, cid, asim, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM cand2) t
+        WHERE rank <= 3 ORDER BY qid, rank"""
       })
   )
 }

@@ -145,6 +145,47 @@ object StorageQueries {
           min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
           max(value) AS max_value,
           COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d')) AS n_states
-        FROM events GROUP BY event_type ORDER BY event_type"""))
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // B12: bloom-prefiltered semi join (ScaleOps.bloomSemiJoin) — the
+    // build side (~1% of orders) is hashed into a deterministic
+    // bitset, probed inside lineitem's scan filter, and the exact
+    // semi join confirms survivors. The oracle is the PLAIN semi
+    // join: bloom false positives must be invisible in the output
+    // (removed by the confirm join), false negatives impossible — so
+    // the hash match proves the reduction is a pure optimization.
+    QueryDef("b12_bloom_semi_join",
+      (s, dir) => ScaleOps.bloomSemiJoin(
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir).filter(col("o_custkey") % 100 === 0)
+            .select("o_orderkey"),
+          "o_orderkey", 1 << 17, 5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), QueryDefs.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          ${QueryDefs.sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem WHERE l_orderkey IN (
+          SELECT o_orderkey FROM orders WHERE o_custkey % 100 = 0)
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // B12b: bloom-SPLIT anti join (ScaleOps.bloomAntiJoin) — rows
+    // failing the probe are definite non-members and bypass the
+    // shuffle entirely; only the might-contain sliver takes the exact
+    // anti join. Oracle = plain NOT IN anti join.
+    QueryDef("b12b_bloom_anti_join",
+      (s, dir) => ScaleOps.bloomAntiJoin(
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir).filter(col("o_custkey") % 100 === 0)
+            .select("o_orderkey"),
+          "o_orderkey", 1 << 17, 5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), QueryDefs.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+          ${QueryDefs.sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem WHERE l_orderkey NOT IN (
+          SELECT o_orderkey FROM orders WHERE o_custkey % 100 = 0)
+        GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

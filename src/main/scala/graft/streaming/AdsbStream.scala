@@ -378,6 +378,36 @@ object AdsbStream {
       .partitionBy("batch_id").parquet(indexPath)
   }
 
+  /** Streaming bloom-screened decontamination (J12 — the streaming
+    * face of B12b): an ingest stream is screened against a STATIC
+    * blacklist (benchmark fingerprints, banned document hashes)
+    * whose keys are folded into one K17 bloom bitset at plan time.
+    * Rows FAILING the probe are definite non-members and flow
+    * through as a pure map-side filter — no join state, no shuffle,
+    * which at full feed rate is ~all of them. Only the might-contain
+    * sliver (true hits + FPP·rate) takes the exact stream-static
+    * join; bloom false positives are restored by the null-side
+    * filter, so the output is bit-exact equal to a plain
+    * stream-static anti join. (Spelled as left_outer + IS NULL: the
+    * stream-static join matrix guarantees left-outer with a static
+    * right side, and it is stateless — the static side is just
+    * re-broadcast per microbatch.)
+    */
+  def bloomScreenStream(stream: DataFrame, keyCol: String,
+                        staticKeys: DataFrame, staticKeyCol: String,
+                        numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val bytes = staticKeys.agg(bloomAgg(col(staticKeyCol), numBits, numHashes))
+      .head().getAs[Array[Byte]](0)
+    val definite = stream.filter(!bloomMightContain(bytes, col(keyCol)))
+    val marker = staticKeys.select(col(staticKeyCol).as(keyCol))
+      .withColumn("__hit", lit(1))
+    val maybe = stream.filter(bloomMightContain(bytes, col(keyCol)))
+      .join(marker, Seq(keyCol), "left_outer")
+      .filter(col("__hit").isNull).drop("__hit")
+    definite.unionByName(maybe)
+  }
+
   /** The J11 sink: every microbatch screens against all prior
     * batches' band index and appends its own bands — the streaming
     * daily-batch dedup loop running continuously.

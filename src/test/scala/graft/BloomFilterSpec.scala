@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.{BloomFunctions, BloomUtil}
+import graft.operators.ScaleOps
+import org.apache.spark.sql.functions._
+
+class BloomFilterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("no false negatives, bounded false positives") {
+    val bits = new Array[Long]((1 << 16) / 64)
+    (0L until 2000L).foreach(v => BloomUtil.add(bits, 5, v * 7919L))
+    (0L until 2000L).foreach { v =>
+      assert(BloomUtil.mightContain(bits, 5, v * 7919L), s"false negative at $v")
+    }
+    // 2000 keys in 65536 bits, k=5 → theoretical FPP ~0.06%; allow 1%
+    val fps = (1L to 20000L).count(v => BloomUtil.mightContain(bits, 5, -v))
+    assert(fps < 200, s"false positive rate too high: $fps/20000")
+  }
+
+  test("bitset is partitioning-invariant (OR is commutative)") {
+    val keys = spark.range(0, 5000).select((col("id") * 31L).as("k"))
+    def build(parts: Int): Array[Byte] =
+      keys.repartition(parts).agg(BloomFunctions.bloomAgg(col("k"), 1 << 16, 5))
+        .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(build(1), build(7)),
+      "same key set must yield byte-identical filters under any partitioning")
+  }
+
+  test("probe expression agrees with BloomUtil under codegen") {
+    val bits = new Array[Long]((1 << 14) / 64)
+    (0L until 500L).foreach(v => BloomUtil.add(bits, 5, v))
+    val bytes = BloomUtil.serialize(bits, 5)
+    val got = spark.range(0, 2000)
+      .filter(BloomFunctions.bloomMightContain(bytes, col("id")))
+      .as[Long].collect().toSet
+    val want = (0L until 2000L).filter(BloomUtil.mightContain(bits, 5, _)).toSet
+    assert(got == want)
+    assert((0L until 500L).forall(got.contains), "inserted keys must all pass")
+  }
+
+  test("bloomSemiJoin / bloomAntiJoin are bit-exact vs plain joins") {
+    val fact = spark.range(0, 20000).select(col("id").as("fk"),
+      (col("id") % 97).as("payload"))
+    val keys = spark.range(0, 20000).filter(col("id") % 53 === 0)
+      .select(col("id").as("k"))
+    val semi = ScaleOps.bloomSemiJoin(fact, "fk", keys, "k", 1 << 14, 5)
+      .orderBy("fk").collect().toSeq
+    val plainSemi = fact.join(keys.select(col("k").as("fk")), Seq("fk"), "left_semi")
+      .orderBy("fk").collect().toSeq
+    assert(semi == plainSemi)
+    val anti = ScaleOps.bloomAntiJoin(fact, "fk", keys, "k", 1 << 14, 5)
+      .orderBy("fk").collect().toSeq
+    val plainAnti = fact.join(keys.select(col("k").as("fk")), Seq("fk"), "left_anti")
+      .orderBy("fk").collect().toSeq
+    assert(anti == plainAnti)
+  }
+
+  test("plan pin: bloom probe sits below the exchange, in the scan stage") {
+    // With broadcast disabled the exact semi join must shuffle — but
+    // the bloom filter has to run BEFORE that exchange so a 100 TB
+    // fact side is pruned at the scan, not after the shuffle.
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val fact = spark.range(0, 10000).select(col("id").as("fk"))
+      val keys = spark.range(0, 10000).filter(col("id") % 100 === 0)
+        .select(col("id").as("k"))
+      val df = ScaleOps.bloomSemiJoin(fact, "fk", keys, "k", 1 << 14, 5)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("bloom_might_contain"),
+        s"bloom probe missing from plan:\n$plan")
+      // Every shuffle feeding the join must have the probe BELOW it
+      // (in its subtree): rows die at the scan, not after the wire.
+      val exchanges = plan.collect {
+        case e if e.nodeName.startsWith("Exchange") => e
+      }
+      assert(exchanges.nonEmpty, s"expected a shuffled semi join:\n$plan")
+      exchanges.foreach { e =>
+        assert(e.toString.contains("bloom_might_contain"),
+          s"an exchange input is not bloom-pruned:\n$e")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+}

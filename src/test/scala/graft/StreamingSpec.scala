@@ -345,4 +345,25 @@ class StreamingSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s2 == Set(1L, 3L), "streamed doc 2 must be screened against batch 0")
   }
+
+  test("streaming bloom screen equals exact anti join (J12)") {
+    import graft.streaming.AdsbStream.StreamDoc
+    val input = MemoryStream[StreamDoc](spark)
+    // blacklist: every doc_id divisible by 7
+    val blacklist = spark.range(0, 1000).filter(col("id") % 7 === 0)
+      .select(col("id").as("banned"))
+    val screened = AdsbStream.bloomScreenStream(
+      input.toDF(), "doc_id", blacklist, "banned", 1 << 14, 5)
+    val q = screened.writeStream.format("memory").queryName("j12_out")
+      .outputMode("append").start()
+    val docs = (0L until 200L).map(i => StreamDoc(i, s"doc $i"))
+    input.addData(docs)
+    q.processAllAvailable()
+    input.addData(StreamDoc(700L, "late banned"), StreamDoc(701L, "late clean"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("j12_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = ((0L until 200L) ++ Seq(700L, 701L)).filter(_ % 7 != 0).toSet
+    assert(got == want, "bloom screen must be bit-exact vs plain anti join")
+  }
 }

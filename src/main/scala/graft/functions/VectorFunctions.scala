@@ -45,6 +45,21 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine of a float/double query against an int8-quantized corpus
+    * vector, decoding BYTES in the compiled score loop
+    * ([[graft.functions.VectorUtil.sqDot]]/[[graft.functions.VectorUtil.sqNormSq]])
+    * — bit-identical to `cosineSim(q, transform(codes, c ->
+    * (c·amax)/127))` (spec-pinned) without the interpreted HOF
+    * reconstruction per element. Division composition matches
+    * [[cosineSim]]: a Spark `Divide`, so ANSI zero-norm behavior is
+    * unchanged.
+    */
+  def sqCosine(q: Column, codes: Column, amax: Column): Column =
+    ColumnBridge.column(SqDot64(ColumnBridge.expression(q),
+      ColumnBridge.expression(codes), ColumnBridge.expression(amax))) /
+      (norm(q) * sqrt(ColumnBridge.column(SqNormSq64(
+        ColumnBridge.expression(codes), ColumnBridge.expression(amax)))))
+
   /** The composed HOF spelling of [[dot]] — kernel-equivalence spec
     * reference.
     */

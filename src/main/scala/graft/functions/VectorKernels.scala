@@ -65,6 +65,49 @@ object VectorUtil {
     s
   }
 
+  /** Σ q_i · ((c_i·amax)/127): dot product against an int8
+    * scalar-quantized vector, reconstructing each element on the fly
+    * from its byte code — the G9 score loop reading BYTES, not a
+    * materialized double array. Element arithmetic is the exact
+    * sequence of the composed spelling (`transform` reconstruction
+    * then [[dot]]): widen byte → double, one multiply, one divide by
+    * 127.0, then the q_i product — so results are BIT-identical to
+    * the HOF composition (spec-pinned), just without the interpreted
+    * per-element lambda. Null on length mismatch / null element.
+    */
+  def sqDot(q: ArrayData, codes: ArrayData, amax: Double,
+            qf: Boolean): java.lang.Double = {
+    val n = q.numElements()
+    if (codes.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || codes.isNullAt(i)) return null
+      val x = if (qf) q.getFloat(i).toDouble else q.getDouble(i)
+      val r = (codes.getByte(i).toDouble * amax) / 127.0
+      s += x * r
+      i += 1
+    }
+    s
+  }
+
+  /** Σ ((c_i·amax)/127)² — squared norm of the reconstruction,
+    * byte-reading companion of [[sqDot]] (same element arithmetic as
+    * `transform` + [[normSq]], bit-identical).
+    */
+  def sqNormSq(codes: ArrayData, amax: Double): java.lang.Double = {
+    val n = codes.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i)) return null
+      val r = (codes.getByte(i).toDouble * amax) / 127.0
+      s += r * r
+      i += 1
+    }
+    s
+  }
+
   /** Σ (a_i − b_i)², or null on length mismatch / null element. */
   def l2Sq(a: ArrayData, b: ArrayData, af: Boolean, bf: Boolean): java.lang.Double = {
     val n = a.numElements()
@@ -279,4 +322,54 @@ case class NormSq64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): NormSq64 =
     copy(child = newChild)
+}
+
+/** dot(q, reconstruct(codes, amax)) — see [[VectorUtil.sqDot]]. */
+case class SqDot64(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val qFloat: Boolean =
+    first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(q: Any, codes: Any, amax: Any): Any =
+    VectorUtil.sqDot(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData],
+      amax.asInstanceOf[Double], qFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c, a) => {
+      val res = ctx.freshName("sqDotRes")
+      s"""
+         |java.lang.Double $res = graft.functions.VectorUtil.sqDot($q, $c, $a, $qFloat);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+                                                 c: Expression): SqDot64 =
+    copy(first = a, second = b, third = c)
+}
+
+/** ‖reconstruct(codes, amax)‖² — see [[VectorUtil.sqNormSq]]. */
+case class SqNormSq64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(codes: Any, amax: Any): Any =
+    VectorUtil.sqNormSq(codes.asInstanceOf[ArrayData], amax.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, a) => {
+      val res = ctx.freshName("sqNormRes")
+      s"""
+         |java.lang.Double $res = graft.functions.VectorUtil.sqNormSq($c, $a);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $res.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqNormSq64 =
+    copy(left = l, right = r)
 }

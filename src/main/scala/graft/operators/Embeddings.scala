@@ -353,12 +353,13 @@ object Embeddings {
               .cast("tinyint")))
         .otherwise(transform(col("cvec"), _ => lit(0).cast("tinyint"))))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val recon = transform(col("codes"),
-      c2 => (c2.cast("double") * col("amax")) / lit(127.0))
+    // score from the BYTES via the fused decode-and-dot kernel
+    // (bit-identical to cosineSim against the `transform`
+    // reconstruction — SqInt8Spec pins the equivalence)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .withColumn("asim", when(col("amax") > 0,
-          VectorFunctions.cosineSim(col("qvec"), recon))
+          VectorFunctions.sqCosine(col("qvec"), col("codes"), col("amax")))
         .otherwise(lit(-2.0)))
     val aw = Window.partitionBy(col("qid")).orderBy(col("asim").desc, col("cid"))
     val cand = scored.withColumn("arank", row_number().over(aw))

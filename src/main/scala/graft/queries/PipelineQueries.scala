@@ -664,12 +664,20 @@ object PipelineQueries {
         val tok = tokFrame(s, dir)
         val totals = tok.agg(count(lit(1)).as("__n_total"))
         val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
-        val nll = round(-log(col("__cnt").cast("double") / col("__n_total")), 6)
+        // Quantize to 6 dp via floor(x·1e6 + 0.5)/1e6, NOT round(x, 6):
+        // both engines then run the same four IEEE ops (multiply, add,
+        // floor, divide) — bit-identical for ANY x. round() diverges at
+        // millionth-boundary ties (Spark HALF_UP on the shortest
+        // decimal repr vs DuckDB's C-style x·1e6 path) — at sf1, 10 of
+        // 50k docs landed on such a boundary.
+        def q6(c: org.apache.spark.sql.Column) =
+          floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+        val nll = q6(-log(col("__cnt").cast("double") / col("__n_total")))
         tok.join(freq, "w")
           .crossJoin(broadcast(totals))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
-            round(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+            q6(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
               .as("avg_nll"))
           .orderBy("doc_id")
       },
@@ -680,8 +688,9 @@ object PipelineQueries {
         freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
         tot AS (SELECT COUNT(*) AS n_total FROM tok)
         SELECT doc_id, COUNT(*) AS n_tokens,
-          round(CAST(SUM(CAST(round(-ln(CAST(cnt AS DOUBLE) / n_total), 6)
-            AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+          floor(CAST(SUM(CAST(
+              floor(-ln(CAST(cnt AS DOUBLE) / n_total) * 1000000.0 + 0.5) / 1000000.0
+            AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
         FROM tok JOIN freq USING (w) CROSS JOIN tot
         GROUP BY doc_id ORDER BY doc_id""")),
 

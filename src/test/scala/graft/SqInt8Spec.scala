@@ -27,6 +27,32 @@ class SqInt8Spec extends SparkSpecBase {
     assert(err == 0, s"$err vectors exceed the half-quantum reconstruction bound")
   }
 
+  test("fused SQ kernel is bit-identical to the composed HOF spelling") {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sf)
+    val amax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val enc = emb.select(col("vec_id"), col("embedding"), amax.as("amax"))
+      .withColumn("codes", transform(col("embedding"), x =>
+        floor(x.cast("double") * (lit(127.0) / col("amax")) + lit(0.5)).cast("tinyint")))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val recon = transform(col("codes"),
+      c2 => (c2.cast("double") * col("amax")) / lit(127.0))
+    val both = enc.crossJoin(q)
+      .select(col("vec_id"),
+        VectorFunctions.sqCosine(col("qvec"), col("codes"), col("amax")).as("fused"),
+        VectorFunctions.cosineSim(col("qvec"), recon).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val f = r.getAs[Double]("fused")
+      val c = r.getAs[Double]("composed")
+      assert(java.lang.Double.doubleToRawLongBits(f) ==
+        java.lang.Double.doubleToRawLongBits(c),
+        s"kernel diverged from composition at vec ${r.getLong(0)}: $f vs $c")
+    }
+  }
+
   test("g9 approx cosine tracks exact cosine and final ranking is exact-reranked") {
     val emb = Tables.embeddings(spark, sf)
     val out = Embeddings.annSqInt8(emb, emb.filter(col("vec_id") < 5),

@@ -301,9 +301,9 @@ object AdsbQueries {
         val lon = (col("value") * 2.0 % 360.0) - 180.0
         ev(s, dir)
           .select(col("event_id"),
-            round(graft.functions.GeoFunctions.haversineKm(lit(40.0), lit(-75.0), lat, lon), 6)
+            QueryDefs.q6(graft.functions.GeoFunctions.haversineKm(lit(40.0), lit(-75.0), lat, lon))
               .as("dist_km"),
-            round(graft.functions.GeoFunctions.bearingDeg(lit(40.0), lit(-75.0), lat, lon), 6)
+            QueryDefs.q6(graft.functions.GeoFunctions.bearingDeg(lit(40.0), lit(-75.0), lat, lon))
               .as("bearing_deg"))
           .orderBy("event_id")
       },
@@ -311,15 +311,15 @@ object AdsbQueries {
           SELECT event_id, (value % 90.0) - 45.0 AS lat, (value * 2.0 % 360.0) - 180.0 AS lon
           FROM events)
         SELECT event_id,
-          round(2.0 * 6371.0088 * asin(least(1.0, sqrt(
+          floor((2.0 * 6371.0088 * asin(least(1.0, sqrt(
             pow(sin(radians(lat - 40.0) / 2.0), 2.0) +
             cos(radians(40.0)) * cos(radians(lat)) *
-            pow(sin(radians(lon - (-75.0)) / 2.0), 2.0)))), 6) AS dist_km,
-          round((degrees(atan2(
+            pow(sin(radians(lon - (-75.0)) / 2.0), 2.0))))) * 1000000.0 + 0.5) / 1000000.0 AS dist_km,
+          floor(((degrees(atan2(
               sin(radians(lon - (-75.0))) * cos(radians(lat)),
               cos(radians(40.0)) * sin(radians(lat)) -
               sin(radians(40.0)) * cos(radians(lat)) * cos(radians(lon - (-75.0)))
-            )) + 360.0) % 360.0, 6) AS bearing_deg
+            )) + 360.0) % 360.0) * 1000000.0 + 0.5) / 1000000.0 AS bearing_deg
         FROM pos ORDER BY event_id""")),
 
     // D11: per-group z-score anomaly flags. Variance from exact
@@ -339,7 +339,7 @@ object AdsbQueries {
         e.join(broadcast(stats), col("event_type") === col("et"))
           .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
           .filter(abs(col("z")) > 1.8)
-          .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 6).as("z"))
+          .select(col("event_id"), col("event_type"), col("value"), QueryDefs.q6(col("z")).as("z"))
           .orderBy("event_id")
       },
       Some("""WITH stats AS (
@@ -350,7 +350,7 @@ object AdsbQueries {
           FROM events GROUP BY event_type),
         st2 AS (SELECT et, s1 / n AS mean, (s2 - s1 * s1 / n) / (n - 1) AS variance FROM stats)
         SELECT event_id, event_type, value,
-          round((value - mean) / sqrt(variance), 6) AS z
+          floor(((value - mean) / sqrt(variance)) * 1000000.0 + 0.5) / 1000000.0 AS z
         FROM events JOIN st2 ON event_type = et
         WHERE abs((value - mean) / sqrt(variance)) > 1.8
         ORDER BY event_id""")),
@@ -403,8 +403,8 @@ object AdsbQueries {
         val dLon = dKm * sin(trackRad) / (lit(111.32) * cos(radians(lat)))
         ev(s, dir)
           .select(col("event_id"),
-            round(lat + dLat, 6).as("lat_extrap"),
-            round(lon + dLon, 6).as("lon_extrap"))
+            QueryDefs.q6(lat + dLat).as("lat_extrap"),
+            QueryDefs.q6(lon + dLon).as("lon_extrap"))
           .orderBy("event_id")
       },
       Some("""WITH p AS (
@@ -415,8 +415,8 @@ object AdsbQueries {
             radians(value % 360.0) AS track_rad
           FROM events)
         SELECT event_id,
-          round(lat + (gs_kn * 1.852 * (10.0 / 3600.0)) * cos(track_rad) / 111.32, 6) AS lat_extrap,
-          round(lon + (gs_kn * 1.852 * (10.0 / 3600.0)) * sin(track_rad) / (111.32 * cos(radians(lat))), 6) AS lon_extrap
+          floor((lat + (gs_kn * 1.852 * (10.0 / 3600.0)) * cos(track_rad) / 111.32) * 1000000.0 + 0.5) / 1000000.0 AS lat_extrap,
+          floor((lon + (gs_kn * 1.852 * (10.0 / 3600.0)) * sin(track_rad) / (111.32 * cos(radians(lat)))) * 1000000.0 + 0.5) / 1000000.0 AS lon_extrap
         FROM p ORDER BY event_id""")),
 
     // D5: time-bucketed rates (Grafana timeseries panels).

@@ -670,14 +670,12 @@ object PipelineQueries {
         // millionth-boundary ties (Spark HALF_UP on the shortest
         // decimal repr vs DuckDB's C-style x·1e6 path) — at sf1, 10 of
         // 50k docs landed on such a boundary.
-        def q6(c: org.apache.spark.sql.Column) =
-          floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-        val nll = q6(-log(col("__cnt").cast("double") / col("__n_total")))
+        val nll = QueryDefs.q6(-log(col("__cnt").cast("double") / col("__n_total")))
         tok.join(freq, "w")
           .crossJoin(broadcast(totals))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_tokens"),
-            q6(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            QueryDefs.q6(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
               .as("avg_nll"))
           .orderBy("doc_id")
       },
@@ -732,7 +730,8 @@ object PipelineQueries {
     // a corpus index serves. One token explode feeds doc lengths,
     // per-(doc, term) TF and per-term DF (all map-side-combined
     // aggregations; DF/avgdl are term-level/scalar frames, broadcast).
-    // Portability: idf and each term score round to 6 dp (ln ulps),
+    // Portability: idf and each term score quantize to 6 dp (ln ulps)
+    // via the tie-stable floor spelling (QueryDefs.q6),
     // the per-doc sum is exact decimal, constants are written as
     // identical double literals in both engines.
     QueryDef("h8_bm25",
@@ -745,10 +744,10 @@ object PipelineQueries {
         val tf = tok.filter(col("w").isin(terms: _*))
           .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
         val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
-        val idf = round(log((col("n_docs") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)), 6)
-        val score = round(idf * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+        val idf = QueryDefs.q6(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+        val score = QueryDefs.q6(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
         tf.join(broadcast(dfT), "w")
           .join(dl, "doc_id")
           .crossJoin(broadcast(stats))
@@ -770,8 +769,8 @@ object PipelineQueries {
         dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
         sc AS (
           SELECT tf.doc_id,
-            round(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) * (tf * 2.2) /
-              (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)), 6) AS score
+            floor(((floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0 + 0.5) / 1000000.0) * (tf * 2.2) /
+              (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))) * 1000000.0 + 0.5) / 1000000.0 AS score
           FROM tf JOIN dfq USING (w) JOIN dl ON dl.doc_id = tf.doc_id
           CROSS JOIN stats)
         SELECT doc_id, COUNT(*) AS n_terms,

@@ -22,6 +22,21 @@ object QueryDefs {
     price.cast("decimal(18,2)") *
       (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)"))
 
+  /** Tie-stable 6-dp quantization: floor(x·1e6 + 0.5)/1e6 — four IEEE
+    * ops every engine executes identically, so results are bit-exact
+    * for ANY x. Use this (with [[sqlQ6]]) instead of `round(x, 6)` for
+    * presentation rounding over many rows: round() resolves
+    * millionth-boundary ties differently across engines (Spark
+    * HALF_UP on the shortest decimal repr vs DuckDB's C-style x·1e6
+    * path — 10 of 50k h7 rows flipped at sf1). Half-ties go toward
+    * +∞, not away from zero; identically on both sides.
+    */
+  def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** DuckDB spelling of [[q6]]. */
+  def sqlQ6(x: String): String =
+    s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
+
   /** DuckDB spelling of dsum. */
   def sqlDsum(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"

@@ -25,7 +25,8 @@ object ExplainCheck {
         "g7_ivf_pq", "g7b_ann_ivf_trained", "f4c_simhash64",
         "g7c_pq_trained", "g2c_ann_lsh_sized", "f9_incremental_dedup",
         "f1b_dedup_exact64", "p9_semantic_dedup", "b12_bloom_semi_join",
-        "b12b_bloom_anti_join", "g9_ann_sq_int8")
+        "b12b_bloom_anti_join", "g9_ann_sq_int8", "h10_char_entropy",
+        "e11c_grouping_sets")
     for (name <- names) {
       println(s"========== $name")
       val df = SparkEntry.queries(name)(spark, dir)

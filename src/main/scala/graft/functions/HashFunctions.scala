@@ -289,6 +289,33 @@ object HashUtil {
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
+
+  /** (n_chars, n_distinct, entropy) over code points — see
+    * [[CharEntropy]] for the exactness contract (per-char terms
+    * quantized to micros, summed as exact longs).
+    */
+  def charEntropy(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val len = str.length
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var n = 0L
+    var idx = 0
+    while (idx < len) {
+      val cp = str.codePointAt(idx)
+      counts.merge(cp, 1, (a, b) => a + b)
+      n += 1L
+      idx += Character.charCount(cp)
+    }
+    var micros = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().doubleValue() / n
+      val t = -(p * java.lang.Math.log(p))
+      micros += java.lang.Math.floor(t * 1e6 + 0.5).toLong
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, counts.size(), micros.toDouble / 1e6))
+  }
 }
 
 /** Codegen'd 60-bit md5-prefix hash of a string column.
@@ -486,6 +513,41 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document character-distribution statistics in ONE row-local
+  * pass (K19): code-point count, distinct code points, and Shannon
+  * entropy of the character distribution — the H-family quality
+  * signal that flags keyboard-mash / repeated-char / low-diversity
+  * documents (low entropy) without exploding the corpus into a
+  * per-character shuffle (at 100 TB a char-level explode is ~10¹⁴
+  * rows; this kernel keeps the whole computation inside the scan).
+  *
+  * Cross-engine exactness: each distinct code point's term
+  * −(p·ln p) is quantized to 6 dp via the tie-stable
+  * floor(t·1e6 + 0.5) and accumulated as exact integer MICROS, so
+  * the sum is order-independent (iteration order of the count map
+  * cannot matter) and the DuckDB mirror (`SUM(BIGINT)/1e6` over the
+  * same per-char terms) matches bit-for-bit. Counts are per CODE
+  * POINT (astral chars count once, matching UTF-8 engines), not per
+  * Java char. Empty/null-free: "" → (0, 0, 0.0).
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_chars", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_distinct",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("entropy",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.charEntropy(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.charEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** 60-bit md5-prefix hash as a Column (native expression, codegen'd). */
   def md5prefix64(c: Column): Column =
@@ -528,6 +590,12 @@ object HashFunctions {
   /** 64-bit SimHash fingerprint (native, codegen'd) — see [[SimHash64]]. */
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  /** Row-local char-distribution stats struct(n_chars, n_distinct,
+    * entropy) (native, codegen'd) — see [[CharEntropy]].
+    */
+  def charEntropy(c: Column): Column =
+    ColumnBridge.column(CharEntropy(ColumnBridge.expression(c)))
 
   /** Seeded hash h_i(s) = (a*(md5prefix64(s) mod P) + b) mod P. */
   def seededHash(c: Column, a: Long, b: Long): Column =

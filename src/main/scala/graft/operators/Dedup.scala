@@ -219,6 +219,47 @@ object Dedup {
       .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** LSH quality REPORT (F10 — the dedup-family analogue of G8's ANN
+    * recall report): for each candidate threshold `min_bands` ∈
+    * 1..bands, measure the banded-LSH candidate set against TRUE
+    * n-gram Jaccard — precision (candidates that are real ≥ τ
+    * near-dups) and recall (real near-dups the bands caught). THE
+    * table a user reads to size bands/rows-per-band for a target
+    * (the SURVEY §5 sizing rule, measured instead of assumed).
+    * Work is bounded by the pieces it reuses: candidates are
+    * Σ bucket² band joins, truth is the df-capped shingle self-join
+    * — both the documented corpus-scale shapes, sharing ONE cached
+    * shingle set. A candidate pair sharing no sub-cap shingle scores
+    * Jaccard 0 (band collisions without content overlap count
+    * against precision). Divisions are guarded: a threshold with
+    * zero candidates reports null precision rather than raising
+    * ANSI DIVIDE_BY_ZERO.
+    */
+  def lshQualityReport(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, dfCap: Int, tau: Double): DataFrame = {
+    val cand = minhashLshPairs(df, idCol, textCol, n)
+    val jac = ngramJaccardPairs(df, idCol, textCol, n, dfCap)
+      .select("a", "b", "jac")
+    val nTrue = jac.filter(col("jac") >= tau)
+      .agg(count(lit(1)).as("n_true"))
+    val scored = cand.join(jac, Seq("a", "b"), "left")
+      .withColumn("is_true", coalesce(col("jac"), lit(0.0)) >= tau)
+    scored
+      .select(explode(sequence(lit(1), col("n_bands"))).as("min_bands"),
+        col("is_true"))
+      .groupBy("min_bands")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("is_true"), 1)).as("n_true_candidates"))
+      .crossJoin(broadcast(nTrue))
+      .withColumn("precision",
+        when(col("n_candidates") > 0,
+          col("n_true_candidates").cast("double") / col("n_candidates")))
+      .withColumn("recall",
+        when(col("n_true") > 0,
+          col("n_true_candidates").cast("double") / col("n_true")))
+      .orderBy("min_bands")
+  }
+
   /** Incremental near-dup screening (F9): match a DELTA batch against
     * the historical band index without touching historical text. The
     * history side is the minhash band index a production pipeline
@@ -470,20 +511,32 @@ object Dedup {
     * frame is persisted: it feeds both self-join sides.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      simhash64(df.repartition(col(idCol)), idCol, textCol),
+      idCol, "simhash", maxHamming)
+
+  /** The banded Hamming join of [[simhashPairs]], generalized to ANY
+    * precomputed 64-bit fingerprint column — text SimHash (F4b),
+    * media perceptual hashes (I4), any locality-sensitive 64-bit
+    * print. Same losslessness contract: radius ≤ 3 over 4 16-bit
+    * bands. The print frame is persisted here (it feeds both
+    * self-join sides).
+    */
+  def hammingBandPairs(prints: DataFrame, idCol: String, printCol: String,
+                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 16-bit bands are only lossless for Hamming radius <= 3")
-    val sim = persistTracked(
-      simhash64(df.repartition(col(idCol)), idCol, textCol))
-    val banded = sim.select(col(idCol), col("simhash"),
+    val sim = persistTracked(prints)
+    val banded = sim.select(col(idCol), col(printCol),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 16).bitwiseAND(lit(65535L)).as("bv"))
+            shiftright(col(printCol), b * 16).bitwiseAND(lit(65535L)).as("bv"))
         }: _*)).as("bb"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col(printCol),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
-    val l = banded.select(col(idCol).as("a"), col("simhash").as("sa"),
+    val l = banded.select(col(idCol).as("a"), col(printCol).as("sa"),
       col("band"), col("bv"))
-    val r = banded.select(col(idCol).as("b"), col("simhash").as("sb"),
+    val r = banded.select(col(idCol).as("b"), col(printCol).as("sb"),
       col("band"), col("bv"))
     l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
       .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("n_bands"))

@@ -100,4 +100,34 @@ object Multimodal {
       }
     }
   }
+
+  /** Stub 64-bit perceptual hash (the I4 codec seam): derived
+    * deterministically from the payload BYTES via two md5 prefixes
+    * recomposed into one long (f4c's signed-safe recompose, so the
+    * same value is expressible in any SQL engine). A real pHash
+    * (decode → DCT → sign bits) is locality-sensitive; this stub is
+    * exact-sensitive — identical payloads collide at Hamming 0,
+    * distinct payloads land ~32 bits apart. Everything downstream
+    * (banding, the Σ bucket² join, the popcount verify) is the real
+    * corpus-scale machinery shared with F4b, and swaps in a true
+    * codec at THIS one function.
+    */
+  def stubPHash64(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = payload.cast("string")
+    val t1 = graft.functions.HashFunctions.md5prefix64(s)
+    val t2 = conv(substring(md5(s), 16, 15), 16, 10).cast("long")
+    t1 + shiftleft(t2.bitwiseAND(lit(7L)), 60) +
+      when(t2.bitwiseAND(lit(8L)) =!= 0, lit(Long.MinValue)).otherwise(lit(0L))
+  }
+
+  /** Media near-dup pairs (I4): stub-pHash each record row-locally,
+    * then [[graft.operators.Dedup.hammingBandPairs]] — the 4×16-bit
+    * banded Hamming join. The dedup path a multimodal corpus runs
+    * before training: re-ingested / re-encoded copies of the same
+    * asset collapse without any O(N²) comparison.
+    */
+  def mediaNearDupPairs(records: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingBandPairs(
+      records.select(col("doc_id"), stubPHash64(col("payload")).as("phash")),
+      "doc_id", "phash", maxHamming)
 }

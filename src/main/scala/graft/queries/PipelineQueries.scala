@@ -219,6 +219,48 @@ object PipelineQueries {
         .orderBy("a", "b"),
       Some(minhashSql)),
 
+    // F10: LSH quality report (Dedup.lshQualityReport) — measured
+    // precision/recall of the banded candidates vs true n-gram
+    // Jaccard at tau=0.5, per min-bands threshold. The oracle
+    // recomputes BOTH sides (band pairs + jaccard truth) from the
+    // shared shingle CTEs and replays the explode/aggregate/guarded
+    // divisions exactly.
+    QueryDef("f10_lsh_quality",
+      (s, dir) => Dedup.lshQualityReport(Tables.documents(s, dir),
+          "doc_id", "text", 4, 100, 0.5)
+        .withColumnRenamed("precision", "prec"),
+      Some(s"""WITH $minhashBandCtes,
+        cand AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        rare AS (SELECT shh FROM (SELECT shh, COUNT(*) c FROM sh GROUP BY shh) dfq
+                 WHERE c <= 100),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+          FROM (SELECT * FROM sh WHERE shh IN (SELECT shh FROM rare)) x
+          JOIN sh y ON x.shh = y.shh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        jacp AS (SELECT a, b,
+            CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jac
+          FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b),
+        tp AS (SELECT COUNT(*) AS n_true FROM jacp WHERE jac >= 0.5),
+        scored AS (SELECT c.n_bands, COALESCE(j.jac, 0.0) >= 0.5 AS is_true
+          FROM cand c LEFT JOIN jacp j ON j.a = c.a AND j.b = c.b),
+        expl AS (SELECT unnest(range(1, n_bands + 1)) AS min_bands, is_true
+          FROM scored),
+        agg AS (SELECT min_bands, COUNT(*) AS n_candidates,
+            COUNT(*) FILTER (is_true) AS n_true_candidates
+          FROM expl GROUP BY min_bands)
+        SELECT min_bands, n_candidates, n_true_candidates, n_true,
+          CASE WHEN n_candidates > 0
+            THEN CAST(n_true_candidates AS DOUBLE) / n_candidates END AS prec,
+          CASE WHEN n_true > 0
+            THEN CAST(n_true_candidates AS DOUBLE) / n_true END AS recall
+        FROM agg CROSS JOIN tp ORDER BY min_bands""")),
+
     // F9: incremental near-dup screening — a delta batch (doc_id % 5
     // == 0) against the HISTORICAL band index (the rest), the shape
     // that avoids re-fingerprinting the corpus for each new batch:
@@ -835,6 +877,42 @@ object PipelineQueries {
           substr(red, greatest(length(red) - 49, 1), 50) AS tail_preview
         FROM red0 ORDER BY doc_id""")),
 
+    // H10: character-distribution entropy (K19 kernel) — the
+    // low-diversity/keyboard-mash quality signal, computed in ONE
+    // row-local pass inside the scan (a char-level explode at 100 TB
+    // is ~10¹⁴ rows; the oracle pays that explode, the operator never
+    // does). Per-char terms are quantized to exact integer micros
+    // before summation, so the kernel's map-iteration order is
+    // irrelevant and both engines sum the same longs.
+    QueryDef("h10_char_entropy",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), HashFunctions.charEntropy(col("text")).as("ce"))
+        .select(col("doc_id"), col("ce.n_chars").as("n_chars"),
+          col("ce.n_distinct").as("n_distinct"), col("ce.entropy").as("entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (
+          SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+            i -> substr(text, CAST(i AS INT), 1))) AS c
+          FROM documents),
+        cnt AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c),
+        tot AS (SELECT doc_id, SUM(cnt) AS n FROM cnt GROUP BY doc_id),
+        terms AS (
+          SELECT cnt.doc_id, cnt.cnt,
+            CAST(floor((-((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)))
+              * 1000000.0 + 0.5) AS BIGINT) AS tu
+          FROM cnt JOIN tot USING (doc_id)),
+        agg AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+            CAST(COUNT(*) AS INT) AS n_distinct,
+            CAST(SUM(tu) AS DOUBLE) / 1000000.0 AS entropy
+          FROM terms GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(a.n_chars, 0) AS n_chars,
+          COALESCE(a.n_distinct, 0) AS n_distinct,
+          COALESCE(a.entropy, 0.0) AS entropy
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id""")),
+
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)
@@ -1056,6 +1134,48 @@ object PipelineQueries {
         SELECT doc_id, width, height,
           CAST(trunc(width * s / 1000.0) AS BIGINT) AS target_width,
           CAST(trunc(height * s / 1000.0) AS BIGINT) AS target_height
-        FROM sc ORDER BY doc_id"""))
+        FROM sc ORDER BY doc_id""")),
+
+    // I4: media near-dup pairs — stub pHash (the documented codec
+    // seam: exact-sensitive md5 recompose standing in for a DCT
+    // pHash) + the GENERIC 4x16-bit banded Hamming join shared with
+    // f4b. The corpus is the documents payloads plus re-ingested
+    // copies of docs 0..9 (id + 100000) — the re-scrape that media
+    // dedup exists to collapse; each copy pairs with its original at
+    // Hamming 0. The oracle replays print construction (signed-safe
+    // bit-63 recompose), banding, and the popcount verify.
+    QueryDef("i4_media_neardup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val reingested = docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + 100000)
+        val records = graft.operators.Multimodal.toMediaRecords(
+          docs.unionByName(reingested), "doc_id", "text")
+        graft.operators.Multimodal.mediaNearDupPairs(records, 3)
+          .orderBy("a", "b")
+      },
+      Some("""WITH media AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 10),
+        ph AS (SELECT doc_id,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT
+            + (((('0x' || substr(md5(text), 16, 15))::BIGINT) & 7) << 60)
+            + CASE WHEN ((('0x' || substr(md5(text), 16, 15))::BIGINT) & 8) != 0
+                THEN (-9223372036854775807 - 1) ELSE CAST(0 AS BIGINT) END AS phash
+          FROM media),
+        b0 AS (SELECT doc_id, phash,
+            unnest(list_transform(range(0, 4),
+              b -> {'band': b, 'bv': (phash >> CAST(b * 16 AS INT)) & 65535})) AS u
+          FROM ph),
+        banded AS (SELECT doc_id, phash, CAST(u.band AS INT) AS band, u.bv AS bv FROM b0),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, x.phash AS sa, y.phash AS sb,
+            COUNT(*) AS n_bands
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming, n_bands
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b"""))
   )
 }

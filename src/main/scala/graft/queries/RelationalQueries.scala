@@ -233,6 +233,32 @@ object RelationalQueries {
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // E11c: explicit GROUPING SETS — the general form rollup/cube are
+    // sugar for (CH GROUPING SETS): an arbitrary mix of grouping
+    // combinations in ONE expand-aggregate pass (one shuffle carrying
+    // |sets| expanded copies, not |sets| separate scans+aggregations
+    // union'd — the difference between 3 corpus reads and 1 at
+    // 100 TB). grouping_id() disambiguates a NULL group key from a
+    // rolled-up one.
+    QueryDef("e11c_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"),
+            dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(col("gid"),
+            asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        GROUPING(l_returnflag, l_linestatus) AS gid,
+        ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     // E25: top-K frequent values (CH topK analog, exact at this K):
     // one map-side-combined count aggregation, then a driver-sized
     // top-K — the count shuffle moves one row per distinct key, not

@@ -388,6 +388,34 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("lshQualityReport: counts monotone in min_bands, perfect recall at 1 band on exact dups") {
+    // corpus with engineered exact-duplicate pairs: every dup pair has
+    // Jaccard 1.0 and identical minhash sigs, so min_bands=1 recall
+    // MUST be 1.0; thresholds only shrink the candidate set
+    // ids 20..29 are verbatim copies of 0..9; every other doc's words
+    // carry a doc-unique suffix, so non-dup pairs share NO shingles
+    val docs = (0 until 30).map { i =>
+      val src = if (i >= 20) i - 20 else i
+      (i.toLong, docsText(src))
+    }.toDF("doc_id", "text")
+    val rep = Dedup.lshQualityReport(docs, "doc_id", "text", 4, 100, 0.5)
+      .orderBy("min_bands").collect()
+    assert(rep.nonEmpty)
+    val cands = rep.map(_.getAs[Long]("n_candidates"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      "candidate count must be non-increasing in min_bands")
+    val first = rep.head
+    assert(first.getAs[Long]("n_true") > 0, "engineered dups must exist")
+    assert(first.getAs[Double]("recall") == 1.0,
+      "exact duplicates share all bands: 1-band recall must be 1.0")
+  }
+
+  // doc-unique word suffixes: distinct docs share zero shingles
+  private def docsText(i: Int): String =
+    Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+      "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+      "oscar", "papa").map(w => s"$w$i").mkString(" ")
+
   test("prefixSum is exact for order ids above 2^53 (integer bucketing)") {
     // ids in a range where double arithmetic loses integer precision:
     // consecutive ids collapse to the same double, so the old

@@ -913,6 +913,37 @@ object PipelineQueries {
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id""")),
 
+    // H11: BPE pair statistics — the merge-selection step of BPE
+    // tokenizer training: count adjacent character pairs across all
+    // token occurrences, rank the top candidates (iteration 1 of the
+    // Sennrich et al. loop; subsequent iterations re-run this over
+    // re-segmented tokens). Row-local bigram expansion inside the
+    // scan; the only shuffle carries one row per DISTINCT pair
+    // (map-side combined) — at 100 TB the pair vocabulary is
+    // thousands of rows, so tokenizer statistics cost one corpus
+    // read. `sequence(1, len-1)` is guarded for 1-char tokens: under
+    // ANSI, sequence(1, 0) DESCENDS instead of being empty.
+    QueryDef("h11_bpe_pairs",
+      (s, dir) => {
+        val tok = tokFrame(s, dir)
+        tok.filter(length(col("w")) >= 2)
+          .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20)
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(ws) AS w FROM words),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, length(w)),
+            i -> substr(w, CAST(i AS INT), 2))) AS pair
+          FROM tok WHERE length(w) >= 2)
+        SELECT pair, COUNT(*) AS n FROM pairs
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)

@@ -692,6 +692,34 @@ object RelationalQueries {
                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, event_id""")),
 
+    // E31b: TIME-range moving aggregate — the frame is `RANGE 600
+    // seconds PRECEDING`, not N rows: the window an irregular event
+    // stream actually wants (a row-frame mixes 5 events from 5
+    // minutes with 5 from 5 days). Spark `rangeBetween` over unix
+    // seconds; the frame sum is exact decimal so its value is
+    // independent of intra-frame accumulation order (ties at one
+    // timestamp would otherwise make a double sum engine-ordered).
+    QueryDef("e31b_time_range_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_sec")).rangeBetween(-600, 0)
+        Tables.events(s, dir)
+          .withColumn("ts_sec", unix_seconds(col("ts")))
+          .withColumn("n_10m", count(lit(1)).over(w))
+          .withColumn("avg_10m",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+              col("n_10m"))
+          .select("event_id", "user_id", "n_10m", "avg_10m")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT event_id, user_id, COUNT(*) OVER w AS n_10m,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            / COUNT(*) OVER w AS avg_10m
+        FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_sec FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
     // E28: capped distinct count (CH `uniqUpTo(N)`) — exact when the
     // group has ≤ N distinct values, reports N+1 otherwise ("more than
     // N"). The scale shape is the pre-aggregated distinct: the

@@ -1167,6 +1167,61 @@ object PipelineQueries {
           CAST(trunc(height * s / 1000.0) AS BIGINT) AS target_height
         FROM sc ORDER BY doc_id""")),
 
+    // P10: curation pipeline v2 — the round-6 primitives COMPOSED
+    // into one declarative plan: (1) corpus-scale exact dedup on
+    // 8-byte fingerprints (F1b's spelling — keeper = min doc_id per
+    // 60-bit md5 prefix), (2) bloom-screened decontamination against
+    // the eval set's fingerprints (B12b — definite non-members never
+    // shuffle; the exact anti join only sees the might-contain
+    // sliver), (3) a row-local K19 entropy/length quality gate
+    // inside the scan. Three shuffles total for the whole pipeline:
+    // the dedup group, its keeper join, and the (sliver-sized)
+    // confirm join — the quality gate is free.
+    QueryDef("p10_curation_v2",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("fp", HashFunctions.md5prefix64(col("text")))
+        val keep = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val canon = docs.join(keep, Seq("fp", "doc_id"))
+        val blacklist = docs.filter(col("doc_id") < 10)
+          .select(col("fp").as("bfp")).distinct()
+        val clean = graft.operators.ScaleOps.bloomAntiJoin(
+          canon, "fp", blacklist, "bfp", 1 << 17, 5)
+        clean
+          .select(col("doc_id"), col("fp"),
+            HashFunctions.charEntropy(col("text")).as("ce"))
+          .select(col("doc_id"), col("fp"),
+            col("ce.n_chars").as("n_chars"), col("ce.entropy").as("entropy"))
+          .filter(col("entropy") >= 2.7 && col("n_chars") >= 100)
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, text,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+          FROM documents),
+        keep AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+        canon AS (SELECT d.* FROM d JOIN keep USING (fp, doc_id)),
+        bl AS (SELECT DISTINCT fp FROM d WHERE doc_id < 10),
+        clean AS (SELECT * FROM canon WHERE fp NOT IN (SELECT fp FROM bl)),
+        ch AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+            i -> substr(text, CAST(i AS INT), 1))) AS c
+          FROM clean),
+        cnt AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c),
+        tot AS (SELECT doc_id, SUM(cnt) AS n FROM cnt GROUP BY doc_id),
+        terms AS (
+          SELECT cnt.doc_id, cnt.cnt,
+            CAST(floor((-((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)))
+              * 1000000.0 + 0.5) AS BIGINT) AS tu
+          FROM cnt JOIN tot USING (doc_id)),
+        agg AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+            CAST(SUM(tu) AS DOUBLE) / 1000000.0 AS entropy
+          FROM terms GROUP BY doc_id)
+        SELECT c.doc_id, c.fp, a.n_chars, a.entropy
+        FROM clean c JOIN agg a USING (doc_id)
+        WHERE a.entropy >= 2.7 AND a.n_chars >= 100
+        ORDER BY c.doc_id""")),
+
     // I4: media near-dup pairs — stub pHash (the documented codec
     // seam: exact-sensitive md5 recompose standing in for a DCT
     // pHash) + the GENERIC 4x16-bit banded Hamming join shared with

@@ -182,4 +182,37 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "CartesianProduct") == 0)
     assert(count(p, "SortAggregate") == 0, p.take(400))
   }
+
+  test("p10 curation v2: bloom probes at both scans, bounded shuffles, row-local gate") {
+    val p = executedPlan("p10_curation_v2")
+    // the bloom screen reaches the scans (definite-out + maybe branches)
+    assert(count(p, "bloom_might_contain") >= 2, p.take(600))
+    // pipeline-wide shuffle budget: dedup group + keeper join (+ the
+    // sliver confirm under broadcast this is free) — the entropy gate
+    // must add NO exchange (final rangepartitioning orderBy excluded)
+    assert(count(p, "Exchange hashpartitioning") <= 3, p.take(600))
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
+  test("h11 bpe pairs: top-K via TakeOrdered, no global sort, one count shuffle past the shared token frame") {
+    val p = executedPlan("h11_bpe_pairs")
+    // the printed tree includes the SHARED token-frame build (its
+    // doc_id repartition) — the pin is on what h11 adds: exactly one
+    // pair-count exchange and a TakeOrdered, never a range sort
+    assert(count(p, "Exchange hashpartitioning\\(pair") == 1, p.take(500))
+    assert(count(p, "Exchange rangepartitioning") == 0, p.take(400))
+    assert(count(p, "TakeOrdered") >= 1, p.take(400))
+  }
+
+  test("e31b time-range window: one key shuffle, no extra exchange for the frame") {
+    val p = executedPlan("e31b_time_range_avg")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(400))
+    assert(count(p, "Window") >= 1)
+  }
+
+  test("h10 char entropy: zero shuffles before the presentation sort") {
+    val p = executedPlan("h10_char_entropy")
+    assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))
+    assert(count(p, "Exchange SinglePartition") == 0, p.take(400))
+  }
 }

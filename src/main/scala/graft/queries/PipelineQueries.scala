@@ -693,6 +693,54 @@ object PipelineQueries {
                       WHEN 'zh' THEN 250000 ELSE 0 END
         ORDER BY doc_id""")),
 
+    // P11: temperature (alpha) sampling — the mT5/XLM-R multilingual
+    // rebalancing scheme: sampling probability ∝ (n_l)^α flattens the
+    // language distribution (α=0.3 here), computed FROM the corpus
+    // counts rather than P5's fixed rates. Exactness: each pow term
+    // and each final keep threshold is quantized to integer
+    // MILLIONTHS via the tie-stable floor spelling, so the 5-term
+    // normalizer is an exact long sum (aggregation order free) and
+    // the per-doc keep decision is an integer compare of a 60-bit
+    // hash residue against an integer ppm — bit-portable despite two
+    // transcendental pow calls. Scale shape: one lang-count
+    // aggregation (map-side combined), thresholds broadcast back;
+    // the corpus never shuffles.
+    QueryDef("p11_temperature_sampling",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cz = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+          .withColumn("pw",
+            floor(pow(col("n_l").cast("double"), lit(0.3)) * lit(1e6) + lit(0.5))
+              .cast("long"))
+        val z = cz.agg(sum(col("pw")).as("z_u"), sum(col("n_l")).as("n"))
+        val th = cz.crossJoin(broadcast(z))
+          .withColumn("keep_ppm", least(lit(1000000L),
+            floor(((lit(0.5) * col("n")) * (col("pw").cast("double") / col("z_u"))
+              / col("n_l")) * lit(1e6) + lit(0.5)).cast("long")))
+          .select("lang", "keep_ppm")
+        docs.join(broadcast(th), "lang")
+          .withColumn("__u", pmod(
+            HashFunctions.md5prefix64(concat(lit("temp:"), col("doc_id").cast("string"))),
+            lit(1000000L)))
+          .filter(col("__u") < col("keep_ppm"))
+          .select(col("doc_id"), col("lang"), col("keep_ppm"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH cz AS (
+          SELECT lang, COUNT(*) AS n_l,
+            CAST(floor(pow(CAST(COUNT(*) AS DOUBLE), 0.3) * 1000000.0 + 0.5) AS BIGINT) AS pw
+          FROM documents GROUP BY lang),
+        z AS (SELECT SUM(pw) AS z_u, SUM(n_l) AS n FROM cz),
+        th AS (SELECT lang,
+            least(1000000, CAST(floor(((0.5 * n) * (CAST(pw AS DOUBLE) / z_u) / n_l)
+              * 1000000.0 + 0.5) AS BIGINT)) AS keep_ppm
+          FROM cz CROSS JOIN z)
+        SELECT d.doc_id, d.lang, t.keep_ppm
+        FROM documents d JOIN th t USING (lang)
+        WHERE ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000 < t.keep_ppm
+        ORDER BY d.doc_id""")),
+
     // H7: mean unigram negative-log-likelihood — the public
     // corpus-frequency analog of the CCNet/C4 LM-perplexity quality
     // filter: documents of rare-on-average tokens score high

@@ -26,7 +26,9 @@ object ExplainCheck {
         "g7c_pq_trained", "g2c_ann_lsh_sized", "f9_incremental_dedup",
         "f1b_dedup_exact64", "p9_semantic_dedup", "b12_bloom_semi_join",
         "b12b_bloom_anti_join", "g9_ann_sq_int8", "h10_char_entropy",
-        "e11c_grouping_sets")
+        "e11c_grouping_sets", "f10_lsh_quality", "i4_media_neardup",
+        "p10_curation_v2", "p11_temperature_sampling",
+        "e31b_time_range_avg", "h11_bpe_pairs")
     for (name <- names) {
       println(s"========== $name")
       val df = SparkEntry.queries(name)(spark, dir)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomFunctions, BloomUtil}
+import graft.functions.{BloomData, BloomFunctions, BloomUtil}
 import graft.operators.ScaleOps
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,25 @@ class BloomFilterSpec extends SparkSpecBase {
     val plainAnti = fact.join(keys.select(col("k").as("fk")), Seq("fk"), "left_anti")
       .orderBy("fk").collect().toSeq
     assert(anti == plainAnti)
+  }
+
+  test("serialization round-trips bit-exactly and empty/degenerate filters behave") {
+    val bits = new Array[Long]((1 << 12) / 64)
+    (0L until 100L).foreach(v => BloomUtil.add(bits, 7, v * 13L))
+    val round = BloomUtil.deserialize(BloomUtil.serialize(bits, 7))
+    assert(round.numHashes == 7)
+    assert(java.util.Arrays.equals(round.bits, bits))
+    // empty filter rejects everything
+    val empty = new BloomData(new Array[Long](8), 5)
+    assert((0L until 1000L).forall(v => !empty.mightContain(v)))
+    // full filter accepts everything (degenerate but total)
+    val full = new BloomData(Array.fill(8)(-1L), 5)
+    assert((0L until 1000L).forall(full.mightContain))
+    // extreme keys don't crash or alias trivially
+    val b2 = new Array[Long](16)
+    Seq(Long.MinValue, Long.MaxValue, 0L, -1L).foreach(BloomUtil.add(b2, 5, _))
+    Seq(Long.MinValue, Long.MaxValue, 0L, -1L).foreach(v =>
+      assert(BloomUtil.mightContain(b2, 5, v)))
   }
 
   test("plan pin: bloom probe sits below the exchange, in the scan stage") {

@@ -53,6 +53,22 @@ class SqInt8Spec extends SparkSpecBase {
     }
   }
 
+  test("SQ kernels: null/length-mismatch semantics match the composed spelling") {
+    import graft.functions.VectorUtil
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def arr(xs: Double*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    def bytes(xs: Byte*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    // length mismatch → null (zip_with would null-pad and null the fold)
+    assert(VectorUtil.sqDot(arr(1.0, 2.0), bytes(1, 2, 3), 0.5, qf = false) == null)
+    // empty arrays fold to the 0.0 init
+    assert(VectorUtil.sqDot(arr(), bytes(), 1.0, qf = false) == 0.0)
+    assert(VectorUtil.sqNormSq(bytes(), 1.0) == 0.0)
+    // negative codes reconstruct symmetrically
+    val d = VectorUtil.sqDot(arr(1.0, 1.0), bytes(-127, 127), 2.0, qf = false)
+    assert(d != null && math.abs(d.doubleValue()) < 1e-12,
+      s"symmetric codes must cancel, got $d")
+  }
+
   test("g9 approx cosine tracks exact cosine and final ranking is exact-reranked") {
     val emb = Tables.embeddings(spark, sf)
     val out = Embeddings.annSqInt8(emb, emb.filter(col("vec_id") < 5),

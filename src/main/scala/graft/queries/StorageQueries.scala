@@ -169,6 +169,42 @@ object StorageQueries {
           SELECT o_orderkey FROM orders WHERE o_custkey % 100 = 0)
         GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // B13: schema-evolution round-trip — the lifecycle fact of any
+    // long-lived 100 TB table: a column (`value2`) exists only in
+    // NEWER partitions. Old and new eras are written with their own
+    // schemas, read back through parquet `mergeSchema` + partition
+    // discovery, and aggregated per era. The oracle computes the
+    // same numbers from the RAW table, so the hash match proves the
+    // merged read is lossless: old rows surface value2 as NULL
+    // (n_value2 = 0), new rows carry exact values — no row loss, no
+    // column bleed across eras.
+    QueryDef("b13_schema_evolution",
+      (s, dir) => {
+        val out = tmp("b13", dir)
+        val hadoopPath = new org.apache.hadoop.fs.Path(out)
+        hadoopPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(hadoopPath, true)
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "value")
+        ev.filter(col("event_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$out/era=1")
+        ev.filter(col("event_id") % 2 === 1)
+          .withColumn("value2", col("value").cast("decimal(18,2)") * 2)
+          .write.mode("overwrite").parquet(s"$out/era=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(col("era").cast("int").as("era"))
+          .agg(count(lit(1)).as("n"),
+            QueryDefs.dsum(col("value")).as("sum_value"),
+            count(col("value2")).as("n_value2"),
+            sum(col("value2")).cast("double").as("sum_value2"))
+          .orderBy("era")
+      },
+      Some(s"""SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS era,
+          COUNT(*) AS n, ${QueryDefs.sqlDsum("value")} AS sum_value,
+          COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_value2,
+          CAST(SUM(CASE WHEN event_id % 2 = 1
+            THEN CAST(value AS DECIMAL(18,2)) * 2 END) AS DOUBLE) AS sum_value2
+        FROM events GROUP BY 1 ORDER BY era""")),
+
     // B12b: bloom-SPLIT anti join (ScaleOps.bloomAntiJoin) — rows
     // failing the probe are definite non-members and bypass the
     // shuffle entirely; only the might-contain sliver takes the exact

@@ -291,6 +291,67 @@ object AdsbQueries {
       Some("""SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         FROM events WHERE event_id % 40 = 0 ORDER BY event_id""")),
 
+    // D15: flight-track simplification by heading-change dead-band —
+    // the first-pass thinning an ADS-B map layer actually runs: keep
+    // a point iff the track TURNS there (in/out bearing change above
+    // a threshold), the time gap to the previous kept-candidate
+    // exceeds the resample interval, or it is a trajectory endpoint.
+    // Collinear cruise points drop; geometry is preserved where it
+    // changes. Pure window work: one key shuffle, lag/lead neighbors,
+    // row-local trig. The turn angle is quantized (q6) before the
+    // threshold compare so a 1-ulp libm difference at the boundary
+    // cannot flip the keep decision across engines (the d4 lesson).
+    QueryDef("d15_track_simplify",
+      (s, dir) => {
+        import graft.functions.GeoFunctions
+        val lat = (col("value") % 90.0) - 45.0
+        val lon = (col("value") * 2.0 % 360.0) - 180.0
+        val pts = ev(s, dir).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), lat.as("lat"), lon.as("lon"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val nbr = pts
+          .withColumn("plat", lag("lat", 1).over(w))
+          .withColumn("plon", lag("lon", 1).over(w))
+          .withColumn("nlat", lead("lat", 1).over(w))
+          .withColumn("nlon", lead("lon", 1).over(w))
+          .withColumn("pts_us", lag("ts_us", 1).over(w))
+        val bIn = GeoFunctions.bearingDeg(col("plat"), col("plon"), col("lat"), col("lon"))
+        val bOut = GeoFunctions.bearingDeg(col("lat"), col("lon"), col("nlat"), col("nlon"))
+        val diff = abs(bOut - bIn)
+        val turn = when(diff > 180.0, lit(360.0) - diff).otherwise(diff)
+        nbr.filter(col("plat").isNull || col("nlat").isNull ||
+            QueryDefs.q6(turn) > 20.0 ||
+            (col("ts_us") - col("pts_us")) > 600L * 1000000L)
+          .select("event_id", "user_id", "ts_us")
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some {
+        def bearing(lat1: String, lon1: String, lat2: String, lon2: String) =
+          s"""(degrees(atan2(
+              sin(radians($lon2 - $lon1)) * cos(radians($lat2)),
+              cos(radians($lat1)) * sin(radians($lat2)) -
+              sin(radians($lat1)) * cos(radians($lat2)) * cos(radians($lon2 - $lon1))
+            )) + 360.0) % 360.0"""
+        s"""WITH pos AS (
+            SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+              (value % 90.0) - 45.0 AS lat, (value * 2.0 % 360.0) - 180.0 AS lon
+            FROM events),
+          nb AS (
+            SELECT *, lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+              lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon,
+              lag(ts_us) OVER w AS pts_us
+            FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          b AS (SELECT *, ${bearing("plat", "plon", "lat", "lon")} AS b_in,
+              ${bearing("lat", "lon", "nlat", "nlon")} AS b_out FROM nb),
+          t AS (SELECT *, CASE WHEN abs(b_out - b_in) > 180.0
+              THEN 360.0 - abs(b_out - b_in) ELSE abs(b_out - b_in) END AS turn FROM b)
+          SELECT event_id, user_id, ts_us FROM t
+          WHERE plat IS NULL OR nlat IS NULL
+            OR floor(turn * 1000000.0 + 0.5) / 1000000.0 > 20.0
+            OR (ts_us - pts_us) > 600000000
+          ORDER BY user_id, ts_us, event_id"""
+      }),
+
     // D4: receiver-relative distance/direction table (the reference's
     // r_dst/r_dir columns + nearest-first dashboard panel). Rounded to
     // 6 decimals: transcendental libm results can differ by an ulp

@@ -102,6 +102,21 @@ object Demo {
     println(s"[demo] curation: ${docs.count()} docs → ${kept.count()} kept " +
       s"(${groups.count()} in near-dup groups)")
 
+    // --- Bloom-reduced decontamination (runtime-filter pattern) ---
+    val banned = docs.filter(col("doc_id") % 50 === 0)
+      .select(graft.functions.HashFunctions.md5prefix64(col("text")).as("bfp"))
+    val screened = operators.ScaleOps.bloomAntiJoin(
+      docs.withColumn("fp", graft.functions.HashFunctions.md5prefix64(col("text"))),
+      "fp", banned, "bfp")
+    println(s"[demo] bloom decontamination: ${docs.count()} docs → ${screened.count()} clean")
+
+    // --- int8 scalar-quantized ANN with exact rerank ---
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val ann = operators.Embeddings.annSqInt8(
+      emb, emb.filter(col("vec_id") < 2), "vec_id", "embedding", 10, 3)
+    println(s"[demo] int8-SQ ANN hits:")
+    ann.show(6)
+
     // --- Multimodal: binary payloads → batched feature extraction ---
     val media = Multimodal.toMediaRecords(
       sources.Tables.documents(spark, sfDir)
@@ -112,6 +127,14 @@ object Demo {
     println(s"[demo] media features extracted: ${feats.count()}")
     planned.select("doc_id", "n_bytes", "width", "height", "target_width", "target_height")
       .show(5)
+
+    // --- Media near-dup pairs over the stub perceptual hash ---
+    val mediaPairs = Multimodal.mediaNearDupPairs(
+      Multimodal.toMediaRecords(docs, "doc_id", "text")
+        .unionByName(Multimodal.toMediaRecords(
+          docs.filter(col("doc_id") < 3)
+            .withColumn("doc_id", col("doc_id") + 90000), "doc_id", "text")))
+    println(s"[demo] media near-dup pairs (re-ingest collapse): ${mediaPairs.count()}")
 
     spark.stop()
   }

@@ -79,6 +79,23 @@ object BloomUtil {
     bb.array()
   }
 
+  /** Executable sizing rule: the smallest power-of-two bit count
+    * giving ≥ `bitsPerKey` bits per expected key. At 10 bits/key with
+    * 5 hashes the FPP is ~1 % ((1−e^(−5/10))⁵ ≈ 0.009); the pow2
+    * ceiling only ever LOWERS it. Floor 1024 bits keeps tiny builds
+    * honest; cap 2³⁰ bits = 128 MB bitset — past that (≥ ~10⁸ keys/
+    * filter at 10 b/k) a single driver-shipped filter is the wrong
+    * tool anyway (partition the build side instead). The fixed
+    * default (1 << 20) the callers used to hard-code degrades to
+    * ~100 % FPP at 10⁹ keys — still bit-correct (the exact join
+    * cleans up) but silently useless: this rule replaces it.
+    */
+  def sizeFor(numKeys: Long, bitsPerKey: Int = 10): Int = {
+    val want = math.max(1024L, numKeys * bitsPerKey.toLong)
+    val capped = math.min(want, 1L << 30)
+    java.lang.Long.highestOneBit(capped * 2L - 1L).toInt
+  }
+
   def deserialize(bytes: Array[Byte]): BloomData = {
     val bb = ByteBuffer.wrap(bytes)
     val numHashes = bb.getInt

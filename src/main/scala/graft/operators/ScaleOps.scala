@@ -163,14 +163,30 @@ object ScaleOps {
     * (10⁹ keys ≈ 1–2 GB hashed relation vs ~150 MB bloom at 1% FPP).
     */
   def bloomSemiJoin(fact: DataFrame, factKey: String, keys: DataFrame,
-                    keyCol: String, numBits: Int = 1 << 20,
+                    keyCol: String, numBits: Int = 0,
                     numHashes: Int = 5): DataFrame = {
     import graft.functions.BloomFunctions._
-    val bytes = keys.agg(bloomAgg(col(keyCol), numBits, numHashes))
+    val bytes = keys.agg(bloomAgg(col(keyCol),
+        sizedBits(keys, keyCol, numBits), numHashes))
       .head().getAs[Array[Byte]](0)
     fact.filter(bloomMightContain(bytes, col(factKey)))
       .join(keys.select(col(keyCol).as(factKey)), Seq(factKey), "left_semi")
   }
+
+  /** numBits ≤ 0 ⇒ derive from the build side ([[graft.functions
+    * .BloomUtil.sizeFor]]: smallest pow2 ≥ 10·|keys|, ~1 % FPP at 5
+    * hashes). The count is one extra map-side-combined aggregation
+    * over the BUILD side — by the pattern's own precondition the
+    * small side — and exact, so sizing stays deterministic: same key
+    * set ⇒ same count ⇒ same bitset. A fixed default can't do this
+    * job: it silently degrades to ~100 % FPP when the build side
+    * outgrows it (bit-correct but useless — the whole probe side
+    * shuffles again).
+    */
+  private def sizedBits(keys: DataFrame, keyCol: String, numBits: Int): Int =
+    if (numBits > 0) numBits
+    else graft.functions.BloomUtil.sizeFor(
+      keys.agg(count(col(keyCol))).head().getLong(0))
 
   /** Bloom-split left-anti join: rows FAILING the bloom probe are
     * definite non-members — kept immediately, map-side, no shuffle.
@@ -180,10 +196,11 @@ object ScaleOps {
     * shuffling ~FPP·|fact| instead of |fact|.
     */
   def bloomAntiJoin(fact: DataFrame, factKey: String, keys: DataFrame,
-                    keyCol: String, numBits: Int = 1 << 20,
+                    keyCol: String, numBits: Int = 0,
                     numHashes: Int = 5): DataFrame = {
     import graft.functions.BloomFunctions._
-    val bytes = keys.agg(bloomAgg(col(keyCol), numBits, numHashes))
+    val bytes = keys.agg(bloomAgg(col(keyCol),
+        sizedBits(keys, keyCol, numBits), numHashes))
       .head().getAs[Array[Byte]](0)
     val definiteOut = fact.filter(!bloomMightContain(bytes, col(factKey)))
     val maybe = fact.filter(bloomMightContain(bytes, col(factKey)))

@@ -155,11 +155,13 @@ object StorageQueries {
     // (removed by the confirm join), false negatives impossible — so
     // the hash match proves the reduction is a pure optimization.
     QueryDef("b12_bloom_semi_join",
+      // numBits defaulted: the executable sizing rule derives it from
+      // a build-side count (BloomUtil.sizeFor — pow2 ≥ 10·|keys|).
       (s, dir) => ScaleOps.bloomSemiJoin(
           Tables.lineitem(s, dir), "l_orderkey",
           Tables.orders(s, dir).filter(col("o_custkey") % 100 === 0)
             .select("o_orderkey"),
-          "o_orderkey", 1 << 17, 5)
+          "o_orderkey")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), QueryDefs.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag"),
@@ -214,7 +216,7 @@ object StorageQueries {
           Tables.lineitem(s, dir), "l_orderkey",
           Tables.orders(s, dir).filter(col("o_custkey") % 100 === 0)
             .select("o_orderkey"),
-          "o_orderkey", 1 << 17, 5)
+          "o_orderkey")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), QueryDefs.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag"),

@@ -56,6 +56,56 @@ class BloomFilterSpec extends SparkSpecBase {
     assert(anti == plainAnti)
   }
 
+  test("sizeFor tracks |keys| and keeps FPP under ~2% at two corpus sizes") {
+    // The rule: smallest pow2 >= 10 bits/key, floor 1024, cap 2^30.
+    assert(BloomUtil.sizeFor(0) == 1024)
+    assert(BloomUtil.sizeFor(100) == 1024)
+    assert(BloomUtil.sizeFor(1000) == 16384)       // 10k bits -> 2^14
+    assert(BloomUtil.sizeFor(100000) == 1 << 20)   // 1M bits  -> 2^20
+    assert(BloomUtil.sizeFor(1000000) == 1 << 24)  // 10M bits -> 2^24
+    assert(BloomUtil.sizeFor(Long.MaxValue / 16) == 1 << 30) // capped
+    // monotone: more keys never shrinks the filter
+    val sizes = Seq(1L, 10L, 1000L, 100000L, 10000000L).map(BloomUtil.sizeFor(_))
+    assert(sizes == sizes.sorted)
+    // Measured FPP at the derived size, two corpus sizes a decade
+    // apart — the whole point of auto-sizing is the rate NOT degrading
+    // as the build side grows past any fixed default.
+    for (n <- Seq(2000, 20000)) {
+      val m = BloomUtil.sizeFor(n)
+      val bits = new Array[Long](m / 64)
+      (0 until n).foreach(v => BloomUtil.add(bits, 5, v.toLong * 7919L))
+      val probes = 50000
+      val fps = (1 to probes).count(v => BloomUtil.mightContain(bits, 5, -v.toLong))
+      assert(fps.toDouble / probes < 0.02,
+        s"FPP at n=$n, m=$m: $fps/$probes >= 2%")
+    }
+  }
+
+  test("auto-sized joins (numBits=0 default) stay bit-exact and deterministic") {
+    val fact = spark.range(0, 30000).select(col("id").as("fk"),
+      (col("id") % 7).as("payload"))
+    val keys = spark.range(0, 30000).filter(col("id") % 11 === 0)
+      .select(col("id").as("k"))
+    val semi = ScaleOps.bloomSemiJoin(fact, "fk", keys, "k")
+      .orderBy("fk").collect().toSeq
+    val plainSemi = fact.join(keys.select(col("k").as("fk")), Seq("fk"), "left_semi")
+      .orderBy("fk").collect().toSeq
+    assert(semi == plainSemi)
+    val anti = ScaleOps.bloomAntiJoin(fact, "fk", keys, "k")
+      .orderBy("fk").collect().toSeq
+    val plainAnti = fact.join(keys.select(col("k").as("fk")), Seq("fk"), "left_anti")
+      .orderBy("fk").collect().toSeq
+    assert(anti == plainAnti)
+    // determinism of the derived size: same key set, different
+    // partitioning -> byte-identical auto-sized bitsets
+    def build(parts: Int): Array[Byte] = {
+      val ks = keys.repartition(parts)
+      val m = BloomUtil.sizeFor(ks.agg(count(col("k"))).head().getLong(0))
+      ks.agg(BloomFunctions.bloomAgg(col("k"), m, 5)).head().getAs[Array[Byte]](0)
+    }
+    assert(java.util.Arrays.equals(build(1), build(13)))
+  }
+
   test("serialization round-trips bit-exactly and empty/degenerate filters behave") {
     val bits = new Array[Long]((1 << 12) / 64)
     (0L until 100L).foreach(v => BloomUtil.add(bits, 7, v * 13L))

@@ -384,6 +384,100 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) — same contract as [[connectedComponents]]
+    * (every node in the edge list labeled with the smallest
+    * reachable id) but O(log² n) rounds REGARDLESS of graph
+    * diameter, vs min-label's O(diameter). Near-dup components are
+    * star-like (diameter ≤ a few) so min-label stays the default;
+    * this is the swap-in for adversarial long-chain graphs (chained
+    * boilerplate corpora), where min-label pays one round per hop:
+    * a 128-node path costs min-label ~127 rounds and this ~6.
+    *
+    * Each round: large-star hooks every strictly-larger neighbor of
+    * u to m(u) = min(u ∪ Γ(u)) — connectivity-preserving because
+    * every edge (x, y), x > y is re-emitted from its smaller
+    * endpoint's perspective; small-star then hooks u and all its
+    * smaller neighbors to m(u). Both are one join + one
+    * min-aggregation on node ids (same shuffle shape as a min-label
+    * round); convergence is a MUTUAL fixed point (large-star AND
+    * small-star both leave the edge set unchanged — checked with
+    * set-equality via distinct counts, no row data to the driver),
+    * which holds exactly when the edges form stars centered at each
+    * component's minimum. Rounds localCheckpoint for the same
+    * plan-depth reason as [[connectedComponents]].
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 30): DataFrame =
+    starComponents(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus its round count (spec hook for
+    * the O(log d) assertion).
+    */
+  private[graft] def starComponents(edges: DataFrame, aCol: String,
+                                    bCol: String, maxIter: Int)
+      : (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nodes = edges.select(col(aCol).as("id"))
+      .unionByName(edges.select(col(bCol).as("id")))
+      .distinct().persist(lvl)
+    // Canonical undirected set: one (hi, lo) row per edge, self-loops
+    // dropped (they carry no connectivity; the node set above still
+    // remembers their endpoints).
+    var cur = edges.filter(col(aCol) =!= col(bCol))
+      .select(greatest(col(aCol), col(bCol)).as("x"),
+        least(col(aCol), col(bCol)).as("y"))
+      .distinct()
+      .localCheckpoint()
+    var curN = cur.count()
+    // A == B for distinct frames iff |A| = |B| = |A ∪ B|.
+    def sameSet(a: DataFrame, aN: Long, b: DataFrame, bN: Long): Boolean =
+      aN == bN && a.unionByName(b).distinct().count() == aN
+    var converged = curN == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val sym = cur.select(col("x").as("u"), col("y").as("v"))
+        .unionByName(cur.select(col("y").as("u"), col("x").as("v")))
+      val lm = sym.groupBy("u").agg(min(col("v")).as("__nm"))
+        .select(col("u"), least(col("u"), col("__nm")).as("m"))
+      // v > u ≥ m, so the (hi, lo) orientation is already canonical.
+      val ls = sym.join(lm, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y"))
+        .filter(col("x") =!= col("y"))
+        .distinct()
+        .localCheckpoint()
+      val lsN = ls.count()
+      // cur is (hi, lo)-directed, so Γ(x) here is exactly the
+      // smaller-neighbor set small-star operates on.
+      val sm = ls.groupBy("x").agg(min(col("y")).as("m"))
+      val ss = ls.join(sm, "x")
+        .select(col("y").as("v"), col("m"))
+        .unionByName(sm.select(col("x").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(greatest(col("v"), col("m")).as("x"),
+          least(col("v"), col("m")).as("y"))
+        .distinct()
+        .localCheckpoint()
+      val ssN = ss.count()
+      converged = sameSet(ls, lsN, cur, curN) && sameSet(ss, ssN, ls, lsN)
+      cur = ss
+      curN = ssN
+      iter += 1
+    }
+    // Converged edges are stars (leaf → component min); centers and
+    // isolated nodes label themselves.
+    val stars = cur.select(col("x").as("id"), col("y").as("component"))
+      .groupBy("id").agg(min(col("component")).as("component"))
+    val labels = nodes.join(stars, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      .localCheckpoint()
+    nodes.unpersist()
+    (labels, iter)
+  }
+
   /** 32-bit SimHash over (non-distinct) tokens.
     *
     * Entirely row-local — a document's simhash never needs data from

@@ -30,4 +30,40 @@ class ComponentsSpec extends SparkSpecBase {
     val got = components(Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))
     assert(got == Map(5L -> 5L, 6L -> 5L))
   }
+
+  private def starComponents(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("large-star/small-star matches min-label on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val viaMinLabel = Dedup.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", maxIter = 200)
+        .as[(Long, Long)].collect().toMap
+      assert(starComponents(edges) == viaMinLabel)
+    }
+  }
+
+  test("star handles self-loops, duplicates and reversed edges") {
+    val got = starComponents(Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))
+    assert(got == Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("star resolves a diameter-127 chain in O(log d) rounds") {
+    // Min-label propagates the min ONE hop per round: this chain
+    // would cost it ~127 rounds (and its default maxIter = 20 would
+    // stop short). Large-star/small-star halves-and-hooks: the same
+    // graph converges in a handful of rounds.
+    val n = 128L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.starComponents(edges, "a", "b", 30)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to n).toSet)
+    assert(got.values.toSet == Set(1L))
+    assert(rounds <= 8, s"star took $rounds rounds on diameter ${n - 1}")
+  }
 }

@@ -17,6 +17,18 @@ object VectorFunctions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
+  /** Tie-stable fixed-point quantization at `decimals` dp:
+    * floor(x·10^d + 0.5)/10^d — four IEEE ops every engine executes
+    * identically (the QueryDefs.q6 rule, available here because
+    * operators cannot depend on the queries package). Use instead of
+    * `round(x, d)` on any many-row float path: round() resolves
+    * boundary ties differently across engines (h7's sf1-only bug).
+    */
+  def quantize(c: Column, decimals: Int): Column = {
+    val s = lit(math.pow(10.0, decimals))
+    floor(c * s + lit(0.5)) / s
+  }
+
   /** Σ a_i*b_i as a strict left fold in double (native kernel). */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(

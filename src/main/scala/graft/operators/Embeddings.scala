@@ -425,7 +425,11 @@ object Embeddings {
       .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
       .crossJoin(broadcast(totals))
       .withColumn("recall",
-        round(col("n_hits").cast("double") / col("n_truth"), 4))
+        // tie-stable 4-dp (not round(x, 4)): the fraction is an exact
+        // integer ratio today, but one corpus change away from a
+        // ten-thousandth tie the two engines round apart (h7 class)
+        VectorFunctions.quantize(
+          col("n_hits").cast("double") / col("n_truth"), 4))
       .select("nprobe", "n_hits", "recall")
   }
 
@@ -523,8 +527,9 @@ object Embeddings {
       .filter(col("d") === col("__best_d"))
       .groupBy(col("component"), col("n_members"))
       .agg(min(col(idCol)).as("keep_id"),
-        // d is a function of TRAINED centroid values → round like g5
-        round(min(col("__best_d")), 6).as("keep_d"))
+        // d is a function of TRAINED centroid values → quantize like
+        // g5, tie-stable (round()'s dialects differ at ties — h7)
+        VectorFunctions.quantize(min(col("__best_d")), 6).as("keep_d"))
       .select("component", "keep_id", "n_members", "keep_d")
   }
 

@@ -42,6 +42,65 @@ object EmbeddingQueries {
         CAST((('0x' || substr(md5('c$j' || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
           % 2001 - 1000) AS DOUBLE) / 1000.0)"""
 
+  /** The SemDeDup oracle (p9/p9b): replays training (g5's CTEs),
+    * in-cluster pairs, recursive reachability (f7's pattern) and the
+    * keep-best aggregation end to end; `seedWhere` picks the k-means
+    * seed rows (the only thing the demo and sized spellings differ
+    * in).
+    */
+  private def p9OracleSql(seedWhere: String): String = {
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_transform(list_zip($a, $b),
+          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+               (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+          (x, y) -> x + y)"""
+    s"""WITH RECURSIVE c0 AS (
+        SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE $seedWhere),
+      s1 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
+             FROM embeddings e CROSS JOIN c0 c),
+      a1 AS (SELECT vec_id, embedding, cluster, d FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+               FROM s1) t
+             WHERE rn = 1),
+      x1 AS (SELECT cluster, unnest(list_transform(range(0, len(embedding)),
+               i -> {'dim': i, 'x': CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
+             FROM a1),
+      u1 AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
+               CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+             FROM x1 GROUP BY 1, 2),
+      c1 AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
+      s2 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
+             FROM embeddings e CROSS JOIN c1 c),
+      a2 AS (SELECT vec_id, embedding, cluster, d FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+               FROM s2) t
+             WHERE rn = 1),
+      pairs AS (
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM a2 x JOIN a2 y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.3),
+      edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
+      cnodes AS (SELECT DISTINCT x AS id FROM edges),
+      walk(id, r) AS (
+        SELECT id, id FROM cnodes
+        UNION
+        SELECT w.id, e.y FROM walk w JOIN edges e ON e.x = w.r),
+      comp AS (SELECT id AS vec_id, min(r) AS component FROM walk GROUP BY id),
+      wc AS (SELECT a2.vec_id, a2.d,
+               coalesce(comp.component, a2.vec_id) AS component
+             FROM a2 LEFT JOIN comp USING (vec_id)),
+      best AS (SELECT component, min(d) AS best_d, COUNT(*) AS n_members
+               FROM wc GROUP BY component)
+    SELECT component, min(vec_id) AS keep_id, n_members,
+      ${QueryDefs.sqlQ6("best_d")} AS keep_d
+    FROM wc JOIN best USING (component)
+    WHERE d = best_d
+    GROUP BY component, n_members, best_d
+    ORDER BY component"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // G1: brute-force cosine top-5 for a fixed query set.
@@ -261,8 +320,8 @@ object EmbeddingQueries {
             "vec_id", "embedding", 2)
           .groupBy("cluster")
           .agg(count(lit(1)).as("n_members"),
-            round(sum(col("d").cast("decimal(27,12)")).cast("double") /
-              count(lit(1)), 6).as("mean_dist"))
+            QueryDefs.q6(sum(col("d").cast("decimal(27,12)")).cast("double") /
+              count(lit(1))).as("mean_dist"))
           .orderBy("cluster")
       },
       Some {
@@ -294,7 +353,7 @@ object EmbeddingQueries {
                    FROM s2) t
                  WHERE rn = 1)
           SELECT cluster, COUNT(*) AS n_members,
-            round(CAST(SUM(CAST(d AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS mean_dist
+            ${QueryDefs.sqlQ6("CAST(SUM(CAST(d AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)")} AS mean_dist
           FROM a2 GROUP BY cluster ORDER BY cluster"""
       }),
 
@@ -510,7 +569,7 @@ object EmbeddingQueries {
         // cos stays raw: it reads the original vectors only.
         Embeddings.annPqAdcWith(emb, emb.filter(col("vec_id") < 3), cbs,
             "vec_id", "embedding", 16, 3, 10)
-          .withColumn("adist", round(col("adist"), 6))
+          .withColumn("adist", QueryDefs.q6(col("adist")))
           .orderBy("qid", "rank")
       },
       Some {
@@ -569,7 +628,7 @@ object EmbeddingQueries {
               FROM scored) t
             WHERE arank <= 10),
           cand2 AS (SELECT qid, cid, adist, ${sqlCos("qvec", "cvec")} AS cos FROM cand)
-        SELECT qid, rank, cid, round(adist, 6) AS adist, cos FROM (
+        SELECT qid, rank, cid, ${QueryDefs.sqlQ6("adist")} AS adist, cos FROM (
           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
           FROM cand2) t
         WHERE rank <= 3 ORDER BY qid, rank"""
@@ -622,58 +681,29 @@ object EmbeddingQueries {
             "vec_id", "embedding", 2, 0.3)
           .orderBy("component")
       },
-      Some {
-        def l2(a: String, b: String): String =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
-                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
-              (x, y) -> x + y)"""
-        s"""WITH RECURSIVE c0 AS (
-            SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-            FROM embeddings WHERE vec_id < 8),
-          s1 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
-                 FROM embeddings e CROSS JOIN c0 c),
-          a1 AS (SELECT vec_id, embedding, cluster, d FROM (
-                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-                   FROM s1) t
-                 WHERE rn = 1),
-          x1 AS (SELECT cluster, unnest(list_transform(range(0, len(embedding)),
-                   i -> {'dim': i, 'x': CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
-                 FROM a1),
-          u1 AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
-                   CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
-                 FROM x1 GROUP BY 1, 2),
-          c1 AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
-          s2 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
-                 FROM embeddings e CROSS JOIN c1 c),
-          a2 AS (SELECT vec_id, embedding, cluster, d FROM (
-                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-                   FROM s2) t
-                 WHERE rn = 1),
-          pairs AS (
-            SELECT x.vec_id AS a, y.vec_id AS b
-            FROM a2 x JOIN a2 y
-              ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-            WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.3),
-          edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b AS x, a AS y FROM pairs),
-          cnodes AS (SELECT DISTINCT x AS id FROM edges),
-          walk(id, r) AS (
-            SELECT id, id FROM cnodes
-            UNION
-            SELECT w.id, e.y FROM walk w JOIN edges e ON e.x = w.r),
-          comp AS (SELECT id AS vec_id, min(r) AS component FROM walk GROUP BY id),
-          wc AS (SELECT a2.vec_id, a2.d,
-                   coalesce(comp.component, a2.vec_id) AS component
-                 FROM a2 LEFT JOIN comp USING (vec_id)),
-          best AS (SELECT component, min(d) AS best_d, COUNT(*) AS n_members
-                   FROM wc GROUP BY component)
-        SELECT component, min(vec_id) AS keep_id, n_members,
-          round(best_d, 6) AS keep_d
-        FROM wc JOIN best USING (component)
-        WHERE d = best_d
-        GROUP BY component, n_members, best_d
-        ORDER BY component"""
-      }),
+      Some(p9OracleSql("vec_id < 8"))),
+
+    // P9b: SemDeDup at the SURVEY §5 sizing rule — k = max(8, N/64)
+    // trained cells, so clusters stay ~64 members and the in-cluster
+    // pair stage (Σ cluster² — the quadratic part on BOTH engines) is
+    // linear in N. This is the spelling a 100 TB corpus runs; p9's
+    // k=8 is the demo constant. The count-derived k keeps the oracle's
+    // serial DuckDB replay linear-ish too, which is what lets the
+    // composition be oracle-checked ABOVE sf0.01 (p9's one remaining
+    // scale-evidence gap in round 6's verdict).
+    QueryDef("p9b_semantic_dedup_sized",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // integer division == floor for the positive count; the SQL
+        // seed spells floor() so both engines pick identical seeds
+        val cells = math.max(8L, emb.count() / 64L)
+        Embeddings.semanticDedup(emb, emb.filter(col("vec_id") < cells),
+            "vec_id", "embedding", 2, 0.3)
+          .orderBy("component")
+      },
+      Some(p9OracleSql(
+        """vec_id < greatest(8, CAST(floor(
+             (SELECT COUNT(*) FROM embeddings) / 64.0) AS BIGINT))"""))),
 
     // G8: the recall report — trained-coarse (g7b) × trained-PQ (g7c)
     // IVF-PQ serving measured against exact brute force at nprobe ∈
@@ -800,7 +830,7 @@ object EmbeddingQueries {
               FROM bfs) t
             WHERE rank <= 10)
         SELECT np AS nprobe, COUNT(*) AS n_hits,
-          round(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM bf), 4) AS recall
+          ${QueryDefs.sqlQ4("CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM bf)")} AS recall
         FROM topk JOIN bf USING (qid, cid)
         GROUP BY np ORDER BY nprobe"""
       }),

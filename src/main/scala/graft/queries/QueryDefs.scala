@@ -37,6 +37,13 @@ object QueryDefs {
   def sqlQ6(x: String): String =
     s"floor(($x) * 1000000.0 + 0.5) / 1000000.0"
 
+  /** [[q6]] at 4 dp — for ratio-style report columns (recall). */
+  def q4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+
+  /** DuckDB spelling of [[q4]]. */
+  def sqlQ4(x: String): String =
+    s"floor(($x) * 10000.0 + 0.5) / 10000.0"
+
   /** DuckDB spelling of dsum. */
   def sqlDsum(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"

@@ -1,0 +1,125 @@
+package graft
+
+import graft.streaming.AdsbStream
+import graft.streaming.AdsbStream.{CurrentPosition, StreamDoc}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming throughput micro-bench (the batch bench's sibling):
+  * drives the three stateful streaming paths with MemoryStream at two
+  * input rates and reports rows/s plus the state/index size the path
+  * carries — the evidence that state stays BOUNDED (J3 by the active
+  * fleet via TTL, J5 by the watermark window, J11's on-disk index
+  * linear in unique survivors, never in raw rows).
+  *
+  * MemoryStream excludes source I/O by design: the number measured is
+  * the transform + state-store + sink cost, which is the part this
+  * library owns. Each scenario prints one JSON line; the collected
+  * output is published as STREAM_BENCH_r{N}.md.
+  */
+object StreamBench {
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+  private val baseMs = 1700000000000L
+
+  /** rows for one microbatch: `fleet` distinct aircraft keys, event
+    * time advancing one second per batch — every batch touches every
+    * key, the worst case for per-key state churn.
+    */
+  private def fleetBatch(batchIdx: Int, rows: Int, fleet: Int): Seq[CurrentPosition] =
+    (0 until rows).map { i =>
+      val key = i % fleet
+      CurrentPosition(f"icao$key%06x", s"cs$key", (key % 180) - 90.0,
+        (key % 360) - 180.0, key % 40000, (i % 600).toDouble, "local",
+        ts(baseMs + batchIdx * 1000L + (i / fleet)))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("streambench").toString
+    val batches = 8
+    val rates = Seq(10000, 50000)
+
+    def emit(scenario: String, rate: Int, rowsIn: Long, secs: Double,
+             stateRows: Long, extra: String = ""): Unit =
+      println(s"""{"scenario":"$scenario","rows_per_batch":$rate,""" +
+        s""""batches":$batches,"rows_in":$rowsIn,"wall_s":${f"$secs%.2f"},""" +
+        s""""rows_per_s":${(rowsIn / secs).toLong},"state_rows":$stateRows$extra}""")
+
+    // ---- J3: latest-state with TTL (flatMapGroupsWithState) --------
+    for (rate <- rates) {
+      val fleet = 5000
+      val input = MemoryStream[CurrentPosition](spark)
+      val q = AdsbStream.latestStateWithTtl(spark, input.toDF(),
+          ttlMs = 3600 * 1000L, watermark = "10 seconds")
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", s"$tmp/j3_$rate/ckpt").start()
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        input.addData(fleetBatch(b, rate, fleet)); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val state = q.lastProgress.stateOperators.head.numRowsTotal
+      q.stop()
+      // state must be the FLEET size, independent of rows_in
+      emit("j3_latest_state_ttl", rate, batches.toLong * rate, secs, state,
+        s""","fleet":$fleet""")
+    }
+
+    // ---- J5: watermarked stream dedup ------------------------------
+    for (rate <- rates) {
+      // 50% of each batch duplicates row (key, scrape_time) pairs —
+      // dedup state is bounded by UNIQUE rows inside the watermark,
+      // and the watermark expires whole batches as event time advances
+      val fleet = 5000
+      val input = MemoryStream[CurrentPosition](spark)
+      val q = AdsbStream.dedupStream(input.toDF(), "10 seconds",
+          Seq("icao24"))
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$tmp/j5_$rate/ckpt").start()
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        val rows = fleetBatch(b, rate / 2, fleet)
+        input.addData(rows ++ rows); q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val state = q.lastProgress.stateOperators.head.numRowsTotal
+      q.stop()
+      emit("j5_dedup_watermark", rate, batches.toLong * rate, secs, state)
+    }
+
+    // ---- J11: screen-and-append incremental dedup loop -------------
+    for (rate <- rates) {
+      // 10% of each batch near-dups the PREVIOUS batch (same text ⇒
+      // same bands); the index grows linearly in unique survivors
+      val (index, surv) = (s"$tmp/j11_$rate/index", s"$tmp/j11_$rate/surv")
+      def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
+        val dup = b > 0 && i < rate / 10
+        val (ob, oi) = if (dup) (b - 1, i) else (b, i)
+        val words = (0 until 30).map(w => s"w${(ob * 7 + oi * 13 + w * 31) % 997}")
+        StreamDoc(b.toLong * rate + i, words.mkString(" "))
+      }
+      val t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        AdsbStream.screenAndIndexBatch(docBatch(b).toDF("doc_id", "text"),
+          b, "doc_id", "text", 3, index, surv)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val indexRows = spark.read.parquet(index).count()
+      val survivors = spark.read.parquet(surv).count()
+      emit("j11_screen_append", rate, batches.toLong * rate, secs, indexRows,
+        s""","survivors":$survivors""")
+    }
+
+    spark.stop()
+  }
+}

@@ -253,14 +253,14 @@ object AdsbQueries {
         WHERE rn = 1 AND value > 50 ORDER BY value, event_id""")),
 
     // D2: per-key time series inside a dashboard time range. The range
-    // predicate is on the raw nanos column so it pushes into the
-    // parquet scan (row-group pruning at scale); the derived timestamp
-    // wouldn't push.
+    // filter goes through Tables.tsRange so it lands on whichever
+    // time column is physically raw and pushes into the parquet scan
+    // (row-group pruning at scale); a filter on the derived twin
+    // alone wouldn't push.
     QueryDef("d2_time_series",
-      (s, dir) => ev(s, dir)
-        .filter(col("ts_ns") >= Tables.epochNanos("2024-01-10T00:00:00Z") &&
-          col("ts_ns") < Tables.epochNanos("2024-01-12T00:00:00Z") &&
-          col("event_type") === "click")
+      (s, dir) => Tables.tsRange(ev(s, dir),
+          "2024-01-10T00:00:00Z", "2024-01-12T00:00:00Z")
+        .filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("value"),
           unix_micros(col("ts")).as("ts_us"))
         .orderBy("ts_us", "event_id"),

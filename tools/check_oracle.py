@@ -48,7 +48,10 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # partial datasets (e.g. the documents-only sf10 stretch) are fine:
+        # a view over a missing file only matters if a checked query uses it
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok = fail = 0
     for name in sorted(oracles):

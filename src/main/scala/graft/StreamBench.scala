@@ -7,10 +7,11 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Streaming throughput micro-bench (the batch bench's sibling):
   * drives the three stateful streaming paths with MemoryStream at two
-  * input rates and reports rows/s plus the state/index size the path
-  * carries — the evidence that state stays BOUNDED (J3 by the active
-  * fleet via TTL, J5 by the watermark window, J11's on-disk index
-  * linear in unique survivors, never in raw rows).
+  * input rates and reports rows/s plus the per-batch STATE TRAJECTORY
+  * — the evidence that state stays BOUNDED: J3 plateaus at the active
+  * fleet size, J5's dedup state plateaus at the unique rows inside
+  * the watermark window (older batches expire), and J11's on-disk
+  * index grows linearly in unique SURVIVORS, never in raw feed rows.
   *
   * MemoryStream excludes source I/O by design: the number measured is
   * the transform + state-store + sink cost, which is the part this
@@ -23,15 +24,16 @@ object StreamBench {
   private val baseMs = 1700000000000L
 
   /** rows for one microbatch: `fleet` distinct aircraft keys, event
-    * time advancing one second per batch — every batch touches every
+    * time advancing `stepMs` per batch — every batch touches every
     * key, the worst case for per-key state churn.
     */
-  private def fleetBatch(batchIdx: Int, rows: Int, fleet: Int): Seq[CurrentPosition] =
+  private def fleetBatch(batchIdx: Int, rows: Int, fleet: Int,
+                         stepMs: Long): Seq[CurrentPosition] =
     (0 until rows).map { i =>
       val key = i % fleet
       CurrentPosition(f"icao$key%06x", s"cs$key", (key % 180) - 90.0,
         (key % 360) - 180.0, key % 40000, (i % 600).toDouble, "local",
-        ts(baseMs + batchIdx * 1000L + (i / fleet)))
+        ts(baseMs + batchIdx * stepMs + (i / fleet)))
     }
 
   def main(args: Array[String]): Unit = {
@@ -50,12 +52,15 @@ object StreamBench {
     val rates = Seq(10000, 50000)
 
     def emit(scenario: String, rate: Int, rowsIn: Long, secs: Double,
-             stateRows: Long, extra: String = ""): Unit =
+             trajectory: Seq[Long], extra: String = ""): Unit =
       println(s"""{"scenario":"$scenario","rows_per_batch":$rate,""" +
         s""""batches":$batches,"rows_in":$rowsIn,"wall_s":${f"$secs%.2f"},""" +
-        s""""rows_per_s":${(rowsIn / secs).toLong},"state_rows":$stateRows$extra}""")
+        s""""rows_per_s":${(rowsIn / secs).toLong},""" +
+        s""""state_rows_per_batch":${trajectory.mkString("[", ",", "]")},""" +
+        s""""state_rows":${trajectory.last}$extra}""")
 
     // ---- J3: latest-state with TTL (flatMapGroupsWithState) --------
+    // state must plateau at the FLEET size whatever the input rate
     for (rate <- rates) {
       val fleet = 5000
       val input = MemoryStream[CurrentPosition](spark)
@@ -64,22 +69,24 @@ object StreamBench {
         .writeStream.format("noop").outputMode("update")
         .option("checkpointLocation", s"$tmp/j3_$rate/ckpt").start()
       val t0 = System.nanoTime()
-      (0 until batches).foreach { b =>
-        input.addData(fleetBatch(b, rate, fleet)); q.processAllAvailable()
+      val traj = (0 until batches).map { b =>
+        input.addData(fleetBatch(b, rate, fleet, stepMs = 1000L))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      val state = q.lastProgress.stateOperators.head.numRowsTotal
       q.stop()
-      // state must be the FLEET size, independent of rows_in
-      emit("j3_latest_state_ttl", rate, batches.toLong * rate, secs, state,
+      emit("j3_latest_state_ttl", rate, batches.toLong * rate, secs, traj,
         s""","fleet":$fleet""")
     }
 
     // ---- J5: watermarked stream dedup ------------------------------
+    // 50% of each batch duplicates (key, scrape_time) pairs. Event
+    // time advances 5 s per batch against a 10 s watermark, so from
+    // batch ~3 on the watermark EXPIRES whole earlier batches: the
+    // trajectory must rise for ~3 batches then PLATEAU — dedup state
+    // is the unique rows inside the window, not the stream's history.
     for (rate <- rates) {
-      // 50% of each batch duplicates row (key, scrape_time) pairs —
-      // dedup state is bounded by UNIQUE rows inside the watermark,
-      // and the watermark expires whole batches as event time advances
       val fleet = 5000
       val input = MemoryStream[CurrentPosition](spark)
       val q = AdsbStream.dedupStream(input.toDF(), "10 seconds",
@@ -87,36 +94,39 @@ object StreamBench {
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", s"$tmp/j5_$rate/ckpt").start()
       val t0 = System.nanoTime()
-      (0 until batches).foreach { b =>
-        val rows = fleetBatch(b, rate / 2, fleet)
-        input.addData(rows ++ rows); q.processAllAvailable()
+      val traj = (0 until batches).map { b =>
+        val rows = fleetBatch(b, rate / 2, fleet, stepMs = 5000L)
+        input.addData(rows ++ rows)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      val state = q.lastProgress.stateOperators.head.numRowsTotal
       q.stop()
-      emit("j5_dedup_watermark", rate, batches.toLong * rate, secs, state)
+      emit("j5_dedup_watermark", rate, batches.toLong * rate, secs, traj)
     }
 
     // ---- J11: screen-and-append incremental dedup loop -------------
+    // 10% of each batch near-dups the PREVIOUS batch; every other doc
+    // is globally unique (tokens carry the doc's identity). The
+    // on-disk band index must grow linearly in unique SURVIVORS
+    // (~90% of feed rows), never in raw rows.
     for (rate <- rates) {
-      // 10% of each batch near-dups the PREVIOUS batch (same text ⇒
-      // same bands); the index grows linearly in unique survivors
       val (index, surv) = (s"$tmp/j11_$rate/index", s"$tmp/j11_$rate/surv")
       def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
         val dup = b > 0 && i < rate / 10
         val (ob, oi) = if (dup) (b - 1, i) else (b, i)
-        val words = (0 until 30).map(w => s"w${(ob * 7 + oi * 13 + w * 31) % 997}")
+        val words = (0 until 30).map(w => s"w${ob}_${oi}_$w")
         StreamDoc(b.toLong * rate + i, words.mkString(" "))
       }
       val t0 = System.nanoTime()
-      (0 until batches).foreach { b =>
+      val traj = (0 until batches).map { b =>
         AdsbStream.screenAndIndexBatch(docBatch(b).toDF("doc_id", "text"),
           b, "doc_id", "text", 3, index, surv)
+        spark.read.parquet(index).count()
       }
       val secs = (System.nanoTime() - t0) / 1e9
-      val indexRows = spark.read.parquet(index).count()
       val survivors = spark.read.parquet(surv).count()
-      emit("j11_screen_append", rate, batches.toLong * rate, secs, indexRows,
+      emit("j11_screen_append", rate, batches.toLong * rate, secs, traj,
         s""","survivors":$survivors""")
     }
 

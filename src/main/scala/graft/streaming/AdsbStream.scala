@@ -341,14 +341,25 @@ object AdsbStream {
     * (2) SCREENS against every band row of PRIOR batches in the
     * on-disk index (a doc sharing ≥1 band signature with history is
     * a near-dup and is dropped; survivors land under the batch's own
-    * partition), and (3) APPENDS its own band rows to the index
-    * under `batch_id=<id>` with dynamic partition overwrite — J10's
-    * replay-idempotency pattern: a failure-replayed batch REPLACES
-    * its own band rows and survivor rows rather than duplicating
-    * them, and the `batch_id != current` read filter keeps a replay
-    * from screening against its own half-written first attempt. At
-    * scale the index read is [[graft.operators.Dedup.writeBandIndex]]'s
-    * bucketed layout; the loop shape is identical.
+    * partition), and (3) APPENDS the SURVIVORS' band rows to the
+    * index under `batch_id=<id>` with dynamic partition overwrite —
+    * J10's replay-idempotency pattern: a failure-replayed batch
+    * REPLACES its own band rows and survivor rows rather than
+    * duplicating them, and the `batch_id != current` read filter
+    * keeps a replay from screening against its own half-written
+    * first attempt.
+    *
+    * Survivor-only indexing is the canonical-set semantics (new docs
+    * compare against the KEPT corpus, not against documents already
+    * dropped as dups), and it is what keeps the index linear in
+    * unique content rather than in raw feed rows — at a 30–50 % feed
+    * dup rate that halves the 100 TB index. A screened dup's future
+    * twins still hit its canonical's bands (identical text ⇒
+    * identical sigs); only a chain A~B, B~C, A!~C transitively
+    * escapes, which is the same declared approximation as batch F9's
+    * band screen. At scale the index read is
+    * [[graft.operators.Dedup.writeBandIndex]]'s bucketed layout; the
+    * loop shape is identical.
     */
   def screenAndIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
                           textCol: String, n: Int, indexPath: String,
@@ -372,7 +383,8 @@ object AdsbStream {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(survivorsPath)
-    bands.withColumn("batch_id", lit(batchId))
+    bands.join(dupIds, Seq(idCol), "left_anti")
+      .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(indexPath)

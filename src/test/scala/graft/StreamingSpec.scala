@@ -324,7 +324,8 @@ class StreamingSpec extends SparkSpecBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivorIds == Set(1L, 2L, 4L), "doc 3 must be screened by batch 0's index")
     val idxRows = spark.read.parquet(idx).count()
-    assert(idxRows == 16, "4 docs x 4 bands in the index")
+    assert(idxRows == 12,
+      "3 SURVIVOR docs x 4 bands in the index — a screened dup's bands stay out")
 
     // failure-replay of batch 1: index and survivors must not grow
     AdsbStream.screenAndIndexBatch(b1, 1L, "doc_id", "text", 4, idx, out)

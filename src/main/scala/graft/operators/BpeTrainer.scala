@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** H12: BPE vocabulary TRAINING (Sennrich et al. 2016) — the merge
+  * loop h11's pair statistics are the first step of, run to a merge
+  * budget.
+  *
+  * Scale structure: the corpus is scanned ONCE, into a word-frequency
+  * vocab (one shuffle, W distinct words); every training round after
+  * that operates on the VOCAB table, which is corpus-size-independent
+  * (Heaps' law: W ≪ corpus tokens at 100 TB). Each round is one
+  * vocab-sized pair aggregation (map-side combined, keyed by the
+  * pair) + one row-local merge application. The per-round argmax is a
+  * single collected row — the trained artifact itself, same contract
+  * as the k-means/PQ codebook collects (bounded by the merge budget,
+  * never by data).
+  *
+  * Symbol sequences are encoded as a string with every symbol
+  * PREFIXED by one space (" c a t"): `replace(seq, " a b", " ab")`
+  * is then exactly the greedy left-to-right non-overlapping merge
+  * BPE specifies — the prefix space anchors each pattern to a symbol
+  * boundary (no false match inside a longer symbol), and because the
+  * pattern carries no trailing space, back-to-back merges chain in
+  * one pass (" a a a a" → " aa aa", not " aa a a"). Both engines'
+  * `replace` scan left-to-right without overlap, so the oracle
+  * replays the application verbatim.
+  */
+object BpeTrainer {
+
+  /** Learned merge table: (merge_rank, lhs, rhs, merged, pair_count),
+    * one row per round, `merges` rounds (fewer if the vocab runs out
+    * of adjacent pairs). Ties break (count desc, lhs asc, rhs asc) —
+    * deterministic cross-engine.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), " ")).as("seq"))
+    var seqs = TrackedCache.persist(vocab)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      val ss = filter(split(col("seq"), " "), s => s =!= "")
+      val best = seqs
+        .select(col("freq"), ss.as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("ss"), lit(1), size(col("ss")) - 1),
+          slice(col("ss"), lit(2), size(col("ss")) - 1),
+          (x, y) => struct(x.as("lhs"), y.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val a: String = best(0).getString(0)
+        val b: String = best(0).getString(1)
+        val cnt: Long = best(0).getLong(2)
+        out += ((k, a, b, a + b, cnt))
+        seqs = TrackedCache.persist(seqs.select(col("freq"),
+          call_function("replace", col("seq"),
+            lit(" " + a + " " + b), lit(" " + a + b)).as("seq")))
+        k += 1
+      }
+    }
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+}

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** G-group similarity search + F5 embedding near-dup (SURVEY §2).
   *
@@ -369,6 +369,90 @@ object Embeddings {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "cid", "asim", "cos")
+  }
+
+  /** 1-bit binary-quantization code of a 64-dim vector: bit i is the
+    * SIGN of dimension i (set iff v[i] > 0) — the simplest member of
+    * the binary-quantization family (the sign-code special case of
+    * random-hyperplane LSH where the hyperplanes are the standard
+    * basis). 64 float dims compress 32× (256 B → 8 B); the Hamming
+    * distance between two codes counts sign disagreements — a proxy
+    * for angular distance good enough to screen candidates for exact
+    * rerank. Row-local and codegen'd (a 64-term OR tree of one array
+    * access each); no data movement, no trained state.
+    */
+  def signCode64(vecCol: Column): Column =
+    (0 until 64).map { i =>
+      when(element_at(vecCol, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** ANN via 1-bit binary quantization (G10): Hamming screen on the
+    * 8-byte sign codes (cheap: one xor + popcount per candidate —
+    * ~64× less arithmetic than a float cosine), exact cosine rerank
+    * of the top-`rerank` per query. Same serving shape as
+    * [[annSqInt8]]: queries broadcast, one corpus pass, the full
+    * float vector is only touched for the rerank sliver. Ties in the
+    * screen break on cid — deterministic across engines.
+    */
+  def annBinary(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, rerank: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      signCode64(col(vecCol)).as("ccode"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      signCode64(col(vecCol)).as("qcode"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(ccode ^ qcode) AS INT)"))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("cid"))
+    val cand = scored.withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= rerank)
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "hamming", "cos")
+  }
+
+  /** The scale path of [[annBinary]]: NO corpus×queries cross join.
+    * The sign codes are banded 4×16 bits ([[Dedup.hammingBandPairs]]'s
+    * layout); a query probes its 4 band buckets and candidates are
+    * codes agreeing on ≥1 FULL band — pigeonhole-lossless for
+    * Hamming ≤ 3, probabilistic above (the F4b/I4 contract). Work is
+    * bucket-collision volume, not |Q|·N; the banded corpus index is
+    * the materialization a production serving path would persist
+    * (8-byte code + 4 band rows per vector). Survivors within
+    * `maxHamming` get the exact cosine rerank top-`k`.
+    */
+  def annBinaryBanded(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, maxHamming: Int, k: Int): DataFrame = {
+    require(maxHamming <= 3, "4 16-bit bands are only lossless for Hamming radius <= 3")
+    import graft.functions.VectorFunctions
+    def banded(df: DataFrame, id: String, vec: String, code: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          signCode64(col(vecCol)).as(code))
+        .select(col(id), col(vec), col(code),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col(code), b * 16).bitwiseAND(lit(65535L)).as("bv"))
+          }: _*)).as("bb"))
+        .select(col(id), col(vec), col(code),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val c = banded(corpus, "cid", "cvec", "ccode")
+    val q = banded(queries, "qid", "qvec", "qcode")
+    val cand = c.join(broadcast(q), Seq("band", "bv"))
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid", "qvec", "cvec", "qcode", "ccode")
+      .agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(ccode ^ qcode) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "hamming", "n_bands", "cos")
   }
 
   /** Recall@k report of the fully-TRAINED IVF-PQ serving path

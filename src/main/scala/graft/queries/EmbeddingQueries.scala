@@ -880,6 +880,88 @@ object EmbeddingQueries {
           SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
           FROM cand2) t
         WHERE rank <= 3 ORDER BY qid, rank"""
+      }),
+
+    // G10: ANN via 1-bit binary quantization — sign codes (32×
+    // compression), Hamming screen (xor+popcount: ~64× cheaper per
+    // candidate than a float cosine), exact rerank. The oracle
+    // replays the screen as a sign-DISAGREEMENT count over the
+    // zipped float lists — arithmetically identical to popcount of
+    // the xored sign codes, without materializing the bit-63 long.
+    QueryDef("g10_ann_binary",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annBinary(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 10, 3)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings),
+        scored AS (
+          SELECT qid, cid, qvec, cvec,
+            CAST(len(list_filter(list_zip(qvec, cvec),
+              p -> (p[1] > 0) != (p[2] > 0))) AS INT) AS hamming
+          FROM c CROSS JOIN q WHERE qid != cid),
+        cand AS (
+          SELECT qid, cid, qvec, cvec, hamming FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS arank
+            FROM scored) t
+          WHERE arank <= 10),
+        cand2 AS (SELECT qid, cid, hamming, ${sqlCos("qvec", "cvec")} AS cos FROM cand)
+        SELECT qid, rank, cid, hamming, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM cand2) t
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // G10b: the banded serving path — NO cross join; a query probes
+    // its 4 16-bit band buckets of the sign code (lossless to
+    // Hamming 3, the f4b/i4 contract). Query set is a re-ingested
+    // copy of vectors 0..9 (id+100000) — the i4 construction: each
+    // query meets its original at Hamming 0, so the check is
+    // non-degenerate regardless of the corpus's natural near-dup
+    // density. The oracle rebuilds each band value as 16 sign CASEs
+    // (band b bit j ≡ sign of dim 16b+j — exactly the shift-mask of
+    // the Spark code, with no bit-63 BIGINT hazard).
+    QueryDef("g10b_ann_binary_banded",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + 100000)
+        Embeddings.annBinaryBanded(emb, q, "vec_id", "embedding", 3, 3)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        def bv(tbl: String, b: Int): String =
+          (0 until 16).map { j =>
+            s"(CASE WHEN $tbl.embedding[${b * 16 + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
+          }.mkString("(", " + ", ")")
+        def bandRows(tbl: String): String =
+          (0 until 4).map { b =>
+            s"SELECT vec_id, embedding, $b AS band, ${bv(tbl, b)} AS bv FROM $tbl"
+          }.mkString(" UNION ALL ")
+        s"""WITH cq AS (
+            SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 10),
+          cbands AS (${bandRows("embeddings")}),
+          qbands AS (${bandRows("cq")}),
+          cand AS (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              q.embedding AS qvec, c.embedding AS cvec, COUNT(*) AS n_bands
+            FROM cbands c JOIN qbands q ON c.band = q.band AND c.bv = q.bv
+            WHERE q.vec_id != c.vec_id
+            GROUP BY 1, 2, 3, 4),
+          ham AS (
+            SELECT qid, cid, qvec, cvec, n_bands,
+              CAST(len(list_filter(list_zip(qvec, cvec),
+                p -> (p[1] > 0) != (p[2] > 0))) AS INT) AS hamming
+            FROM cand),
+          surv AS (SELECT qid, cid, hamming, n_bands,
+              ${sqlCos("qvec", "cvec")} AS cos
+            FROM ham WHERE hamming <= 3)
+          SELECT qid, rank, cid, hamming, n_bands, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM surv) t
+          WHERE rank <= 3 ORDER BY qid, rank"""
       })
   )
 }

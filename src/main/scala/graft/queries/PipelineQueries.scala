@@ -992,6 +992,52 @@ object PipelineQueries {
         SELECT pair, COUNT(*) AS n FROM pairs
         GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
 
+    // H12: BPE vocabulary TRAINING — h11's pair statistics run to a
+    // merge budget (the Sennrich et al. loop): corpus → word-freq
+    // vocab ONCE, then each round is a vocab-sized pair aggregation +
+    // a row-local greedy merge application (see BpeTrainer's scaladoc
+    // for the prefix-space encoding that makes `replace` exactly the
+    // greedy LTR merge in both engines). The oracle replays all 8
+    // rounds as staged MATERIALIZED CTEs — merge 6+ landing on a
+    // previously-merged symbol (e.g. "m"+"er") proves the recursion,
+    // not just the first-round argmax.
+    QueryDef("h12_bpe_train",
+      (s, dir) => graft.operators.BpeTrainer
+        .bpeTrain(Tables.documents(s, dir), "text", 8)
+        .orderBy("merge_rank"),
+      Some {
+        val K = 8
+        def stage(k: Int): String = s"""p$k AS MATERIALIZED (
+          SELECT u.a AS lhs, u.b AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq, unnest(list_transform(range(1, len(ss)),
+              i -> {'a': ss[CAST(i AS INT)], 'b': ss[CAST(i + 1 AS INT)]})) AS u
+            FROM (SELECT freq, list_filter(string_split(seq, ' '), s2 -> s2 != '') AS ss
+                  FROM s${k - 1}) t$k
+            WHERE len(ss) >= 2) z$k
+          GROUP BY 1, 2),
+        m$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        s$k AS MATERIALIZED (SELECT freq,
+          replace(seq,
+            ' ' || (SELECT lhs FROM m$k) || ' ' || (SELECT rhs FROM m$k),
+            ' ' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS seq
+          FROM s${k - 1})"""
+        val stages = (1 to K).map(stage).mkString(",\n")
+        val union = (1 to K).map { k =>
+          s"SELECT $k AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM m$k"
+        }.mkString("\nUNION ALL ")
+        s"""WITH w0 AS (
+          SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS w
+          FROM documents),
+        v AS (SELECT w, COUNT(*) AS freq FROM w0 GROUP BY w),
+        s0 AS MATERIALIZED (SELECT freq,
+          ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+            i -> substr(w, CAST(i AS INT), 1)), ' ') AS seq
+          FROM v),
+        $stages
+        SELECT * FROM ($union) ORDER BY merge_rank"""
+      }),
+
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)

@@ -215,4 +215,13 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))
     assert(count(p, "Exchange SinglePartition") == 0, p.take(400))
   }
+
+  test("g10b banded binary ANN: banded equi-join, never cartesian, corpus side unshuffled before the join") {
+    val p = executedPlan("g10b_ann_binary_banded")
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(400))
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    // the probe side broadcasts; the corpus never exchanges to meet it
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(400))
+    assert(count(p, "SortMergeJoin") == 0, p.take(400))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** H12: BPE vocabulary TRAINING (Sennrich et al. 2016) — the merge
   * loop h11's pair statistics are the first step of, run to a merge
@@ -75,5 +75,32 @@ object BpeTrainer {
       }
     }
     out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Collected merge list of [[bpeTrain]], in rank order — the
+    * trained artifact a tokenizer ships (bounded by the merge
+    * budget, never by data; the codebook-collect contract).
+    */
+  def trainMerges(docs: DataFrame, textCol: String,
+                  merges: Int): Seq[(String, String)] =
+    bpeTrain(docs, textCol, merges).orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Symbol count of ONE token under a trained merge list — the
+    * apply side of BPE (what the production tokenizer runs per
+    * token): the K merges compose into one row-local projection (K
+    * chained `replace` calls over the prefix-space encoding, in rank
+    * order — rank order IS application order in BPE), codegen'd, no
+    * join, no state. Zero shuffles: at 100 TB the tokenize pass is
+    * scan-bound, exactly like the real pipeline.
+    */
+  def bpeSymbolCount(tok: Column, merges: Seq[(String, String)]): Column = {
+    val seq0 = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(tok)),
+        i => tok.substr(i, lit(1))), " "))
+    val seqN = merges.foldLeft(seq0) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(" " + a + " " + b), lit(" " + a + b))
+    }
+    size(filter(split(seqN, " "), s => s =!= ""))
   }
 }

@@ -1038,6 +1038,64 @@ object PipelineQueries {
         SELECT * FROM ($union) ORDER BY merge_rank"""
       }),
 
+    // H12b: BPE tokenization with the TRAINED merges — the apply
+    // side closing the train→apply loop: per-doc whitespace-token
+    // and BPE-symbol counts under h12's 8 learned merges. The merge
+    // table is the collected driver artifact (8 rows); application
+    // is a row-local 8-deep replace chain per token occurrence —
+    // zero joins, one doc_id aggregation shuffle, scan-bound at
+    // 100 TB like a real tokenizer pass. The oracle re-trains via
+    // the same staged CTEs (carrying the word column through) and
+    // applies by joining each doc's tokens to the final vocab
+    // segmentation — a different but arithmetically equal spelling
+    // (every corpus token IS in the vocab it was trained on).
+    QueryDef("h12b_bpe_tokenize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.operators.BpeTrainer.trainMerges(docs, "text", 8)
+        tokFrame(s, dir)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_ws_tokens"),
+            sum(graft.operators.BpeTrainer.bpeSymbolCount(col("w"), merges)
+              .cast("long")).as("n_bpe_symbols"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val K = 8
+        def stage(k: Int): String = s"""p$k AS MATERIALIZED (
+          SELECT u.a AS lhs, u.b AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq, unnest(list_transform(range(1, len(ss)),
+              i -> {'a': ss[CAST(i AS INT)], 'b': ss[CAST(i + 1 AS INT)]})) AS u
+            FROM (SELECT freq, list_filter(string_split(seq, ' '), s2 -> s2 != '') AS ss
+                  FROM s${k - 1}) t$k
+            WHERE len(ss) >= 2) z$k
+          GROUP BY 1, 2),
+        m$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        s$k AS MATERIALIZED (SELECT w, freq,
+          replace(seq,
+            ' ' || (SELECT lhs FROM m$k) || ' ' || (SELECT rhs FROM m$k),
+            ' ' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS seq
+          FROM s${k - 1})"""
+        val stages = (1 to K).map(stage).mkString(",\n")
+        s"""WITH docw AS (
+          SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), w2 -> w2 != '')) AS w
+          FROM documents),
+        v AS (SELECT w, COUNT(*) AS freq FROM docw GROUP BY w),
+        s0 AS MATERIALIZED (SELECT w, freq,
+          ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+            i -> substr(w, CAST(i AS INT), 1)), ' ') AS seq
+          FROM v),
+        $stages,
+        wsym AS (SELECT w,
+          CAST(len(list_filter(string_split(seq, ' '), s2 -> s2 != '')) AS BIGINT) AS nsym
+          FROM s$K)
+        SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens,
+          CAST(SUM(nsym) AS BIGINT) AS n_bpe_symbols
+        FROM docw d JOIN wsym USING (w)
+        GROUP BY d.doc_id ORDER BY d.doc_id"""
+      }),
+
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)

@@ -47,6 +47,23 @@ class BpeTrainerSpec extends SparkSpecBase {
     assert(rows(0) == ((1, "a", "b", "ab", 2L)))
   }
 
+  test("apply side: trained merges segment tokens to the expected symbol counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // merges from the first test's corpus, budget 2: (a,a), (aa,aa).
+    // "aaaa" -> " aaaa" = 1 symbol; "bb" -> " b b" = 2 (its merge was
+    // rank 3, outside the budget); "aaa" -> " aa a" = 2 (greedy LTR);
+    // "ab" -> " a b" = 2 (no trained merge applies).
+    val docs = (Seq.fill(5)("aaaa") ++ Seq.fill(2)("bb")).toDF("text")
+    val merges = graft.operators.BpeTrainer.trainMerges(docs, "text", 2)
+    assert(merges == Seq(("a", "a"), ("aa", "aa")))
+    val got = Seq("aaaa", "bb", "aaa", "ab").toDF("w")
+      .select(col("w"),
+        graft.operators.BpeTrainer.bpeSymbolCount(col("w"), merges).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("aaaa" -> 1, "bb" -> 2, "aaa" -> 2, "ab" -> 2))
+  }
+
   test("merges never cross symbol boundaries (no false substring matches)") {
     // vocab: "xa b" as tokens "xa" and "b" never exists as a word —
     // but "xab" does: after merging (x,a), the pair (xa, b) exists;

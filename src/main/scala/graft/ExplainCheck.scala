@@ -28,7 +28,9 @@ object ExplainCheck {
         "b12b_bloom_anti_join", "g9_ann_sq_int8", "h10_char_entropy",
         "e11c_grouping_sets", "f10_lsh_quality", "i4_media_neardup",
         "p10_curation_v2", "p11_temperature_sampling",
-        "e31b_time_range_avg", "h11_bpe_pairs")
+        "e31b_time_range_avg", "h11_bpe_pairs",
+        "g10_ann_binary", "g10b_ann_binary_banded", "h12b_bpe_tokenize",
+        "p12_curation_funnel")
     for (name <- names) {
       println(s"========== $name")
       val df = SparkEntry.queries(name)(spark, dir)

@@ -48,6 +48,13 @@ object VectorFunctions {
     ColumnBridge.column(
       L2Sq64(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** 64-bit sign code (bit i ⇔ v_i > 0) via the K20 kernel — one
+    * compiled loop per vector; see [[graft.functions.SignCode64]] for
+    * why the composed 64-term CASE tree is the slow spelling.
+    */
+  def signCode64(v: Column): Column =
+    ColumnBridge.column(SignCode64(ColumnBridge.expression(v)))
+
   /** Cosine similarity = dot/(‖a‖·‖b‖) over the native fold kernels.
     * The division stays a Spark `Divide` on purpose: under ANSI mode
     * a zero norm raises DIVIDE_BY_ZERO exactly like the composed

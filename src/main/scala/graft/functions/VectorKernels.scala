@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Compiled single-pass kernels for the dense-vector math in
   * [[VectorFunctions]] — the hot loop of the whole similarity-search
@@ -122,6 +122,23 @@ object VectorUtil {
       i += 1
     }
     s
+  }
+
+  /** 64-bit sign code: bit i set iff v_i > 0. Null elements give a 0
+    * bit; dims past 64 ignored (see [[SignCode64]]).
+    */
+  def signCode(a: ArrayData, af: Boolean): Long = {
+    val n = math.min(a.numElements(), 64)
+    var code = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+        if (x > 0) code |= (1L << i)
+      }
+      i += 1
+    }
+    code
   }
 
 }
@@ -353,6 +370,34 @@ case class SqDot64(first: Expression, second: Expression, third: Expression)
 }
 
 /** ‖reconstruct(codes, amax)‖² — see [[VectorUtil.sqNormSq]]. */
+/** K20: 64-bit sign code — bit i set iff v_i > 0 (G10's binary
+  * quantization). One compiled loop per vector; the composed spelling
+  * (a 64-term CASE-WHEN OR tree of element_at calls) compiles into a
+  * codegen method large enough to trip the splitting/fallback paths
+  * when it lands inside a join stage, which is exactly where G10
+  * evaluates it — measured ~5× slower end-to-end at 200k vectors.
+  * Null elements contribute a 0 bit (the CASE tree's `otherwise(0)`);
+  * dims beyond 64 are ignored, shorter arrays set only their dims
+  * (the composed spelling instead ANSI-errors below 64 — the
+  * equivalence spec pins equality on the real 64-dim data).
+  */
+case class SignCode64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any =
+    VectorUtil.signCode(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorUtil.signCode($a, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): SignCode64 =
+    copy(child = newChild)
+}
+
 case class SqNormSq64(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

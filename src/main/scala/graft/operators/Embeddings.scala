@@ -378,10 +378,20 @@ object Embeddings {
     * basis). 64 float dims compress 32× (256 B → 8 B); the Hamming
     * distance between two codes counts sign disagreements — a proxy
     * for angular distance good enough to screen candidates for exact
-    * rerank. Row-local and codegen'd (a 64-term OR tree of one array
-    * access each); no data movement, no trained state.
+    * rerank. Row-local via the K20 [[graft.functions.SignCode64]]
+    * kernel (one compiled loop per vector); no data movement, no
+    * trained state.
     */
   def signCode64(vecCol: Column): Column =
+    VectorFunctions.signCode64(vecCol)
+
+  /** The composed HOF spelling of [[signCode64]] (64-term CASE-WHEN
+    * OR tree) — kernel-equivalence spec reference, and the measured
+    * slow path: inside G10's join stage the generated method is big
+    * enough to trip codegen splitting/fallback (~5× end-to-end at
+    * 200k vectors).
+    */
+  def signCode64Composed(vecCol: Column): Column =
     (0 until 64).map { i =>
       when(element_at(vecCol, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)

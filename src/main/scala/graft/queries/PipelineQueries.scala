@@ -1374,6 +1374,75 @@ object PipelineQueries {
         WHERE a.entropy >= 2.7 AND a.n_chars >= 100
         ORDER BY c.doc_id""")),
 
+    // P12: curation FUNNEL report — the per-stage survival table a
+    // data team actually ships with a curated corpus: docs and tokens
+    // remaining after each P10 stage (raw → exact dedup → bloom
+    // decontamination → entropy/length quality gate). Same stage
+    // spellings as p10 (one dedup shuffle, bloom-screened anti join,
+    // row-local K19 gate); the report itself is four aggregate rows
+    // unioned — the funnel costs one extra aggregation per stage
+    // boundary, not an extra pipeline run.
+    QueryDef("p12_curation_funnel",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("fp", HashFunctions.md5prefix64(col("text")))
+          .withColumn("ntok", TextOps.tokenCount(col("text")).cast("long"))
+        val keep = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val canon = docs.join(keep, Seq("fp", "doc_id"))
+        val blacklist = docs.filter(col("doc_id") < 10)
+          .select(col("fp").as("bfp")).distinct()
+        val clean = graft.operators.ScaleOps.bloomAntiJoin(
+          canon, "fp", blacklist, "bfp", 1 << 17, 5)
+        val gated = clean
+          .select(col("doc_id"), col("ntok"),
+            HashFunctions.charEntropy(col("text")).as("ce"))
+          .filter(col("ce.entropy") >= 2.7 && col("ce.n_chars") >= 100)
+        def stat(order: Int, name: String,
+                 df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+            .select(lit(order).as("stage_order"), lit(name).as("stage"),
+              col("n_docs"), col("n_tokens"))
+        stat(0, "raw", docs)
+          .unionByName(stat(1, "exact_dedup", canon))
+          .unionByName(stat(2, "decontaminated", clean))
+          .unionByName(stat(3, "quality", gated))
+          .orderBy("stage_order")
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, text,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ntok
+          FROM documents),
+        keep AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+        canon AS (SELECT d.* FROM d JOIN keep USING (fp, doc_id)),
+        bl AS (SELECT DISTINCT fp FROM d WHERE doc_id < 10),
+        clean AS (SELECT * FROM canon WHERE fp NOT IN (SELECT fp FROM bl)),
+        ch AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+            i -> substr(text, CAST(i AS INT), 1))) AS c
+          FROM clean),
+        cnt AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c),
+        tot AS (SELECT doc_id, SUM(cnt) AS n FROM cnt GROUP BY doc_id),
+        terms AS (
+          SELECT cnt.doc_id, cnt.cnt,
+            CAST(floor((-((CAST(cnt AS DOUBLE) / n) * ln(CAST(cnt AS DOUBLE) / n)))
+              * 1000000.0 + 0.5) AS BIGINT) AS tu
+          FROM cnt JOIN tot USING (doc_id)),
+        agg AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+            CAST(SUM(tu) AS DOUBLE) / 1000000.0 AS entropy
+          FROM terms GROUP BY doc_id),
+        gated AS (
+          SELECT c.doc_id, c.ntok
+          FROM clean c JOIN agg a USING (doc_id)
+          WHERE a.entropy >= 2.7 AND a.n_chars >= 100)
+        SELECT * FROM (
+          SELECT 0 AS stage_order, 'raw' AS stage,
+            CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM d
+          UNION ALL SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM canon
+          UNION ALL SELECT 2, 'decontaminated', CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM clean
+          UNION ALL SELECT 3, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM gated
+        ) t ORDER BY stage_order""")),
+
     // I4: media near-dup pairs — stub pHash (the documented codec
     // seam: exact-sensitive md5 recompose standing in for a DCT
     // pHash) + the GENERIC 4x16-bit banded Hamming join shared with

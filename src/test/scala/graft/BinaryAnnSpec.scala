@@ -26,6 +26,19 @@ class BinaryAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("K20 sign-code kernel is bit-identical to the composed CASE-tree spelling") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = emb.select(
+      Embeddings.signCode64(col("embedding")).as("kernel"),
+      Embeddings.signCode64Composed(col("embedding")).as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"kernel ${r.getLong(0)} != composed ${r.getLong(1)}")
+    }
+  }
+
   test("a vector's code matches itself at Hamming 0 and tops its own query") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)

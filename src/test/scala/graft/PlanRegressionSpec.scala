@@ -216,6 +216,13 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "Exchange SinglePartition") == 0, p.take(400))
   }
 
+  test("p12 funnel: all four stage aggregates hash-based, never cartesian") {
+    val p = executedPlan("p12_curation_funnel")
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
   test("g10b banded binary ANN: banded equi-join, never cartesian, corpus side unshuffled before the join") {
     val p = executedPlan("g10b_ann_binary_banded")
     assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(400))

@@ -1483,6 +1483,217 @@ object PipelineQueries {
             ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
           GROUP BY 1, 2, 3, 4)
         SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming, n_bands
-        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b"""))
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""")),
+
+    // P13: DSIR-style importance resampling (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling") — the
+    // public-method data-selection step: score every raw document by
+    // how target-domain-like its hashed n-gram distribution is, then
+    // draw a sample ∝ weight via deterministic Gumbel-top-k. Features
+    // are unigrams+bigrams hashed into 256 buckets (one explode);
+    // bucket log-ratios lam[b] = ln p̂_target[b] − ln q̂_raw[b]
+    // (add-1 smoothed) are quantized to integer MICROS, so the
+    // per-doc log-weight is an exact int64 dot product — portable
+    // despite the transcendental ln (the p11 treatment). The Gumbel
+    // key −ln(−ln(u)) draws u from a 60-bit doc-id hash, quantized
+    // the same way; selection = top-K by (key, doc_id) — rank-based,
+    // no RNG state, rerun-identical. Scale shape: one corpus explode,
+    // a (doc, bucket) count (map-side combined, keys ≤ docs×256), a
+    // 256-row bucket frame broadcast back, one per-doc aggregation,
+    // and a TakeOrdered K — the corpus never globally sorts and
+    // never shuffles on anything wider than an 8-byte key.
+    QueryDef("p13_dsir_resampling",
+      (s, dir) => {
+        val targets = Seq("src18", "src6", "src7")
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokens(col("text")).as("ws"))
+          .withColumn("gs", expr(
+            """concat(ws, CASE WHEN size(ws) >= 2
+                 THEN transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))
+                 ELSE slice(ws, 1, 0) END)"""))
+          .select(col("doc_id"), col("source"), explode(col("gs")).as("g"))
+        // The (doc, bucket) count frame feeds BOTH the bucket-ratio
+        // aggregation and the per-doc dot product — persisted so the
+        // corpus explode+hash runs once (the f2/tokFrame treatment).
+        val feat = graft.operators.TrackedCache.persist(grams
+          .withColumn("b", pmod(
+            HashFunctions.md5prefix64(concat(lit("dsir:"), col("g"))), lit(256L)))
+          .groupBy("doc_id", "source", "b")
+          .agg(count(lit(1)).as("n")))
+        val bucket = feat.groupBy("b").agg(
+          sum(when(col("source").isin(targets: _*), col("n")).otherwise(lit(0L))).as("ct"),
+          sum(col("n")).as("cr"))
+        val totals = bucket.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+        val lam = bucket.crossJoin(broadcast(totals))
+          .withColumn("lam_u", floor(
+            (log((col("ct") + 1).cast("double") / (col("tt") + 256).cast("double"))
+              - log((col("cr") + 1).cast("double") / (col("tr") + 256).cast("double")))
+              * lit(1e6) + lit(0.5)).cast("long"))
+          .select("b", "lam_u")
+        feat.join(broadcast(lam), "b")
+          .groupBy("doc_id")
+          .agg(sum(col("n") * col("lam_u")).as("logw_u"))
+          .withColumn("key_u", col("logw_u") + floor(
+            -log(-log((pmod(HashFunctions.md5prefix64(
+              concat(lit("dsir-g:"), col("doc_id").cast("string"))), lit(1000000L))
+              + lit(0.5)) / lit(1e6)))
+              * lit(1e6) + lit(0.5)).cast("long"))
+          .select("doc_id", "logw_u", "key_u")
+          .orderBy(col("key_u").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, source,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        grams AS (
+          SELECT doc_id, source, unnest(list_concat(ws,
+            list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))) AS g
+          FROM words),
+        feat AS (
+          SELECT doc_id, source,
+            ('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT % 256 AS b,
+            COUNT(*) AS n
+          FROM grams GROUP BY 1, 2, 3),
+        bucket AS (
+          SELECT b,
+            SUM(CASE WHEN source IN ('src18', 'src6', 'src7') THEN n ELSE 0 END) AS ct,
+            SUM(n) AS cr
+          FROM feat GROUP BY b),
+        tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bucket),
+        lam AS (
+          SELECT b, CAST(floor(
+            (ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 256 AS DOUBLE))
+             - ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 256 AS DOUBLE)))
+            * 1000000.0 + 0.5) AS BIGINT) AS lam_u
+          FROM bucket CROSS JOIN tot),
+        w AS (
+          SELECT doc_id, SUM(n * lam_u) AS logw_u
+          FROM feat JOIN lam USING (b) GROUP BY doc_id)
+        SELECT doc_id, logw_u,
+          logw_u + CAST(floor(-ln(-ln(
+            (('0x' || substr(md5('dsir-g:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 1000000 + 0.5) / 1000000.0))
+            * 1000000.0 + 0.5) AS BIGINT) AS key_u
+        FROM w ORDER BY key_u DESC, doc_id LIMIT 50""")),
+
+    // P14: CCNet-style perplexity bucketing (Wenzek et al. 2020) —
+    // split the corpus into head/middle/tail terciles by LM score
+    // (here H7's corpus-unigram NLL stands in for the external 5-gram
+    // LM, same monotone role) and keep each bucket at a different
+    // rate (head 100 %, middle 50 %, tail 10 %): the classic
+    // quality-vs-diversity mixing knob. Tercile boundaries come from
+    // a 2-dp histogram of the quantized NLL — the cumulative window
+    // runs over the ≤ few-hundred-row histogram, never the corpus,
+    // and boundary thresholds use integer ceil (`div`), so bucket
+    // edges are bit-portable; every doc inside one 2-dp cell lands
+    // in the same bucket on both engines by construction. Keep
+    // decisions are the P5 hash-threshold (deterministic, shuffle-
+    // free). Scale shape: H7's token shuffles (shared tokFrame
+    // cache) + one tiny histogram + broadcast thresholds — the
+    // per-doc frame never reshuffles.
+    QueryDef("p14_perplexity_buckets",
+      (s, dir) => {
+        val tok = tokFrame(s, dir)
+        val totals = tok.agg(count(lit(1)).as("__n_total"))
+        val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
+        val nll = QueryDefs.q6(-log(col("__cnt").cast("double") / col("__n_total")))
+        val doc = tok.join(freq, "w")
+          .crossJoin(broadcast(totals))
+          .groupBy(col("doc_id"))
+          .agg(QueryDefs.q6(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("avg_nll"))
+          .withColumn("hb", floor(col("avg_nll") * 100).cast("long"))
+        val hist = doc.groupBy("hb").agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum",
+          sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("hb")))
+        val n = doc.agg(count(lit(1)).as("n"))
+        val thr = cum.crossJoin(broadcast(n))
+          .agg(
+            min(when(col("cum") >= expr("(n + 2) div 3"), col("hb"))).as("b1"),
+            min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("hb"))).as("b2"))
+        doc.crossJoin(broadcast(thr))
+          .withColumn("bucket",
+            when(col("hb") <= col("b1"), lit("head"))
+              .when(col("hb") <= col("b2"), lit("middle"))
+              .otherwise(lit("tail")))
+          .withColumn("kept",
+            (pmod(HashFunctions.md5prefix64(
+              concat(lit("ccnet:"), col("doc_id").cast("string"))), lit(1000000L))
+              < when(col("hb") <= col("b1"), lit(1000000L))
+                  .when(col("hb") <= col("b2"), lit(500000L))
+                  .otherwise(lit(100000L))).cast("int"))
+          .select("doc_id", "avg_nll", "bucket", "kept")
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        nll AS (
+          SELECT doc_id,
+            floor(CAST(SUM(CAST(
+                floor(-ln(CAST(cnt AS DOUBLE) / n_total) * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
+          FROM tok JOIN freq USING (w) CROSS JOIN tot
+          GROUP BY doc_id),
+        hb AS (SELECT doc_id, avg_nll, CAST(floor(avg_nll * 100) AS BIGINT) AS hb FROM nll),
+        hist AS (SELECT hb, COUNT(*) AS c FROM hb GROUP BY hb),
+        cum AS (SELECT hb, SUM(c) OVER (ORDER BY hb) AS cum FROM hist),
+        n AS (SELECT COUNT(*) AS n FROM hb),
+        thr AS (SELECT
+            min(CASE WHEN cum >= (n + 2) // 3 THEN hb END) AS b1,
+            min(CASE WHEN cum >= (2 * n + 2) // 3 THEN hb END) AS b2
+          FROM cum CROSS JOIN n)
+        SELECT doc_id, avg_nll,
+          CASE WHEN hb <= b1 THEN 'head' WHEN hb <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
+          CAST((('0x' || substr(md5('ccnet:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+            < CASE WHEN hb <= b1 THEN 1000000 WHEN hb <= b2 THEN 500000 ELSE 100000 END) AS INT) AS kept
+        FROM hb CROSS JOIN thr ORDER BY doc_id""")),
+
+    // H13: sliding-window chunking — the context-window step that
+    // turns curated documents into fixed-size training/RAG chunks:
+    // 32-token windows at stride 24 (8-token overlap), short docs
+    // yield one whole-doc chunk, each chunk carries its 60-bit
+    // content hash (the key downstream span/exact dedup operates
+    // on — F8's chunk-hash input is exactly this shape). Entirely
+    // row-local: tokens materialized ONCE per doc (the round-1
+    // lesson — an inlined tokenizer re-runs per window), window
+    // count is closed-form integer math, the explode emits
+    // chunk-count rows with no shuffle anywhere before the
+    // presentation sort — at 100 TB this is a pure scan-and-emit
+    // pass, parallel in file splits.
+    QueryDef("h13_window_chunks",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+          .withColumn("n_chunks",
+            (greatest(ceil((size(col("ws")) - 32).cast("double") / 24.0), lit(0L))
+              + lit(1L)).cast("long"))
+          .select(col("doc_id"), col("ws"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
+          .withColumn("chunk", slice(col("ws"), (col("ci") * 24 + 1).cast("int"), lit(32)))
+          .select(col("doc_id"), col("ci").cast("int").as("chunk_idx"),
+            size(col("chunk")).cast("long").as("n_tokens"),
+            HashFunctions.md5prefix64(array_join(col("chunk"), " ")).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        d AS (
+          SELECT doc_id, ws,
+            CAST(greatest(ceil((len(ws) - 32) / 24.0), 0) + 1 AS BIGINT) AS n_chunks
+          FROM words),
+        c AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS ci FROM d)
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+          CAST(len(ws[CAST(ci * 24 + 1 AS INT) : CAST(ci * 24 + 32 AS INT)]) AS BIGINT) AS n_tokens,
+          ('0x' || substr(md5(array_to_string(
+            ws[CAST(ci * 24 + 1 AS INT) : CAST(ci * 24 + 32 AS INT)], ' ')), 1, 15))::BIGINT AS chunk_hash
+        FROM c ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The round-7 data-selection additions: H13 window chunking, P13
+  * DSIR importance resampling, P14 perplexity bucketing. Each is
+  * oracle-checked bit-exact by the driver; these specs pin the
+  * SEMANTIC claims the oracle can't express — equivalence with an
+  * independent reference implementation, and the statistical signal
+  * each selection method exists to produce.
+  */
+class DataSelectionSpec extends SparkSpecBase {
+
+  test("h13 chunks equal an independent Scala reference chunker") {
+    val out = SparkEntry.queries("h13_window_chunks")(spark, sf)
+      .select("doc_id", "chunk_idx", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ref = docs.toSeq.flatMap { case (id, text) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = math.max(math.ceil((ws.length - 32) / 24.0).toInt, 0) + 1
+      (0 until n).map(ci => (id, ci, ws.slice(ci * 24, ci * 24 + 32).length.toLong))
+    }
+    assert(out.sorted == ref.sorted)
+    // every token position is covered: last chunk reaches the doc end
+    val lastEnd = out.groupBy(_._1).map { case (id, cs) =>
+      val last = cs.maxBy(_._2)
+      id -> (last._2 * 24 + last._3)
+    }
+    val lens = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
+    }.toMap
+    assert(lastEnd.forall { case (id, end) => end == lens(id) })
+  }
+
+  test("p13 DSIR: selection skews to the target domain far above base rate") {
+    // sf0.01 (500 docs) so top-50 is a real selection; base rate of
+    // the three target sources is 0.15 there, measured 0.54 selected.
+    val dir = "/root/testdata/sf0.01"
+    val sel = SparkEntry.queries("p13_dsir_resampling")(spark, dir).select("doc_id")
+    val src = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "source")
+    val hits = sel.join(src, "doc_id")
+      .filter(col("source").isin("src18", "src6", "src7")).count()
+    val total = sel.count()
+    assert(total == 50)
+    assert(hits.toDouble / total >= 0.40, s"target fraction ${hits.toDouble / total}")
+  }
+
+  test("p14 buckets are tercile-bounded and head is kept at 100%") {
+    val out = SparkEntry.queries("p14_perplexity_buckets")(spark, sf).collect()
+    val n = out.length
+    val head = out.filter(_.getString(2) == "head")
+    val mid = out.filter(_.getString(2) == "middle")
+    assert(head.length >= (n + 2) / 3)
+    assert(head.length + mid.length >= (2 * n + 2) / 3)
+    assert(head.forall(_.getInt(3) == 1))
+    assert(out.map(_.getString(2)).toSet.subsetOf(Set("head", "middle", "tail")))
+  }
+}

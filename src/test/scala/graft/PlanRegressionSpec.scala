@@ -51,6 +51,22 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "InMemoryTableScan") >= 4, p.take(400))
   }
 
+  test("p13 DSIR: feature frame cached for both consumers, ratios broadcast, top-K via TakeOrdered") {
+    val p = executedPlan("p13_dsir_resampling")
+    assert(count(p, "TakeOrderedAndProject") == 1, p.take(400))
+    assert(count(p, "SortMergeJoin") == 0)
+    assert(count(p, "BroadcastHashJoin") >= 1)
+    // bucket stats and the per-doc dot product both read the cached
+    // (doc, bucket) counts — one corpus explode, not two
+    assert(count(p, "InMemoryTableScan") >= 2)
+  }
+
+  test("h13 chunking: zero hash shuffles — pure scan-and-emit") {
+    val p = executedPlan("h13_window_chunks")
+    assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0)
+  }
+
   test("p5 mixture sampling: the keep decision is shuffle-free") {
     val p = executedPlan("p5_source_mixing")
     assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))

@@ -404,6 +404,38 @@ object Embeddings {
     * float vector is only touched for the rerank sliver. Ties in the
     * screen break on cid — deterministic across engines.
     */
+  /** Dimension-prefix screened ANN — the Matryoshka-representation
+    * serving pattern (Kusupati et al. 2022, "adaptive retrieval"):
+    * coarse-score every candidate by cosine over the FIRST
+    * `prefixDims` dimensions only (¼ of the scan arithmetic at
+    * 16/64), shortlist the top-`rerank` per query, exact full-dim
+    * cosine on the shortlist. The FIFTH serving family next to the
+    * quantized ones (LSH/PQ/SQ/BQ) — and unlike those, the screen is
+    * exact float arithmetic over a prefix, so the whole path is
+    * bit-exactly oracle-able with zero trained state. Screen ties
+    * break on cid, deterministic cross-engine.
+    */
+  def annDimPrefix(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, prefixDims: Int, rerank: Int,
+                   k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      slice(col(vecCol), 1, prefixDims).as("cpre"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      slice(col(vecCol), 1, prefixDims).as("qpre"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("s_pre", VectorFunctions.cosineSim(col("qpre"), col("cpre")))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("s_pre").desc, col("cid"))
+    val cand = scored.withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= rerank)
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cos")
+  }
+
   def annBinary(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, rerank: Int, k: Int): DataFrame = {
     import graft.functions.VectorFunctions

@@ -888,6 +888,39 @@ object EmbeddingQueries {
     // replays the screen as a sign-DISAGREEMENT count over the
     // zipped float lists — arithmetically identical to popcount of
     // the xored sign codes, without materializing the bit-63 long.
+    // G11: dimension-prefix screened ANN — the Matryoshka serving
+    // pattern (Kusupati et al. 2022): coarse cosine over the first
+    // 16 of 64 dims (¼ scan arithmetic), exact full-dim rerank of
+    // the top-32. Fifth serving family (after LSH/PQ/SQ/BQ); the
+    // only one whose SCREEN is exact float math, so screen + rerank
+    // are both replayed bit-exactly by the oracle with no trained
+    // state anywhere.
+    QueryDef("g11_ann_dim_prefix",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annDimPrefix(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 16, 32, 3)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qvec, embedding[1:16] AS qpre
+          FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id AS cid, embedding AS cvec, embedding[1:16] AS cpre
+          FROM embeddings),
+        scored AS (
+          SELECT qid, cid, qvec, cvec, ${sqlCos("qpre", "cpre")} AS s_pre
+          FROM c CROSS JOIN q WHERE qid != cid),
+        cand AS (
+          SELECT qid, cid, qvec, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s_pre DESC, cid) AS arank
+            FROM scored) t
+          WHERE arank <= 32),
+        cand2 AS (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM cand)
+        SELECT qid, rank, cid, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM cand2) t
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
     QueryDef("g10_ann_binary",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

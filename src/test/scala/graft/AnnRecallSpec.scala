@@ -102,4 +102,24 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(rep(8) >= 0.85, s"full-probe recall collapsed: ${rep(8)}")
     assert(rep.getOrElse(1, 0.0) >= 0.40, s"single-probe recall collapsed: ${rep.get(1)}")
   }
+
+  test("g11 dim-prefix screen: recall monotone in rerank and clears the floor") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < NQ)
+    val truth = pairs(Embeddings.knnBruteForce(emb, q, "vec_id", "embedding", K))
+    val recalls = Seq(16, 32, 64).map { rr =>
+      val got = pairs(Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16, rr, K))
+      rr -> (truth & got).size.toDouble / truth.size
+    }
+    info(recalls.map { case (rr, r) => f"rerank=$rr $r%.3f" }.mkString(" "))
+    // Deterministic data → fixed values (measured: 0.35 / 0.49 / 0.62
+    // at sf0.001; ~same at sf0.01). A 16-dim prefix of an i.i.d.
+    // 64-dim vector preserves ~1/4 of the signal — already 3.5× LSH
+    // multi-probe's recall here, and the rerank knob buys the rest
+    // monotonically. Floors sit under measured values.
+    assert(recalls.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a },
+      s"recall must be monotone in rerank: $recalls")
+    assert(recalls.toMap.apply(32) >= 0.40,
+      s"rerank=32 recall collapsed: ${recalls.toMap.apply(32)}")
+  }
 }

@@ -1512,7 +1512,11 @@ object PipelineQueries {
             """concat(ws, CASE WHEN size(ws) >= 2
                  THEN transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))
                  ELSE slice(ws, 1, 0) END)"""))
-          .select(col("doc_id"), col("source"), explode(col("gs")).as("g"))
+          // explode_outer: plain explode's InferFiltersFromGenerate
+          // guard would inline and re-run the gram-building transform
+          // (the round-1 shingle lesson); every doc has ≥1 token so
+          // the outer variant is semantically identical here
+          .select(col("doc_id"), col("source"), explode_outer(col("gs")).as("g"))
         // The (doc, bucket) count frame feeds BOTH the bucket-ratio
         // aggregation and the per-doc dot product — persisted so the
         // corpus explode+hash runs once (the f2/tokFrame treatment).
@@ -1599,12 +1603,15 @@ object PipelineQueries {
         val totals = tok.agg(count(lit(1)).as("__n_total"))
         val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
         val nll = QueryDefs.q6(-log(col("__cnt").cast("double") / col("__n_total")))
-        val doc = tok.join(freq, "w")
+        // the per-doc score frame feeds BOTH the histogram branch and
+        // the final bucket assignment — persisted so the NLL
+        // aggregation runs once (narrow: 3 columns × #docs)
+        val doc = graft.operators.TrackedCache.persist(tok.join(freq, "w")
           .crossJoin(broadcast(totals))
           .groupBy(col("doc_id"))
           .agg(QueryDefs.q6(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
             .as("avg_nll"))
-          .withColumn("hb", floor(col("avg_nll") * 100).cast("long"))
+          .withColumn("hb", floor(col("avg_nll") * 100).cast("long")))
         val hist = doc.groupBy("hb").agg(count(lit(1)).as("c"))
         val cum = hist.withColumn("cum",
           sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("hb")))

@@ -130,6 +130,49 @@ object StreamBench {
         s""","survivors":$survivors""")
     }
 
+    // ---- J12: bloom-screened streaming decontamination -------------
+    // STATELESS by construction: the blacklist folds into a bitset
+    // literal probed map-side; only the might-contain sliver (true
+    // hits + FPP) pays the stream-static join. state_rows stays 0 at
+    // any rate — the throughput ceiling is the scan, not state.
+    for (rate <- rates) {
+      import graft.functions.HashFunctions
+      import org.apache.spark.sql.functions.col
+      val banned = (0 until 5000).map(j => s"banned_$j")
+      val static = banned.toDF("text")
+        .select(HashFunctions.md5prefix64(col("text")).as("fp"))
+      def keyedBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
+        val text = if (i < rate / 100) banned(i % banned.size) else s"doc_${b}_$i"
+        StreamDoc(b.toLong * rate + i, text)
+      }
+      val input = MemoryStream[StreamDoc](spark)
+      val screened = AdsbStream.bloomScreenStream(
+        input.toDF().withColumn("fp", HashFunctions.md5prefix64(col("text"))),
+        "fp", static, "fp")
+      val q = screened.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$tmp/j12_$rate/ckpt").start()
+      val t0 = System.nanoTime()
+      val traj = (0 until batches).map { b =>
+        input.addData(keyedBatch(b))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.headOption
+          .map(_.numRowsTotal).getOrElse(0L)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      // sliver size measured batch-side with the same bitset: the
+      // rows that would take the exact join in each microbatch
+      val bytes = static
+        .agg(graft.functions.BloomFunctions.bloomAgg(col("fp"), 1 << 17, 5))
+        .head().getAs[Array[Byte]](0)
+      val sliver = keyedBatch(1).toDF("doc_id", "text")
+        .withColumn("fp", HashFunctions.md5prefix64(col("text")))
+        .filter(graft.functions.BloomFunctions.bloomMightContain(bytes, col("fp")))
+        .count()
+      emit("j12_bloom_screen", rate, batches.toLong * rate, secs, traj,
+        s""","sliver_rows_per_batch":$sliver""")
+    }
+
     spark.stop()
   }
 }

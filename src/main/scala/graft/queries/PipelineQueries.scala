@@ -1485,6 +1485,44 @@ object PipelineQueries {
         SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming, n_bands
         FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""")),
 
+    // E25b: heavy hitters via Misra-Gries screen + exact verify —
+    // the e25 top-K family's 10¹⁰-key spelling. Pass 1 folds the
+    // token stream into one K21 summary (≤ 4096 pairs per partial
+    // buffer, map-side combined — the shuffle is SKETCH-sized, where
+    // e25's exact aggregation shuffles one row per distinct key).
+    // Pass 2 re-counts ONLY the ≤ 4096 candidates exactly
+    // (broadcast semi join) and keeps those above the n/1500
+    // frequency threshold. The MG merge bound (undercount ≤ n/4097 <
+    // n/1500) makes the screen false-negative-free above the
+    // threshold, so screen + verify ≡ the exact heavy-hitter query —
+    // bit-exact and oracle-able even though the sketch's surviving
+    // low-frequency keys are partition-order-dependent. The oracle
+    // is the plain exact GROUP BY ... HAVING — different spelling,
+    // provably equal output.
+    QueryDef("e25b_heavy_hitters",
+      (s, dir) => {
+        val tok = tokFrame(s, dir)
+          .withColumn("h", HashFunctions.md5prefix64(col("w")))
+        val cand = tok.agg(
+            graft.functions.MisraGries.misraGries64(col("h"), 4096).as("cands"))
+          .select(explode(col("cands")).as("h"))
+        val tot = tok.agg(count(lit(1)).as("n"))
+        tok.join(broadcast(cand), "h")
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt") * 1500 > col("n"))
+          .select("w", "cnt")
+          .orderBy("w")
+      },
+      Some("""WITH tok AS (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        tot AS (SELECT COUNT(*) AS n FROM tok)
+        SELECT w, COUNT(*) AS cnt
+        FROM tok CROSS JOIN tot GROUP BY w, n
+        HAVING COUNT(*) * 1500 > n ORDER BY w""")),
+
     // P13: DSIR-style importance resampling (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling") — the
     // public-method data-selection step: score every raw document by

@@ -741,6 +741,48 @@ object PipelineQueries {
           % 1000000 < t.keep_ppm
         ORDER BY d.doc_id""")),
 
+    // P15: token-budget recipe — the "data card" computation every
+    // training run publishes: given a fixed training budget B tokens
+    // and α-tempered source weights (α=0.5 here, computed FROM the
+    // per-source token counts like P11), how many EPOCHS of each
+    // source does the run consume? epochs_s = B·w_s / tokens_s —
+    // values > 1 mean upsampling (multi-epoch repeats), < 1 means
+    // the source is subsampled; this is the multi-epoch complement
+    // of P11's capped-ppm downsampling. Exactness: pow terms
+    // quantized to integer micros (exact long normalizer), the final
+    // epochs ratio q6-quantized — the P11 portability treatment.
+    // Scale: one map-side-combined groupBy(source) over the corpus,
+    // a one-row normalizer broadcast back; output is #sources rows.
+    QueryDef("p15_token_budget",
+      (s, dir) => {
+        val perSrc = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextOps.tokens(col("text")))).as("n_tokens"))
+          .withColumn("pw",
+            floor(pow(col("n_tokens").cast("double"), lit(0.5)) * lit(1e6) + lit(0.5))
+              .cast("long"))
+        val z = perSrc.agg(sum("pw").as("z_u"))
+        perSrc.crossJoin(broadcast(z))
+          .withColumn("epochs", QueryDefs.q6(
+            (lit(1.0e7) * (col("pw").cast("double") / col("z_u").cast("double")))
+              / col("n_tokens").cast("double")))
+          .select("source", "n_docs", "n_tokens", "epochs")
+          .orderBy("source")
+      },
+      Some("""WITH perSrc AS (
+          SELECT source, COUNT(*) AS n_docs,
+            SUM(len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != ''))) AS n_tokens
+          FROM documents GROUP BY source),
+        pw AS (SELECT source, n_docs, n_tokens,
+            CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS pw
+          FROM perSrc),
+        z AS (SELECT SUM(pw) AS z_u FROM pw)
+        SELECT source, n_docs, n_tokens,
+          floor(((10000000.0 * (CAST(pw AS DOUBLE) / CAST(z_u AS DOUBLE)))
+            / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS epochs
+        FROM pw CROSS JOIN z ORDER BY source""")),
+
     // H7: mean unigram negative-log-likelihood — the public
     // corpus-frequency analog of the CCNet/C4 LM-perplexity quality
     // filter: documents of rare-on-average tokens score high

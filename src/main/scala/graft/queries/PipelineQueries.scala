@@ -449,6 +449,39 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE $componentCtes
         SELECT doc_id, component FROM comp ORDER BY doc_id""")),
 
+    // P16: leakage-safe train/eval split — the published practice
+    // (e.g. the Pile / C4 dedup-then-split discussions; Lee et al.
+    // 2022 measure the cross-split leakage this prevents): assign
+    // whole NEAR-DUP COMPONENTS to a split, so a document's
+    // near-duplicate can never land in eval while it trains.
+    // Singletons (docs in no pair) are their own component. The
+    // split is the P5 hash-threshold on the COMPONENT id —
+    // deterministic, rerun-stable, and constant per component by
+    // construction, which is the no-straddle guarantee. Scale: the
+    // component frame is the f7 memo (tiny — only paired docs); the
+    // corpus takes one broadcast-ish left join and never shuffles on
+    // anything but presentation.
+    QueryDef("p16_leakage_safe_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        docs.join(componentsFor(s, dir), Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .withColumn("split",
+            when(pmod(HashFunctions.md5prefix64(
+              concat(lit("split:"), col("component").cast("string"))), lit(10L)) < 8,
+              lit("train")).otherwise(lit("eval")))
+          .select("doc_id", "component", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $componentCtes,
+        fulljoin AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        SELECT doc_id, component,
+          CASE WHEN ('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 15))::BIGINT
+              % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+        FROM fulljoin ORDER BY doc_id""")),
+
     // P1: the end-to-end curation pipeline a training-data run would
     // execute — quality floor, language gate, exact dedup (keep min
     // doc per content hash), near-dup dedup (keep each component's

@@ -48,6 +48,16 @@ class DataSelectionSpec extends SparkSpecBase {
     assert(hits.toDouble / total >= 0.40, s"target fraction ${hits.toDouble / total}")
   }
 
+  test("p16 split never straddles a near-dup component and lands near 80/20") {
+    val out = SparkEntry.queries("p16_leakage_safe_split")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    val perComp = out.groupBy(_._1).values
+    assert(perComp.forall(_.map(_._2).distinct.size == 1),
+      "a component straddles train/eval")
+    val trainFrac = out.count(_._2 == "train").toDouble / out.length
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"split skewed: $trainFrac")
+  }
+
   test("p14 buckets are tercile-bounded and head is kept at 100%") {
     val out = SparkEntry.queries("p14_perplexity_buckets")(spark, sf).collect()
     val n = out.length

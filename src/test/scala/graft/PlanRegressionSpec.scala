@@ -67,6 +67,20 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "SortAggregate") == 0)
   }
 
+  test("e25b heavy hitters: MG sketch aggregates as ObjectHashAggregate (no sort fallback), verify join broadcast") {
+    val p = executedPlan("e25b_heavy_hitters")
+    assert(count(p, "ObjectHashAggregate") == 2, p.take(400))
+    assert(count(p, "SortAggregate") == 0)
+    assert(count(p, "BroadcastHashJoin") >= 1)
+    assert(count(p, "SortMergeJoin") == 0)
+  }
+
+  test("p16 leakage split: the corpus side joins the component memo broadcast, zero corpus shuffles") {
+    val p = executedPlan("p16_leakage_safe_split")
+    assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))
+    assert(count(p, "BroadcastHashJoin") == 1)
+  }
+
   test("p5 mixture sampling: the keep decision is shuffle-free") {
     val p = executedPlan("p5_source_mixing")
     assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))

@@ -136,6 +136,23 @@ object Demo {
             .withColumn("doc_id", col("doc_id") + 90000), "doc_id", "text")))
     println(s"[demo] media near-dup pairs (re-ingest collapse): ${mediaPairs.count()}")
 
+    // --- Data selection: DSIR weights → leakage-safe split → chunks ---
+    // the round-7 selection flow: importance-resample toward a target
+    // domain, split train/eval at near-dup-component granularity, cut
+    // the training side into stride-overlapped context windows
+    val selected = SparkEntry.queries("p13_dsir_resampling")(spark, sfDir)
+    val split = SparkEntry.queries("p16_leakage_safe_split")(spark, sfDir)
+    val trainDocs = selected.join(split.filter(col("split") === "train"), "doc_id")
+    val chunks = SparkEntry.queries("h13_window_chunks")(spark, sfDir)
+      .join(trainDocs.select("doc_id"), "doc_id")
+    println(s"[demo] data selection: top-${selected.count()} DSIR docs, " +
+      s"${trainDocs.count()} in the train split, ${chunks.count()} training chunks")
+
+    // --- Heavy hitters: sketch screen + exact verify ---
+    val hitters = SparkEntry.queries("e25b_heavy_hitters")(spark, sfDir)
+    println(s"[demo] corpus heavy hitters (MG screen + exact verify): ${hitters.count()}")
+    hitters.show(5)
+
     spark.stop()
   }
 }

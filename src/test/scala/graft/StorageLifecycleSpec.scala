@@ -146,4 +146,34 @@ class StorageLifecycleSpec extends SparkSpecBase {
     // idempotent: already at the target file count
     assert(CurrentState.compactDayPartitions(spark, out, "user_id", "ts").isEmpty)
   }
+
+  test("day filter on the partitioned layout prunes partitions at the scan") {
+    // THE 100 TB lever: a one-day query against a year of history
+    // must read one day's files, not filter a full scan. Pinned on
+    // the executed plan's PartitionFilters AND on the actual file
+    // set handed to the scan.
+    val out = s"${sys.props("java.io.tmpdir")}/graft_prune_spec"
+    val e = Tables.events(spark, sf).select("event_id", "user_id", "value", "ts")
+    CurrentState.writePartitionedByDay(e, "ts", "user_id", out)
+    val all = spark.read.parquet(out)
+    val days = all.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(days.length > 1)
+
+    val oneDay = all.filter(col("day") === days.head)
+    val qe = oneDay.queryExecution
+    qe.executedPlan.execute().count()
+    val plan = qe.executedPlan.toString.replace("\n", " ")
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(plan).isDefined,
+      plan.take(600))
+    // only the selected day's files reach the scan (NOT inputFiles,
+    // which lists the relation's full index regardless of pruning)
+    val scan = qe.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles > 0)
+    assert(numFiles < all.inputFiles.length,
+      s"scan read $numFiles of ${all.inputFiles.length} files — no pruning")
+  }
 }

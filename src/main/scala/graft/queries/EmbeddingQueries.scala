@@ -716,6 +716,168 @@ object EmbeddingQueries {
     // DOWN. The oracle replays BOTH trainings and all four serving
     // chains via an nprobe VALUES fan-out — recall fractions are
     // integer-count ratios, so the hash match is exact.
+    // G12: serving-family recall SCOREBOARD — the capstone instrument
+    // over the five ANN families: one query set (vec_id < 10), one
+    // K (5), one rerank budget (32) where a screen applies, each
+    // family's top-K intersected with the brute-force truth. Output
+    // is integer hit counts (n_hits of n_truth) — no float recall
+    // column, so the oracle comparison is exact by construction.
+    // The truth pair set is computed once and persisted for all five
+    // joins. This is the table a platform team reads to pick a
+    // serving family for a corpus: bucketed families (LSH/IVF) trade
+    // candidates for recall, screen families (SQ/BQ/prefix) trade
+    // per-candidate arithmetic, and the measured hits quantify the
+    // trade on THIS corpus rather than trusting the arithmetic.
+    QueryDef("g12_family_scoreboard",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 10)
+        val truth = graft.operators.TrackedCache.persist(
+          Embeddings.knnBruteForce(emb, q, "vec_id", "embedding", 5)
+            .select("qid", "cid"))
+        val fams: Seq[(Int, String, org.apache.spark.sql.DataFrame)] = Seq(
+          (1, "lsh4_multiprobe",
+            Embeddings.annLshMultiProbe(emb, q, "vec_id", "embedding", 4, 64, 5)),
+          (2, "ivf8_nprobe2",
+            Embeddings.annIvfMultiProbe(emb, q, emb.filter(col("vec_id") < 8),
+              "vec_id", "embedding", 5, 2)),
+          (3, "sq_int8_r32",
+            Embeddings.annSqInt8(emb, q, "vec_id", "embedding", 32, 5)),
+          (4, "bq_r32",
+            Embeddings.annBinary(emb, q, "vec_id", "embedding", 32, 5)),
+          (5, "prefix16_r32",
+            Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16, 32, 5)))
+        fams.map { case (ord, name, df) =>
+          df.select("qid", "cid").join(truth, Seq("qid", "cid"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(ord).as("family_order"), lit(name).as("family"),
+              col("n_hits"))
+        }.reduce(_ unionByName _)
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .orderBy("family_order")
+      },
+      Some {
+        val lshProbes = ("bucket" +: (0 until 4).map(j => s"xor(bucket, ${1L << j})"))
+          .mkString("[", ", ", "]")
+        val sqRecon = """list_transform(codes, c2 -> (CAST(c2 AS DOUBLE) * amax) / 127.0)"""
+        s"""WITH truth AS (
+          SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${sqlCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+            FROM embeddings c
+            CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+            WHERE q.vec_id != c.vec_id) t
+          WHERE rank <= 5),
+        lb AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 4)} AS bucket FROM embeddings),
+        lq0 AS (SELECT vec_id AS qid, embedding AS qvec, bucket FROM lb WHERE vec_id < 10),
+        lq AS (SELECT qid, qvec, unnest($lshProbes) AS bucket FROM lq0),
+        lres AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM (SELECT qid, c.vec_id AS cid, ${sqlCos("qvec", "c.embedding")} AS cos
+                  FROM lb c JOIN lq USING (bucket) WHERE qid != c.vec_id) s0) t
+          WHERE rank <= 5),
+        cent AS (SELECT vec_id AS centroid_id, embedding AS cvec_q FROM embeddings WHERE vec_id < 8),
+        iassign AS (
+          SELECT vec_id, embedding, centroid_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${sqlCos("e.embedding", "cvec_q")} DESC, centroid_id) AS rn
+            FROM embeddings e CROSS JOIN cent) t
+          WHERE rn = 1),
+        iq AS (
+          SELECT vec_id AS qid, embedding AS qvec, centroid_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, centroid_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${sqlCos("e.embedding", "cvec_q")} DESC, centroid_id) AS prn
+            FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 10) t
+          WHERE prn <= 2),
+        ires AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM (SELECT qid, c.vec_id AS cid, ${sqlCos("qvec", "c.embedding")} AS cos
+                  FROM iassign c JOIN iq USING (cell) WHERE qid != c.vec_id) s0) t
+          WHERE rank <= 5),
+        sq AS (
+          SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+          FROM embeddings),
+        enc AS (
+          SELECT vec_id, embedding, amax,
+            CASE WHEN amax > 0 THEN
+              list_transform(embedding, x ->
+                CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT))
+            ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS codes
+          FROM sq),
+        sscored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            q.embedding AS qvec, c.embedding AS cvec,
+            CASE WHEN c.amax > 0 THEN ${sqlCos("q.embedding", sqRecon)}
+              ELSE -2.0 END AS asim
+          FROM enc c
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+          WHERE q.vec_id != c.vec_id),
+        scand AS (
+          SELECT qid, cid, qvec, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY asim DESC, cid) AS arank
+            FROM sscored) t
+          WHERE arank <= 32),
+        sres AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM scand) s0) t
+          WHERE rank <= 5),
+        bscored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            q.embedding AS qvec, c.embedding AS cvec,
+            CAST(len(list_filter(list_zip(q.embedding, c.embedding),
+              p -> (p[1] > 0) != (p[2] > 0))) AS INT) AS hamming
+          FROM embeddings c
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+          WHERE q.vec_id != c.vec_id),
+        bcand AS (
+          SELECT qid, cid, qvec, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS arank
+            FROM bscored) t
+          WHERE arank <= 32),
+        bres AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM bcand) s0) t
+          WHERE rank <= 5),
+        pscored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            q.embedding AS qvec, c.embedding AS cvec,
+            ${sqlCos("q.embedding[1:16]", "c.embedding[1:16]")} AS s_pre
+          FROM embeddings c
+          CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+          WHERE q.vec_id != c.vec_id),
+        pcand AS (
+          SELECT qid, cid, qvec, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s_pre DESC, cid) AS arank
+            FROM pscored) t
+          WHERE arank <= 32),
+        pres AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM pcand) s0) t
+          WHERE rank <= 5),
+        nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+        SELECT * FROM (
+          SELECT 1 AS family_order, 'lsh4_multiprobe' AS family,
+            (SELECT COUNT(*) FROM lres JOIN truth USING (qid, cid)) AS n_hits, n_truth FROM nt
+          UNION ALL SELECT 2, 'ivf8_nprobe2',
+            (SELECT COUNT(*) FROM ires JOIN truth USING (qid, cid)), n_truth FROM nt
+          UNION ALL SELECT 3, 'sq_int8_r32',
+            (SELECT COUNT(*) FROM sres JOIN truth USING (qid, cid)), n_truth FROM nt
+          UNION ALL SELECT 4, 'bq_r32',
+            (SELECT COUNT(*) FROM bres JOIN truth USING (qid, cid)), n_truth FROM nt
+          UNION ALL SELECT 5, 'prefix16_r32',
+            (SELECT COUNT(*) FROM pres JOIN truth USING (qid, cid)), n_truth FROM nt
+        ) t ORDER BY family_order"""
+      }),
+
     QueryDef("g8_recall_report",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)

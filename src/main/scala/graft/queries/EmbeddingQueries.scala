@@ -746,7 +746,17 @@ object EmbeddingQueries {
           (4, "bq_r32",
             Embeddings.annBinary(emb, q, "vec_id", "embedding", 32, 5)),
           (5, "prefix16_r32",
-            Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16, 32, 5)))
+            Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16, 32, 5)),
+          // the RULE-SIZED spellings: coarse screens need rerank ∝ N
+          // (max(32, N/16)); one driver-sized count, the g5-collect
+          // contract — measured to restore what the fixed budget
+          // loses at 40× corpus
+          (6, "bq_rsized",
+            Embeddings.annBinary(emb, q, "vec_id", "embedding",
+              math.max(32L, emb.count() / 16).toInt, 5)),
+          (7, "prefix16_rsized",
+            Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16,
+              math.max(32L, emb.count() / 16).toInt, 5)))
         fams.map { case (ord, name, df) =>
           df.select("qid", "cid").join(truth, Seq("qid", "cid"))
             .agg(count(lit(1)).as("n_hits"))
@@ -863,6 +873,27 @@ object EmbeddingQueries {
             SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
             FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM pcand) s0) t
           WHERE rank <= 5),
+        rsz AS (SELECT greatest(32, COUNT(*) // 16) AS rr FROM embeddings),
+        bcand2 AS (
+          SELECT qid, cid, qvec, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS arank
+            FROM bscored) t CROSS JOIN rsz
+          WHERE arank <= rr),
+        bres2 AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM bcand2) s0) t
+          WHERE rank <= 5),
+        pcand2 AS (
+          SELECT qid, cid, qvec, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s_pre DESC, cid) AS arank
+            FROM pscored) t CROSS JOIN rsz
+          WHERE arank <= rr),
+        pres2 AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM pcand2) s0) t
+          WHERE rank <= 5),
         nt AS (SELECT COUNT(*) AS n_truth FROM truth)
         SELECT * FROM (
           SELECT 1 AS family_order, 'lsh4_multiprobe' AS family,
@@ -875,6 +906,10 @@ object EmbeddingQueries {
             (SELECT COUNT(*) FROM bres JOIN truth USING (qid, cid)), n_truth FROM nt
           UNION ALL SELECT 5, 'prefix16_r32',
             (SELECT COUNT(*) FROM pres JOIN truth USING (qid, cid)), n_truth FROM nt
+          UNION ALL SELECT 6, 'bq_rsized',
+            (SELECT COUNT(*) FROM bres2 JOIN truth USING (qid, cid)), n_truth FROM nt
+          UNION ALL SELECT 7, 'prefix16_rsized',
+            (SELECT COUNT(*) FROM pres2 JOIN truth USING (qid, cid)), n_truth FROM nt
         ) t ORDER BY family_order"""
       }),
 

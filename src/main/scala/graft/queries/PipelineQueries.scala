@@ -1560,6 +1560,37 @@ object PipelineQueries {
         SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming, n_bands
         FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""")),
 
+    // F11: shingle document-frequency report — the instrument that
+    // SIZES F2/F3's df-cap (currently 100) instead of trusting it:
+    // a log2 histogram of shingle document frequencies with, per
+    // bucket, the shingle count, total occurrences (= join-side
+    // rows, whose per-key square is the f2 work term), and how many
+    // of the bucket's shingles the current cap drops. The F10
+    // precision/recall report measures what banding loses; this
+    // measures what the cap costs and what keeping the head would
+    // cost in Σc² join work. One shingle-set aggregation (shared
+    // cache) + one bucket aggregation — both map-side combined,
+    // output ≤ log2(max df) rows. floor(log2(df)) is exact-integer
+    // portable: log2 of a power of two is exact in any correctly-
+    // rounded libm, and non-powers sit strictly inside buckets.
+    QueryDef("f11_shingle_df_report",
+      (s, dir) => {
+        val sh = Dedup.sharedShingleSet(Tables.documents(s, dir), "doc_id", "text", 4)
+        sh.groupBy("shh").agg(count(lit(1)).as("df"))
+          .withColumn("df_bucket", floor(log2(col("df").cast("double"))).cast("long"))
+          .groupBy("df_bucket")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(col("df")).as("n_occurrences"),
+            sum(when(col("df") > 100, 1L).otherwise(0L)).as("n_capped"))
+          .orderBy("df_bucket")
+      },
+      Some(s"""WITH $ShingleCte,
+        dfq AS (SELECT shh, COUNT(*) AS c FROM sh GROUP BY shh)
+        SELECT CAST(floor(log2(CAST(c AS DOUBLE))) AS BIGINT) AS df_bucket,
+          COUNT(*) AS n_shingles, SUM(c) AS n_occurrences,
+          SUM(CASE WHEN c > 100 THEN 1 ELSE 0 END) AS n_capped
+        FROM dfq GROUP BY 1 ORDER BY 1""")),
+
     // E25b: heavy hitters via Misra-Gries screen + exact verify —
     // the e25 top-K family's 10¹⁰-key spelling. Pass 1 folds the
     // token stream into one K21 summary (≤ 4096 pairs per partial

@@ -4,7 +4,7 @@ import graft.operators.{AdsbNormalize, CurrentState}
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** A/B/C/D groups of SURVEY §2 — the reference's ingest-normalization,
   * storage-layout, current-state and dashboard semantics, exercised on
@@ -506,6 +506,89 @@ object AdsbQueries {
           SELECT event_type, event_id, value,
             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
           FROM events) t
-        WHERE rn <= 3 ORDER BY event_type, rn"""))
+        WHERE rn <= 3 ORDER BY event_type, rn""")),
+
+    // D16: geofence — which aircraft are inside an airspace polygon
+    // (the map-dashboard region filter / alerting predicate; cf. the
+    // reference's map panels, adsb-scraper's lat/lon bounding-box
+    // config). Even-odd ray casting against a fixed 5-vertex polygon:
+    // per edge, `((yi>y) != (yj>y)) && (x < (xj-xi)*(y-yi)/(yj-yi)+xi)`
+    // — counts parity = inside. Pure row-local rational double
+    // arithmetic (compares + one divide per edge, no trig), generated
+    // from ONE Scala vertex list into BOTH the Spark Column tree and
+    // the oracle SQL, so every IEEE op is literally identical across
+    // engines — no quantization needed, and the predicate sits in the
+    // scan's codegen stage (a map-only filter at any scale; a real
+    // deployment would AND a cheap bounding-box pre-filter that
+    // parquet min/max stats can prune on, spelled here too).
+    QueryDef("d16_geofence",
+      (s, dir) => {
+        val poly = GeofencePoly.vertices
+        // lon from event_id, lat from value: d4's value-derived pair
+        // is a 1-D manifold (lon = 2·lat ∓ 90) that misses any finite
+        // polygon; decorrelated axes actually populate the airspace.
+        val (lat, lon) = (
+          (col("value") % 90.0) - 45.0,
+          ((col("event_id") * 7) % 360).cast("double") - 179.5)
+        val (latMin, latMax) = (poly.map(_._1).min, poly.map(_._1).max)
+        val (lonMin, lonMax) = (poly.map(_._2).min, poly.map(_._2).max)
+        ev(s, dir)
+          .withColumn("lat", lat).withColumn("lon", lon)
+          .filter(col("lat").between(latMin, latMax) &&
+            col("lon").between(lonMin, lonMax))
+          .filter(GeofencePoly.inside(col("lat"), col("lon")))
+          .select(col("event_id"), col("user_id"),
+            QueryDefs.q6(col("lat")).as("lat"), QueryDefs.q6(col("lon")).as("lon"))
+          .orderBy("event_id")
+      },
+      Some {
+        val poly = GeofencePoly.vertices
+        val cross = poly.indices.map { i =>
+          val (yi, xi) = poly(i)
+          val (yj, xj) = poly((i + 1) % poly.length)
+          s"""(CASE WHEN (($yi > lat) != ($yj > lat))
+              AND lon < ($xj - $xi) * (lat - $yi) / ($yj - $yi) + $xi
+              THEN 1 ELSE 0 END)"""
+        }.mkString(" + ")
+        val (latMin, latMax) = (poly.map(_._1).min, poly.map(_._1).max)
+        val (lonMin, lonMax) = (poly.map(_._2).min, poly.map(_._2).max)
+        s"""WITH pos AS (
+            SELECT event_id, user_id, (value % 90.0) - 45.0 AS lat,
+              CAST((event_id * 7) % 360 AS DOUBLE) - 179.5 AS lon
+            FROM events),
+          boxed AS (SELECT * FROM pos
+            WHERE lat BETWEEN $latMin AND $latMax
+              AND lon BETWEEN $lonMin AND $lonMax)
+          SELECT event_id, user_id,
+            ${QueryDefs.sqlQ6("lat")} AS lat, ${QueryDefs.sqlQ6("lon")} AS lon
+          FROM boxed
+          WHERE ($cross) % 2 = 1
+          ORDER BY event_id"""
+      })
   )
+}
+
+/** The fixed airspace polygon d16 tests against — vertices chosen
+  * irrational-ish (non-round) so no synthetic position lands exactly
+  * on an edge or vertex latitude. Shared by the Spark and oracle
+  * sides so both engines evaluate the same literals.
+  */
+private[graft] object GeofencePoly {
+  val vertices: Seq[(Double, Double)] = Seq(
+    (10.3, -40.7), (25.9, -10.1), (5.7, 20.3), (-15.1, 10.9), (-20.3, -25.7))
+
+  /** Even-odd ray-cast membership as a Column predicate (shared by
+    * d16 and its spec): odd crossing count of the +x ray from
+    * (lat, lon) against the polygon edges.
+    */
+  def inside(lat: Column, lon: Column): Column = {
+    val crossings = vertices.indices.map { i =>
+      val (yi, xi) = vertices(i)
+      val (yj, xj) = vertices((i + 1) % vertices.length)
+      when((lit(yi) > lat) =!= (lit(yj) > lat) &&
+        lon < (lit(xj) - xi) * (lat - yi) / (lit(yj) - yi) + xi, 1)
+        .otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
 }

@@ -1192,6 +1192,113 @@ object EmbeddingQueries {
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
             FROM surv) t
           WHERE rank <= 3 ORDER BY qid, rank"""
-      })
+      }),
+
+    // G13: hybrid retrieval with reciprocal-rank fusion — the serving
+    // pattern a RAG / data-selection stack runs: a keyword leg (h8's
+    // BM25 over per-query term sets) and a vector leg (cosine top-N
+    // over the query embedding) each produce a ranking, fused by
+    // RRF(d) = Σ_legs 1/(60 + rank_leg(d)). Scale shape: the keyword
+    // leg is inverted-index-shaped (map-side-combined TF/DF aggs,
+    // term and stats frames broadcast); the vector leg here is the
+    // exact scorer for a deterministic oracle, and is exactly the
+    // g12 scoreboard's family parameter — swap in annIvfMultiProbe /
+    // annSqInt8 for the billion-vector deployment without touching
+    // the fusion. The fusion join moves ≤ topN rows per query per
+    // leg, never the corpus. Portability: BM25 reuses h8's q6 +
+    // exact-decimal-sum spelling; RRF contributions are
+    // floor(1e9/(60+rank)) — one IEEE divide + floor on integer
+    // inputs, bit-identical in both engines — summed as BIGINT, so
+    // the fused ordering is integer-exact.
+    QueryDef("g13_hybrid_rrf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val termRows = Seq((0L, "spark"), (0L, "hash"), (1L, "window"),
+          (1L, "join"), (2L, "stream"), (2L, "vector"))
+        val terms = s.createDataFrame(termRows).toDF("qid", "w")
+        val termList = termRows.map(_._2).distinct
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tt"))
+          .select(col("n_docs"), (col("tt").cast("double") / col("n_docs")).as("avgdl"))
+        val tf = tok.filter(col("w").isin(termList: _*))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
+        val idf = QueryDefs.q6(log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+        val score = QueryDefs.q6(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        val kw = tf.join(broadcast(terms), "w")
+          .filter(col("doc_id") =!= col("qid"))
+          .join(broadcast(dfT), "w")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("__score", score)
+          .groupBy("qid", "doc_id")
+          .agg(sum(col("__score").cast("decimal(18,6)")).cast("double").as("bm25"))
+          .withColumn("kw_rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("bm25").desc, col("doc_id"))))
+          .filter(col("kw_rank") <= 50)
+          .select("qid", "doc_id", "kw_rank")
+        val emb = Tables.embeddings(s, dir)
+        val vec = Embeddings.knnBruteForce(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 50)
+          .select(col("qid"), col("cid").as("doc_id"), col("rank").as("vec_rank"))
+        def contrib(r: org.apache.spark.sql.Column) =
+          coalesce(floor(lit(1000000000.0) / (lit(60.0) + r)).cast("long"), lit(0L))
+        kw.join(vec, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("rrf", contrib(col("kw_rank")) + contrib(col("vec_rank")))
+          .withColumn("fused_rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))))
+          .filter(col("fused_rank") <= 10)
+          .select("qid", "fused_rank", "doc_id", "kw_rank", "vec_rank", "rrf")
+          .orderBy("qid", "fused_rank")
+      },
+      Some(s"""WITH terms(qid, w) AS (VALUES (0, 'spark'), (0, 'hash'),
+          (1, 'window'), (1, 'join'), (2, 'stream'), (2, 'vector')),
+        tok AS (SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS w
+          FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs,
+            CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok
+          WHERE w IN ('spark', 'hash', 'window', 'join', 'stream', 'vector')
+          GROUP BY doc_id, w),
+        dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        sc AS (SELECT t.qid, tf.doc_id,
+            ${QueryDefs.sqlQ6(s"(${QueryDefs.sqlQ6("ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)")}) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))")} AS score
+          FROM tf JOIN terms t USING (w) JOIN dfq USING (w)
+          JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats
+          WHERE tf.doc_id != t.qid),
+        kw0 AS (SELECT qid, doc_id,
+            CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+          FROM sc GROUP BY qid, doc_id),
+        kw AS (SELECT qid, doc_id, kw_rank FROM (
+            SELECT qid, doc_id, row_number() OVER (
+              PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS kw_rank
+            FROM kw0) t
+          WHERE kw_rank <= 50),
+        q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+        vs AS (SELECT qid, vec_id AS doc_id, ${sqlCos("qvec", "embedding")} AS cos
+          FROM embeddings CROSS JOIN q WHERE qid != vec_id),
+        vec AS (SELECT qid, doc_id, vec_rank FROM (
+            SELECT qid, doc_id, row_number() OVER (
+              PARTITION BY qid ORDER BY cos DESC, doc_id) AS vec_rank
+            FROM vs) t
+          WHERE vec_rank <= 50),
+        fused AS (
+          SELECT coalesce(kw.qid, vec.qid) AS qid,
+            coalesce(kw.doc_id, vec.doc_id) AS doc_id, kw_rank, vec_rank,
+            coalesce(CAST(floor(1000000000.0 / (60.0 + kw_rank)) AS BIGINT), 0) +
+            coalesce(CAST(floor(1000000000.0 / (60.0 + vec_rank)) AS BIGINT), 0) AS rrf
+          FROM kw FULL OUTER JOIN vec
+            ON kw.qid = vec.qid AND kw.doc_id = vec.doc_id)
+        SELECT qid, fused_rank, doc_id, kw_rank, vec_rank, rrf FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY rrf DESC, doc_id) AS fused_rank
+          FROM fused) t
+        WHERE fused_rank <= 10 ORDER BY qid, fused_rank"""))
   )
 }

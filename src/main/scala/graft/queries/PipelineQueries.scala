@@ -1845,6 +1845,61 @@ object PipelineQueries {
           CAST(len(ws[CAST(ci * 24 + 1 AS INT) : CAST(ci * 24 + 32 AS INT)]) AS BIGINT) AS n_tokens,
           ('0x' || substr(md5(array_to_string(
             ws[CAST(ci * 24 + 1 AS INT) : CAST(ci * 24 + 32 AS INT)], ' ')), 1, 15))::BIGINT AS chunk_hash
-        FROM c ORDER BY doc_id, chunk_idx"""))
+        FROM c ORDER BY doc_id, chunk_idx""")),
+
+    // H14: hashed linear quality classifier — the fasttext-shaped
+    // scorer curation stacks run over every document (CCNet/GPT-3
+    // style quality filtering): tokens hash into 64 feature buckets
+    // (the hashing trick, so vocabulary is unbounded and the model is
+    // one fixed-size weight vector), doc score = Σ weight[bucket(w)].
+    // Weights here are a deterministic md5-derived stand-in for the
+    // trained vector — swapping in trained weights changes 64 literals,
+    // not the plan. Scale shape: one map-side-combined aggregation
+    // over the shared token frame; the weight vector is a 64-entry
+    // literal in the codegen'd expression (no join, no lookup table
+    // shuffle). Portability: bucket ids come from the md5-prefix hash
+    // (bit-identical in both engines), weights are integer literals,
+    // the score is an exact BIGINT sum, and the per-token mean is one
+    // IEEE divide on integers — nothing to quantize.
+    QueryDef("h14_quality_classifier",
+      (s, dir) => {
+        val weights = PipelineQueries.classifierWeights
+        val tok = tokFrame(s, dir)
+        val bkt = graft.functions.HashFunctions.md5prefix64(col("w")) % 64L
+        tok
+          .withColumn("__wgt",
+            element_at(typedLit(weights), (bkt + 1L).cast("int")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("__wgt")).as("score"))
+          .withColumn("label", col("score") > 0)
+          .withColumn("score_per_tok",
+            col("score").cast("double") / col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val wlist = PipelineQueries.classifierWeights.mkString("[", ", ", "]")
+        s"""WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS w
+            FROM documents),
+          b AS (SELECT doc_id,
+              ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bkt
+            FROM tok),
+          sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+              SUM(($wlist)[CAST(bkt + 1 AS INT)]) AS score
+            FROM b GROUP BY doc_id)
+          SELECT doc_id, n_tokens, score, score > 0 AS label,
+            CAST(score AS DOUBLE) / n_tokens AS score_per_tok
+          FROM sc ORDER BY doc_id"""
+      })
   )
+
+  /** h14's 64 feature-bucket weights — deterministic md5-derived
+    * integers in [-1000, 1000], the stand-in for a trained linear
+    * model's weight vector (same seed-space pattern as the LSH
+    * hyperplanes / codebooks).
+    */
+  private[queries] lazy val classifierWeights: Seq[Long] =
+    (0 until 64).map(b =>
+      graft.functions.HashUtil.md5Prefix64(s"qw,$b") % 2001L - 1000L)
 }

@@ -219,6 +219,61 @@ object Dedup {
       .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** One-permutation MinHash (Li/Owen/Zhang OPH) band signatures with
+    * rotation densification (Shrivastava): instead of k independent
+    * affine minhashes per shingle, hash each shingle ONCE and route it
+    * to slot `shh % k`, keeping the min per slot; empty slots borrow
+    * the value of the nearest non-empty slot to their circular right.
+    * Signature extraction cost drops from k affine passes over every
+    * shingle to one modulo — the dominant cost at corpus scale, which
+    * is why production MinHash (datasketch, Spark's own MinHashLSH
+    * alternatives) ships OPH. Pair quality is spec-verified against
+    * the classic family (identical docs always collide; measured
+    * band-collision behavior comparable at the same k).
+    *
+    * Shape: one map-side-combined min-agg per (doc, slot) — the SAME
+    * single shuffle as [[minhashBands]] (slot is part of the grouping
+    * key, not a row multiplier since each shingle lands in exactly
+    * one slot vs ALL 16) — then densification is a row-local
+    * array_sort over the ≤ k collected slots.
+    */
+  def onePermBands(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(k % rowsPerBand == 0, "slot count must divide into bands")
+    val sh = sharedShingleSet(df, idCol, textCol, n)
+    val sparse = sh.groupBy(col(idCol), (col("shh") % k).as("bkt"))
+      .agg(min(col("shh")).as("v"))
+    val entries = sparse.groupBy(col(idCol))
+      .agg(collect_list(struct(col("bkt"), col("v"))).as("es"))
+    // slot b = value of the entry with min circular distance rightward
+    // ((bkt - b) mod k); distances are distinct per doc (one entry per
+    // bucket), so the array_sort pick is deterministic regardless of
+    // collect_list order
+    def slot(b: Int) =
+      element_at(array_sort(transform(col("es"), e =>
+        struct((((e.getField("bkt") - b) % k + k) % k).as("d"),
+          e.getField("v").as("v")))), 1).getField("v")
+    val nBands = k / rowsPerBand
+    entries.select(col(idCol), explode(array((0 until nBands).map { band =>
+        struct(lit(band).as("band"),
+          xxhash64((0 until rowsPerBand).map(r =>
+            slot(band * rowsPerBand + r)): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs from [[onePermBands]] — same join/agg shape as
+    * [[minhashLshPairs]].
+    */
+  def onePermLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val bands = persistTracked(onePermBands(df, idCol, textCol, n, k, rowsPerBand))
+    val l = bands.select(col(idCol).as("a"), col("band"), col("sig"))
+    val r = bands.select(col(idCol).as("b"), col("band"), col("sig"))
+    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_bands"))
+  }
+
   /** LSH quality REPORT (F10 — the dedup-family analogue of G8's ANN
     * recall report): for each candidate threshold `min_bands` ∈
     * 1..bands, measure the banded-LSH candidate set against TRUE

@@ -219,6 +219,39 @@ object PipelineQueries {
         .orderBy("a", "b"),
       Some(minhashSql)),
 
+    // F11: ONE-PERMUTATION MinHash + LSH (Dedup.onePermBands) — the
+    // production spelling of f3's signature extraction: one hash per
+    // shingle routed to slot `shh % 16` (min per slot, empty slots
+    // densified by circular rotation) instead of 16 affine passes per
+    // shingle. Same single doc-keyed shuffle, ~16× less signature
+    // arithmetic — at 100 TB extraction dominates the dedup bill, so
+    // this is the spelling the daily batch runs. The oracle replays
+    // slotting, rotation densification (a per-(doc, slot) argmin over
+    // circular distance) and the band self-join; the Spark side joins
+    // on 8-byte xxhash64 band sigs while the oracle keeps the
+    // portable 4-tuple string — identical PAIR sets (the
+    // minhashBands rationale).
+    QueryDef("f11_oph_minhash",
+      (s, dir) => Dedup.onePermLshPairs(Tables.documents(s, dir), "doc_id", "text", 4)
+        .orderBy("a", "b"),
+      Some(s"""WITH $ShingleCte,
+        sparse AS (SELECT doc_id, shh % 16 AS bkt, min(shh) AS v
+          FROM sh GROUP BY doc_id, shh % 16),
+        grid AS (SELECT DISTINCT doc_id FROM sparse),
+        cand AS (SELECT g.doc_id, t.b, s.v,
+            row_number() OVER (PARTITION BY g.doc_id, t.b
+              ORDER BY ((s.bkt - t.b) % 16 + 16) % 16) AS rn
+          FROM grid g CROSS JOIN generate_series(0, 15) t(b)
+          JOIN sparse s ON s.doc_id = g.doc_id),
+        dense AS (SELECT doc_id, b, v FROM cand WHERE rn = 1),
+        bands AS (SELECT doc_id, CAST(b // 4 AS INT) AS band,
+            string_agg(CAST(v AS VARCHAR), ',' ORDER BY b) AS sig
+          FROM dense GROUP BY doc_id, b // 4)
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+        GROUP BY 1, 2 ORDER BY a, b""")),
+
     // F10: LSH quality report (Dedup.lshQualityReport) — measured
     // precision/recall of the banded candidates vs true n-gram
     // Jaccard at tau=0.5, per min-bands threshold. The oracle
@@ -1891,6 +1924,124 @@ object PipelineQueries {
           SELECT doc_id, n_tokens, score, score > 0 AS label,
             CAST(score AS DOUBLE) / n_tokens AS score_per_tok
           FROM sc ORDER BY doc_id"""
+      }),
+
+    // H15: URL canonicalization dedup — the cheapest and FIRST dedup
+    // pass a web-scale curation pipeline runs (RefinedWeb/CCNet dedup
+    // by canonical URL before any content hashing): lowercase, strip
+    // fragment, strip tracking params (utm_*), strip www. and the
+    // trailing slash, then group by the canonical form. The messy URL
+    // is synthesized deterministically from doc_id (h9's pattern) so
+    // every canonicalization rule provably fires. Row-local regex
+    // chain + ONE map-side-combined aggregation whose key is the
+    // canonical string — at 100 TB this is a pure scan + one shuffle
+    // of (url, id) pairs, no content bytes move. Patterns avoid
+    // backreferences (Spark $1 vs DuckDB \\1 differ) and each occurs
+    // at most once per URL (Spark replaces all matches, DuckDB's
+    // default replaces the first — identical here by construction).
+    QueryDef("h15_url_canonicalize",
+      (s, dir) => {
+        val id = col("doc_id")
+        val messy = concat(
+          lit("https://"),
+          when(id % 3 === 0, "WWW.").otherwise(""),
+          lit("Ex"), (id % 20).cast("string"), lit(".COM/a/b"),
+          when(id % 2 === 0, "/").otherwise(""),
+          when(id % 4 =!= 3, "?utm_source=x&id=").otherwise("?id="),
+          (id % 50).cast("string"),
+          when(id % 5 === 0, concat(lit("#sec"), (id % 7).cast("string")))
+            .otherwise(""))
+        val canon = Seq[(String, String)](
+          ("#.*", ""), ("\\?utm_[^&]*&", "?"), ("://www\\.", "://"),
+          ("/\\?", "?"), ("/$", ""))
+          .foldLeft(lower(messy)) { case (c, (pat, rep)) =>
+            regexp_replace(c, pat, rep)
+          }
+        Tables.documents(s, dir)
+          .select(id.as("doc_id"), canon.as("url"))
+          .groupBy("url")
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+          .orderBy("url")
+      },
+      Some("""WITH messy AS (
+          SELECT doc_id, 'https://'
+            || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+            || 'Ex' || CAST(doc_id % 20 AS VARCHAR) || '.COM/a/b'
+            || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+            || CASE WHEN doc_id % 4 != 3 THEN '?utm_source=x&id=' ELSE '?id=' END
+            || CAST(doc_id % 50 AS VARCHAR)
+            || CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END
+            AS u
+          FROM documents),
+        canon AS (
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              lower(u), '#.*', ''), '\?utm_[^&]*&', '?'), '://www\.', '://'),
+              '/\?', '?'), '/$', '') AS url
+          FROM messy)
+        SELECT url, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+        FROM canon GROUP BY url ORDER BY url""")),
+
+    // P17: domain-authority PageRank — the source-weighting signal a
+    // web-curation pipeline computes before mixture sampling (authority
+    // of the originating domain, cf. CommonCrawl host-graph ranks used
+    // by quality filters). The 20 `source` domains form a deterministic
+    // link graph (edge list generated from ONE Scala list into both
+    // engines); 5 synchronous iterations of
+    // r'(v) = base + (85·Σ_{u→v} r(u) DIV d(u)) DIV 100, ALL INTEGER
+    // (ranks scaled by 1e12): integer division and order-independent
+    // BIGINT sums make every iteration bit-exact across engines — no
+    // float accumulation-order hazard to quantize away. Scale shape:
+    // each iteration is one broadcast-join (edges are domain-count
+    // sized) + one map-side-combined sum; at a billion-node host
+    // graph the SAME loop shuffles on dst with AQE, the iteration
+    // count stays O(10), and the doc-side join below is a broadcast
+    // of the rank table — document bytes never move.
+    QueryDef("p17_domain_pagerank",
+      (s, dir) => {
+        val n = DomainGraph.NDomains
+        val base = DomainGraph.Base
+        val edges = broadcast(
+          s.createDataFrame(DomainGraph.edges).toDF("src", "dst", "d"))
+        val nodes = s.createDataFrame((0 until n).map(Tuple1(_))).toDF("v")
+        var ranks = nodes.withColumn("r", lit(DomainGraph.S0 / n))
+        for (_ <- 0 until 5) {
+          val contrib = ranks.join(edges, col("v") === col("src"))
+            .select(col("dst"), expr("r DIV d").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("cs"))
+          ranks = nodes.join(contrib, col("v") === col("dst"), "left")
+            .select(col("v"),
+              (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+        }
+        val docs = Tables.documents(s, dir)
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        docs.join(broadcast(ranks.withColumn("source",
+            concat(lit("src"), col("v").cast("string")))),
+            Seq("source"))
+          .select(col("source"), col("r").as("rank"), col("n_docs"))
+          .orderBy("source")
+      },
+      Some {
+        val n = DomainGraph.NDomains
+        val edgeRows = DomainGraph.edges
+          .map { case (a, b, d) => s"($a, $b, $d)" }.mkString(", ")
+        val iters = (0 until 5).map { t =>
+          s"""r${t + 1} AS (
+              SELECT n.v AS v,
+                ${DomainGraph.Base} + (85 * COALESCE(SUM(r$t.r // ed.d), 0)) // 100 AS r
+              FROM nodes n
+              LEFT JOIN edges ed ON ed.dst = n.v
+              LEFT JOIN r$t ON r$t.v = ed.src
+              GROUP BY n.v)"""
+        }.mkString(",\n")
+        s"""WITH nodes AS (SELECT unnest(range(0, $n)) AS v),
+          edges(src, dst, d) AS (VALUES $edgeRows),
+          r0 AS (SELECT v, ${DomainGraph.S0 / n} AS r FROM nodes),
+          $iters,
+          docs AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+          SELECT source, r5.r AS rank, n_docs
+          FROM docs JOIN r5 ON source = 'src' || CAST(r5.v AS VARCHAR)
+          ORDER BY source"""
       })
   )
 
@@ -1902,4 +2053,23 @@ object PipelineQueries {
   private[queries] lazy val classifierWeights: Seq[Long] =
     (0 until 64).map(b =>
       graft.functions.HashUtil.md5Prefix64(s"qw,$b") % 2001L - 1000L)
+}
+
+/** p17's deterministic domain link graph, shared by the Spark loop and
+  * the oracle's VALUES list: node i links to (3i+1), (7i+2), (13i+5)
+  * mod N (distinct, never self — 3i+1 ≡ i (mod 20) has no solution).
+  * Ranks are scaled by S0 = 1e12 so every PageRank step is integer.
+  */
+private[queries] object DomainGraph {
+  val NDomains = 20
+  val S0: Long = 1000000000000L
+  /** base = (15% of S0) / N, exact: 0.15 · 1e12 / 20. */
+  val Base: Long = 15L * S0 / (100L * NDomains)
+
+  /** (src, dst, outdeg-of-src) triples. */
+  lazy val edges: Seq[(Int, Int, Int)] = (0 until NDomains).flatMap { i =>
+    val ts = Seq((3 * i + 1) % NDomains, (7 * i + 2) % NDomains,
+      (13 * i + 5) % NDomains).distinct.filter(_ != i)
+    ts.map(t => (i, t, ts.length))
+  }
 }

@@ -79,6 +79,45 @@ object HashUtil {
       java.util.Arrays.copyOf(out, m))
   }
 
+  /** One-permutation MinHash slot minima + rotation densification
+    * (K21, for [[graft.functions.OphSlotMins]]): one pass over the
+    * shingle-hash array routing each h to slot (h mod k) keeping the
+    * min; empty slots then borrow the value of the nearest non-empty
+    * slot circularly RIGHTWARD — the same selection as
+    * `argmin_{entries} ((bkt - b) mod k)`, so the kernel is
+    * bit-identical to the exploded groupBy + array_sort spelling
+    * (spec-pinned). Duplicate hashes are harmless (min over multiset
+    * ≡ min over set). Empty input → empty array: callers filter
+    * zero-shingle docs, mirroring minhashBandsRowLocal's drop.
+    */
+  def ophSlotMins(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                  k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.emptyLongArray)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      val b = (((h % k) + k) % k).toInt  // shingle hashes are >= 0, but stay total
+      if (h < mins(b)) mins(b) = h
+      i += 1
+    }
+    val out = new Array[Long](k)
+    var b = 0
+    while (b < k) {
+      if (mins(b) != Long.MaxValue) out(b) = mins(b)
+      else {
+        var d = 1
+        while (mins((b + d) % k) == Long.MaxValue) d += 1
+        out(b) = mins((b + d) % k)
+      }
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 
   /** Polynomial base of the rolling gram hash (a classic small odd
@@ -381,6 +420,28 @@ case class TokenShingleHashes64(child: Expression, n: Int) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** OPH slot minima + rotation densification as one native kernel
+  * (K21) — see [[HashUtil.ophSlotMins]]. Replaces a per-(doc, slot)
+  * groupBy + collect_list + per-slot array_sort composition (two
+  * aggregations and k interpreted sorts per doc) with one compiled
+  * pass over the shingle-hash array.
+  */
+case class OphSlotMins(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"slot count must be >= 1, got $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.ophSlotMins(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.ophSlotMins($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): OphSlotMins =
+    copy(child = newChild)
+}
+
 /** Winnowing's sliding-window-minimum fingerprint selection as one
   * native kernel — see [[HashUtil.slidingMinDistinct]]. Replaces a
   * `slice`/`zip_with`/`least`/`array_distinct` composition that
@@ -582,6 +643,12 @@ object HashFunctions {
     */
   def tokenShingleHashes64(c: Column, n: Int): Column =
     ColumnBridge.column(TokenShingleHashes64(ColumnBridge.expression(c), n))
+
+  /** OPH slot minima + rotation densification (native, codegen'd) —
+    * see [[OphSlotMins]].
+    */
+  def ophSlotMins(c: Column, k: Int): Column =
+    ColumnBridge.column(OphSlotMins(ColumnBridge.expression(c), k))
 
   /** 32-bit SimHash fingerprint (native, codegen'd) — see [[SimHash32]]. */
   def simhash32(c: Column): Column =

@@ -262,12 +262,41 @@ object Dedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Candidate pairs from [[onePermBands]] — same join/agg shape as
-    * [[minhashLshPairs]].
+  /** [[onePermBands]] computed ENTIRELY row-locally via the K21
+    * kernel ([[graft.functions.HashUtil.ophSlotMins]]): shingle-hash
+    * array → one compiled pass for slot minima + densification →
+    * band sigs. ZERO shuffles for signature extraction (the exploded
+    * spelling pays a (doc, slot) aggregation AND a doc-keyed
+    * collect_list) — this is where OPH's k×-less-arithmetic promise
+    * actually lands at corpus scale, and the spelling streaming
+    * microbatches must use. Bit-identical signatures to
+    * [[onePermBands]] (spec-pinned): duplicates in the un-distinct
+    * hash array can't move a min, and the kernel's rightward borrow
+    * IS the argmin-by-circular-distance selection.
+    */
+  def onePermBandsRowLocal(df: DataFrame, idCol: String, textCol: String,
+                           n: Int, k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    require(k % rowsPerBand == 0, "slot count must divide into bands")
+    val nBands = k / rowsPerBand
+    val withS = df.withColumn("__shs",
+      graft.functions.HashFunctions.tokenShingleHashes64(col(textCol), n))
+      .withColumn("__slots", graft.functions.HashFunctions.ophSlotMins(col("__shs"), k))
+    withS.filter(size(col("__shs")) > 0)
+      .select(col(idCol), explode(array((0 until nBands).map { band =>
+        struct(lit(band).as("band"),
+          xxhash64((0 until rowsPerBand).map(r =>
+            element_at(col("__slots"), band * rowsPerBand + r + 1)): _*).as("sig"))
+      }: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs from the row-local OPH bands — same join/agg
+    * shape as [[minhashLshPairs]], but the extraction side is a pure
+    * map stage: the band self-join is the ONLY shuffle.
     */
   def onePermLshPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       k: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val bands = persistTracked(onePermBands(df, idCol, textCol, n, k, rowsPerBand))
+    val bands = persistTracked(onePermBandsRowLocal(df, idCol, textCol, n, k, rowsPerBand))
     val l = bands.select(col(idCol).as("a"), col("band"), col("sig"))
     val r = bands.select(col(idCol).as("b"), col("band"), col("sig"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))

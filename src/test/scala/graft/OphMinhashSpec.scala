@@ -39,6 +39,16 @@ class OphMinhashSpec extends SparkSpecBase {
       s"expected >= 3 shared bands, got $pairs")
   }
 
+  test("row-local K21 kernel bands are bit-identical to the exploded spelling") {
+    val docs = ((1 to 30).map(i => (i.toLong, s"$base tail$i words here")) :+
+      (99L, "a b c") :+ (100L, base)).toDF("doc_id", "text")
+    val grouped = Dedup.onePermBands(docs, "doc_id", "text", 4)
+      .as[(Long, Int, Long)].collect().toSet
+    val rowLocal = Dedup.onePermBandsRowLocal(docs, "doc_id", "text", 4)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(rowLocal == grouped)
+  }
+
   test("OPH finds the near-dup pairs the classic family finds on dup-heavy corpora") {
     // 4 exact-dup clusters of 3 + 8 unrelated docs: both families
     // must produce exactly the within-cluster pairs

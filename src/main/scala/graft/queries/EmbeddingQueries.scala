@@ -1299,6 +1299,101 @@ object EmbeddingQueries {
           SELECT *, row_number() OVER (
             PARTITION BY qid ORDER BY rrf DESC, doc_id) AS fused_rank
           FROM fused) t
-        WHERE fused_rank <= 10 ORDER BY qid, fused_rank"""))
+        WHERE fused_rank <= 10 ORDER BY qid, fused_rank""")),
+
+    // G14: MMR diversified reranking (Carbonell/Goldstein maximal
+    // marginal relevance) — the diversity pass a retrieval stack runs
+    // over its top-k before serving (and the few-shot-example selector
+    // a data-selection pipeline uses): greedily pick
+    // argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), λ=0.7, 4
+    // picks from the top-8 cosine candidates. The greedy loop is
+    // inherently sequential in STEPS but each step is fully
+    // distributed over queries — 4 unrolled DataFrame iterations
+    // (anti-join remaining, max-sim-to-selected agg, one-row-per-qid
+    // window pick), all on candidate-sized frames (≤ k rows per qid;
+    // the corpus appears only in the one kNN at the top). Portability:
+    // rel and sims are the bit-identical cosine infrastructure; each
+    // step's score is the same IEEE ops in both engines with cid
+    // tie-breaks, so the SELECTION (integer cids) is exact and only
+    // the reported score is q6-presented.
+    QueryDef("g14_mmr_rerank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val cand = graft.operators.TrackedCache.persist(
+          Embeddings.knnBruteForce(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 8)
+            .select(col("qid"), col("cid"), col("cos").as("rel")))
+        val cv = cand.join(
+          emb.select(col("vec_id").as("cid"), col("embedding").as("cvec")), "cid")
+        val x = cv.select(col("qid"), col("cid").as("ca"), col("cvec").as("va"))
+        val y = cv.select(col("qid"), col("cid").as("cb"), col("cvec").as("vb"))
+        val sims = graft.operators.TrackedCache.persist(
+          x.join(y, Seq("qid")).filter(col("ca") =!= col("cb"))
+            .select(col("qid"), col("ca"), col("cb"),
+              graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")).as("sim")))
+        val w1 = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))
+        var sel = cand.withColumn("__rn", row_number().over(w1))
+          .filter(col("__rn") === 1)
+          .select(col("qid"), col("cid"), lit(1).as("step"), col("rel").as("score"))
+        for (t <- 2 to 4) {
+          val remaining = cand.join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+          val ms = sims.join(sel.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
+            .groupBy(col("qid"), col("ca").as("cid"))
+            .agg(max(col("sim")).as("maxsim"))
+          val scored = remaining.join(ms, Seq("qid", "cid"))
+            .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("maxsim"))
+          val wt = Window.partitionBy("qid").orderBy(col("score").desc, col("cid"))
+          val pick = scored.withColumn("__rn", row_number().over(wt))
+            .filter(col("__rn") === 1)
+            .select(col("qid"), col("cid"), lit(t).as("step"), col("score"))
+          sel = sel.unionByName(pick)
+        }
+        sel.select(col("qid"), col("step"), col("cid"),
+            QueryDefs.q6(col("score")).as("mmr"))
+          .orderBy("qid", "step")
+      },
+      Some {
+        val steps = (2 to 4).map { t =>
+          s"""rem$t AS (SELECT c.* FROM cand c
+              WHERE NOT EXISTS (SELECT 1 FROM u${t - 1} u
+                WHERE u.qid = c.qid AND u.cid = c.cid)),
+            ms$t AS (SELECT s.qid, s.ca AS cid, max(s.sim) AS maxsim
+              FROM sims s JOIN u${t - 1} u ON u.qid = s.qid AND u.cid = s.cb
+              GROUP BY s.qid, s.ca),
+            sc$t AS (SELECT r.qid, r.cid, 0.7 * r.rel - 0.3 * m.maxsim AS score
+              FROM rem$t r JOIN ms$t m ON m.qid = r.qid AND m.cid = r.cid),
+            s$t AS (SELECT qid, cid, $t AS step, score FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY qid ORDER BY score DESC, cid) AS rn
+                FROM sc$t) z
+              WHERE rn = 1),
+            u$t AS (SELECT qid, cid FROM u${t - 1} UNION ALL SELECT qid, cid FROM s$t)"""
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+            FROM embeddings WHERE vec_id < 3),
+          scored0 AS (SELECT qid, vec_id AS cid, embedding AS cvec,
+              ${sqlCos("qvec", "embedding")} AS rel
+            FROM embeddings CROSS JOIN q WHERE qid != vec_id),
+          cand AS (SELECT qid, cid, cvec, rel FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+              FROM scored0) t
+            WHERE rn <= 8),
+          sims AS (SELECT x.qid, x.cid AS ca, y.cid AS cb,
+              ${sqlCos("x.cvec", "y.cvec")} AS sim
+            FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid != y.cid),
+          s1 AS (SELECT qid, cid, 1 AS step, rel AS score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+              FROM cand) t
+            WHERE rn = 1),
+          u1 AS (SELECT qid, cid FROM s1),
+          $steps,
+          allsel AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+          SELECT qid, step, cid, ${QueryDefs.sqlQ6("score")} AS mmr
+          FROM allsel ORDER BY qid, step"""
+      })
   )
 }

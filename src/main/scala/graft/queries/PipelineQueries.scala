@@ -2050,7 +2050,7 @@ object PipelineQueries {
     * model's weight vector (same seed-space pattern as the LSH
     * hyperplanes / codebooks).
     */
-  private[queries] lazy val classifierWeights: Seq[Long] =
+  private[graft] lazy val classifierWeights: Seq[Long] =
     (0 until 64).map(b =>
       graft.functions.HashUtil.md5Prefix64(s"qw,$b") % 2001L - 1000L)
 }

@@ -5,7 +5,7 @@ import graft.operators.AdsbNormalize
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** J-group (SURVEY §2): the reference's Kafka→MV→Replacing flow as
   * Structured Streaming. The batch normalization transforms
@@ -418,6 +418,35 @@ object AdsbStream {
       .join(marker, Seq(keyCol), "left_outer")
       .filter(col("__hit").isNull).drop("__hit")
     definite.unionByName(maybe)
+  }
+
+  /** Streaming quality gate (J13 — the streaming face of H14): score
+    * each arriving document with the hashed linear classifier and
+    * keep only positive-margin docs. Stateless map-side work — the
+    * token explode, bucket hash and weight lookup all live inside the
+    * microbatch's scan stage, the weight vector is a codegen literal,
+    * and the only aggregation is per-doc WITHIN the batch (no cross-
+    * batch state, no watermark needed) — so the gate runs at full
+    * feed rate and composes in front of the J11 screening loop the
+    * way a production pipeline orders its passes: cheap score gate
+    * first, fingerprint dedup on survivors. Scores are bit-identical
+    * to the batch h14 spelling (same kernel, same weights; spec
+    * replays a batch of docs through both paths).
+    */
+  def qualityGateStream(docs: DataFrame, idCol: String, textCol: String,
+                        weights: Seq[Long], k: Int = 64): DataFrame = {
+    // row-local fold, NOT explode+groupBy: a streaming groupBy keyed
+    // by doc would be a stateful aggregation (unbounded doc-keyed
+    // state, append-mode watermark headaches) for what is logically
+    // per-row arithmetic
+    val toks = graft.operators.TextOps.tokens(col(textCol))
+    val wgt = (w: Column) => element_at(typedLit(weights),
+      ((graft.functions.HashFunctions.md5prefix64(w) % k.toLong) + 1L).cast("int"))
+    docs.select(col(idCol), col(textCol))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("score",
+        aggregate(toks, lit(0L), (acc, w) => acc + wgt(w)))
+      .filter(col("score") > 0)
   }
 
   /** The J11 sink: every microbatch screens against all prior

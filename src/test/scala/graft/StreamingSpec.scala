@@ -367,4 +367,34 @@ class StreamingSpec extends SparkSpecBase {
     val want = ((0L until 200L) ++ Seq(700L, 701L)).filter(_ % 7 != 0).toSet
     assert(got == want, "bloom screen must be bit-exact vs plain anti join")
   }
+
+  test("streaming quality gate scores equal the batch h14 spelling (J13)") {
+    import graft.streaming.AdsbStream.StreamDoc
+    val weights = graft.queries.PipelineQueries.classifierWeights
+    val docs = (0L until 120L).map(i =>
+      StreamDoc(i, (0 to (i % 9).toInt).map(j => s"w${(i * 7 + j) % 40}").mkString(" ")))
+    val input = MemoryStream[StreamDoc](spark)
+    val gated = AdsbStream.qualityGateStream(
+      input.toDF(), "doc_id", "text", weights)
+    val q = gated.writeStream.format("memory").queryName("j13_out")
+      .outputMode("append").start()
+    input.addData(docs.take(60)); q.processAllAvailable()
+    input.addData(docs.drop(60)); q.processAllAvailable(); q.stop()
+    val got = spark.table("j13_out")
+      .select("doc_id", "n_tokens", "score")
+      .as[(Long, Long, Long)].collect().toSet
+    // batch h14 spelling: explode + groupBy over the same docs
+    val batch = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.operators.TextOps.tokens(col("text"))).as("w"))
+      .withColumn("wgt", element_at(typedLit(weights),
+        ((graft.functions.HashFunctions.md5prefix64(col("w")) % 64L) + 1L).cast("int")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("score"))
+      .filter(col("score") > 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == batch)
+    assert(got.nonEmpty && got.size < docs.size,
+      "gate must pass some docs and reject some")
+  }
 }

@@ -1982,6 +1982,61 @@ object PipelineQueries {
         SELECT url, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
         FROM canon GROUP BY url ORDER BY url""")),
 
+    // H16: bigram-LM negative log likelihood with add-1 smoothing —
+    // h7's sequence-aware sibling (the KenLM-shaped perplexity signal
+    // quality filters actually use; unigram NLL can't see scrambled
+    // text). p(w2|w1) = (c12+1)/(c1+V) over MULTISET bigram counts
+    // (the distinct shingle set would break LM counting), V = corpus
+    // vocabulary. Scale shape: the bigram explode is row-local; c12 /
+    // c1 are map-side-combined aggregations (one row per distinct
+    // bigram/prefix — Zipf-bounded, not corpus-bounded); V is one
+    // scalar broadcast. Portability: each −ln term is q6 tie-stable,
+    // the per-doc sum is exact decimal, the final mean is q6 — the
+    // full h7 discipline.
+    QueryDef("h16_bigram_nll",
+      (s, dir) => {
+        val big = graft.operators.TrackedCache.persist(
+          Tables.documents(s, dir)
+            .withColumn("__ws", TextOps.tokens(col("text")))
+            .filter(size(col("__ws")) >= 2)
+            .select(col("doc_id"), explode(expr(
+              """transform(sequence(0, size(__ws) - 2),
+                 i -> named_struct('w1', element_at(__ws, i + 1),
+                                   'w2', element_at(__ws, i + 2)))""")).as("bg"))
+            .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val voc = tokFrame(s, dir).agg(countDistinct(col("w")).as("v"))
+        val nll = QueryDefs.q6(
+          -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+        big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .crossJoin(broadcast(voc))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            QueryDefs.q6(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
+              .as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words AS (
+          SELECT doc_id, list_filter(
+            regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws
+          FROM documents),
+        big AS (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
+            i -> {'w1': ws[CAST(i + 1 AS INT)], 'w2': ws[CAST(i + 2 AS INT)]})) AS bg
+          FROM words WHERE len(ws) >= 2),
+        bg2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg2 GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg2 GROUP BY w1),
+        tok AS (SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS w
+          FROM documents),
+        voc AS (SELECT COUNT(DISTINCT w) AS v FROM tok)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          ${QueryDefs.sqlQ6(
+            s"CAST(SUM(CAST(${QueryDefs.sqlQ6("-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))")} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")} AS avg_nll
+        FROM bg2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN voc
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // P17: domain-authority PageRank — the source-weighting signal a
     // web-curation pipeline computes before mixture sampling (authority
     // of the originating domain, cf. CommonCrawl host-graph ranks used

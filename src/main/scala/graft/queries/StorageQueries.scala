@@ -3,7 +3,7 @@ package graft.queries
 import graft.operators.{CurrentState, ScaleOps}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 
 /** B-group storage/write-path queries. Unlike the rest of the query
   * map these run the real writers first, then answer an
@@ -224,6 +224,64 @@ object StorageQueries {
           ${QueryDefs.sqlDsum("l_quantity")} AS sum_qty
         FROM lineitem WHERE l_orderkey NOT IN (
           SELECT o_orderkey FROM orders WHERE o_custkey % 100 = 0)
-        GROUP BY 1 ORDER BY l_returnflag"""))
+        GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // B14: Z-ORDER clustered layout — the multi-dimensional
+    // generalization of b2's single-key clustering (CH ORDER BY
+    // tuples / Delta OPTIMIZE ZORDER): positions quantize to an
+    // 8-bit × 8-bit grid, the Morton code interleaves the bits, and
+    // the write range-partitions + sorts ON z — so every file covers
+    // a compact z interval (pairwise-disjoint ranges, spec-pinned)
+    // and a 2-D box predicate becomes a handful of z ranges whose
+    // parquet min/max stats skip whole files. The bit interleave is
+    // generated from ONE Scala loop into both engines (integer
+    // shifts/masks — nothing to quantize); the oracled result is the
+    // read-back octant aggregation, which must equal the same
+    // aggregation straight off the raw table (layout is invisible to
+    // results — the b2 round-trip contract).
+    QueryDef("b14_zorder_layout",
+      (s, dir) => {
+        val out = tmp("b14", dir)
+        val lat = (col("value") % 90.0) - 45.0
+        val lon = ((col("event_id") * 7) % 360).cast("double") - 179.5
+        val qx = floor((lon + 180.0) * 256.0 / 360.0).cast("int")
+        val qy = floor((lat + 45.0) * 256.0 / 90.0).cast("int")
+        val z = ZOrder.morton(qx, qy)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("value"), z.as("z"))
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy(shiftright(col("z"), 9).as("octant"))
+          .agg(count(lit(1)).as("n"), QueryDefs.dsum(col("value")).as("sum_value"))
+          .orderBy("octant")
+      },
+      Some(s"""WITH pos AS (
+          SELECT event_id, value,
+            CAST(floor((CAST((event_id * 7) % 360 AS DOUBLE) - 179.5 + 180.0) * 256.0 / 360.0) AS INT) AS qx,
+            CAST(floor(((value % 90.0) - 45.0 + 45.0) * 256.0 / 90.0) AS INT) AS qy
+          FROM events),
+        zed AS (SELECT event_id, value, ${ZOrder.mortonSql("qx", "qy")} AS z FROM pos)
+        SELECT z >> 9 AS octant, COUNT(*) AS n,
+          ${QueryDefs.sqlDsum("value")} AS sum_value
+        FROM zed GROUP BY 1 ORDER BY octant"""))
   )
+}
+
+/** Morton (Z-order) bit interleave over two 8-bit cell coordinates,
+  * generated from one loop into both the Spark Column tree and the
+  * oracle SQL: z = Σ_i ((qx>>i)&1)<<2i | ((qy>>i)&1)<<(2i+1).
+  */
+private[graft] object ZOrder {
+  def morton(qx: Column, qy: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(qx, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(qy, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  def mortonSql(qx: String, qy: String): String =
+    (0 until 8).map { i =>
+      s"((($qx >> $i) & 1) << ${2 * i}) + ((($qy >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
 }

@@ -2064,7 +2064,10 @@ object PipelineQueries {
           val contrib = ranks.join(edges, col("v") === col("src"))
             .select(col("dst"), expr("r DIV d").as("c"))
             .groupBy("dst").agg(sum(col("c")).as("cs"))
-          ranks = nodes.join(contrib, col("v") === col("dst"), "left")
+          // broadcast the per-iteration rank delta: node-count sized
+          // (domains, not documents) — without the hint Spark SMJs
+          // two tiny frames 5 times
+          ranks = nodes.join(broadcast(contrib), col("v") === col("dst"), "left")
             .select(col("v"),
               (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) DIV 100")).as("r"))
         }

@@ -261,4 +261,49 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "BroadcastHashJoin") >= 1, p.take(400))
     assert(count(p, "SortMergeJoin") == 0, p.take(400))
   }
+
+  test("f11 OPH: signature extraction is a pure map stage — the band self-join is the only corpus join") {
+    val p = executedPlan("f11_oph_minhash")
+    // extraction side: no SortMergeJoin anywhere, no cartesian; the
+    // only exchanges are the band-join key shuffle + the pair agg
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+    // both self-join sides read the ONE persisted band frame
+    assert(count(p, "InMemoryTableScan") >= 2, p.take(400))
+  }
+
+  test("d16 geofence: ray-cast predicate is scan-stage codegen — no join, no shuffle before the output sort") {
+    val p = executedPlan("d16_geofence")
+    assert(count(p, "Join") == 0, p.take(400))
+    assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))
+  }
+
+  test("h15 URL canonicalization: one canonical-key shuffle, all regex row-local") {
+    val p = executedPlan("h15_url_canonicalize")
+    assert(count(p, "Exchange hashpartitioning") == 1, p.take(400))
+    assert(count(p, "Join") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
+  test("h14 quality classifier: weight lookup inlined — no join for the weight vector") {
+    val p = executedPlan("h14_quality_classifier")
+    assert(count(p, "Join") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
+  test("p17 PageRank: every iteration joins broadcast, the corpus side never shuffles") {
+    val p = executedPlan("p17_domain_pagerank")
+    assert(count(p, "SortMergeJoin") == 0, p.take(400))
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    assert(count(p, "BroadcastHashJoin") >= 6, p.take(400))  // 5 iters + doc join
+  }
+
+  test("g13 hybrid RRF: term/stats/query frames broadcast, fusion never cartesian") {
+    val p = executedPlan("g13_hybrid_rrf")
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    // exactly two broadcast loop joins by design: the scalar stats
+    // crossJoin and the vector leg's broadcast(query) crossJoin
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2, p.take(400))
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(400))
+  }
 }

@@ -153,6 +153,25 @@ object Demo {
     println(s"[demo] corpus heavy hitters (MG screen + exact verify): ${hitters.count()}")
     hitters.show(5)
 
+    // --- Web-curation front door: URL dedup → quality gate → authority ---
+    // the ORDER a production crawl pipeline runs: canonical-URL
+    // collapse first (cheapest), the hashed classifier gate on
+    // survivors, domain PageRank as the mixture-weighting signal
+    val urlGroups = SparkEntry.queries("h15_url_canonicalize")(spark, sfDir)
+    val gated = SparkEntry.queries("h14_quality_classifier")(spark, sfDir)
+      .filter(col("label"))
+    val authority = SparkEntry.queries("p17_domain_pagerank")(spark, sfDir)
+    println(s"[demo] web front door: ${urlGroups.count()} canonical URLs, " +
+      s"${gated.count()} docs pass the quality gate, " +
+      s"top domain rank ${authority.agg(max(col("rank"))).head().getLong(0)}")
+
+    // --- Serving: hybrid retrieval fused, then diversified ---
+    val fused = SparkEntry.queries("g13_hybrid_rrf")(spark, sfDir)
+    val diverse = SparkEntry.queries("g14_mmr_rerank")(spark, sfDir)
+    println(s"[demo] serving: ${fused.count()} RRF-fused results, " +
+      s"${diverse.count()} MMR-diversified picks")
+    diverse.show(4)
+
     spark.stop()
   }
 }

@@ -29,4 +29,17 @@ object GeoFunctions {
       sin(radians(lat1)) * cos(radians(lat2)) * cos(dLon)
     (degrees(atan2(y, x)) + 360.0) % 360.0
   }
+
+  /** Signed cross-track distance (km) of point P from the great
+    * circle through A→B: asin(sin(d_AP/R) · sin(θ_AP − θ_AB)) · R.
+    * Negative = left of track. The standard aviation deviation
+    * metric (is this aircraft ON the airway).
+    */
+  def crossTrackKm(latA: Column, lonA: Column, latB: Column, lonB: Column,
+                   lat: Column, lon: Column): Column = {
+    val d13 = haversineKm(latA, lonA, lat, lon) / EarthRadiusKm
+    val t13 = radians(bearingDeg(latA, lonA, lat, lon))
+    val t12 = radians(bearingDeg(latA, lonA, latB, lonB))
+    asin(sin(d13) * sin(t13 - t12)) * EarthRadiusKm
+  }
 }

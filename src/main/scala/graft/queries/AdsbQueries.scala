@@ -508,6 +508,64 @@ object AdsbQueries {
           FROM events) t
         WHERE rn <= 3 ORDER BY event_type, rn""")),
 
+    // D17: cross-track corridor occupancy — signed deviation of each
+    // position from the great circle through two fixed waypoints
+    // (asin(sin(d/R)·sin(Δθ))·R, the standard aviation XTD),
+    // aggregated into 100-km corridor buckets: the "traffic across
+    // the airway" distribution panel and the conformance-alert
+    // input. Row-local trig in the scan's codegen stage + one
+    // map-side-combined integer-key aggregation.
+    // Portability — a measured lesson: the per-row q6-presented
+    // spelling FAILED the sf1 gate (1 row in 1M off by exactly one
+    // quantization step): Java and C libm transcendentals are each
+    // ≤1-ulp-correct but not identical, and a ~1e-12 raw divergence
+    // crossing a 1e-6 floor boundary flips the output — q6 only
+    // launders ROUND-rule differences, it cannot launder raw-double
+    // differences (expected boundary hits ≈ ulp/step per row ≈ 1 per
+    // million). The histogram spelling divides by 100 km instead:
+    // boundary-hit probability ~1e-14 per row, and the output is
+    // integer counts — the same reasoning that makes d12's grid
+    // exact. The op SEQUENCE is still spelled identically in both
+    // engines (including the bearing's degrees→+360→%360→radians
+    // round-trip, whose 'simplification' would change intermediate
+    // rounding).
+    QueryDef("d17_cross_track",
+      (s, dir) => {
+        val lat = (col("value") % 90.0) - 45.0
+        val lon = ((col("event_id") * 7) % 360).cast("double") - 179.5
+        val xt = graft.functions.GeoFunctions.crossTrackKm(
+          lit(40.0), lit(-75.0), lit(50.0), lit(-60.0), lat, lon)
+        ev(s, dir)
+          .select(floor(xt / 100.0).cast("int").as("corridor_bucket"))
+          .groupBy("corridor_bucket")
+          .agg(count(lit(1)).as("n_positions"))
+          .orderBy("corridor_bucket")
+      },
+      Some {
+        def brg(lat1: String, lon1: String, lat2: String, lon2: String) =
+          s"""radians((degrees(atan2(
+              sin(radians($lon2 - $lon1)) * cos(radians($lat2)),
+              cos(radians($lat1)) * sin(radians($lat2)) -
+              sin(radians($lat1)) * cos(radians($lat2)) * cos(radians($lon2 - $lon1))
+            )) + 360.0) % 360.0)"""
+        val d13 = """(2.0 * 6371.0088 * asin(least(1.0, sqrt(
+            pow(sin(radians(lat - 40.0) / 2.0), 2.0) +
+            cos(radians(40.0)) * cos(radians(lat)) *
+            pow(sin(radians(lon - (-75.0)) / 2.0), 2.0))))) / 6371.0088"""
+        s"""WITH pos AS (
+            SELECT event_id, (value % 90.0) - 45.0 AS lat,
+              CAST((event_id * 7) % 360 AS DOUBLE) - 179.5 AS lon
+            FROM events),
+          xt AS (SELECT event_id,
+              asin(sin($d13) *
+                sin(${brg("40.0", "(-75.0)", "lat", "lon")} -
+                    ${brg("40.0", "(-75.0)", "50.0", "(-60.0)")})) * 6371.0088 AS xt_km
+            FROM pos)
+          SELECT CAST(floor(xt_km / 100.0) AS INT) AS corridor_bucket,
+            COUNT(*) AS n_positions
+          FROM xt GROUP BY 1 ORDER BY corridor_bucket"""
+      }),
+
     // D16: geofence — which aircraft are inside an airspace polygon
     // (the map-dashboard region filter / alerting predicate; cf. the
     // reference's map panels, adsb-scraper's lat/lon bounding-box

@@ -2037,6 +2037,59 @@ object PipelineQueries {
         FROM bg2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN voc
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // P18: curriculum phases — order the corpus by a difficulty
+    // signal (h7's unigram NLL: low = predictable/easy text) and cut
+    // it into 4 equal phases (ntile), reporting the source mix per
+    // phase: the table a curriculum-training run reads to see WHICH
+    // sources dominate each difficulty band before scheduling them.
+    // Reuses the shared token explode; the per-doc NLL is h7's exact
+    // q6/decimal spelling so the ORDERING KEY is bit-identical across
+    // engines, and ntile over a totally-ordered input (nll, doc_id
+    // tie-break) is deterministic standard SQL in both. The global
+    // ntile window is presentation-sized here; at corpus scale the
+    // same phases come from 3 precomputed quantile boundaries (one
+    // tiny agg + a broadcast CASE) — the signal and cuts don't change,
+    // only the assignment spelling.
+    QueryDef("p18_curriculum_phases",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = tokFrame(s, dir)
+        val totals = tok.agg(count(lit(1)).as("__n_total"))
+        val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
+        val nll = QueryDefs.q6(-log(col("__cnt").cast("double") / col("__n_total")))
+        val perDoc = tok.join(freq, "w")
+          .crossJoin(broadcast(totals))
+          .groupBy(col("doc_id"))
+          .agg(QueryDefs.q6(
+            sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("avg_nll"))
+        val phased = perDoc.withColumn("phase",
+          ntile(4).over(Window.orderBy(col("avg_nll"), col("doc_id"))))
+        phased.join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+          .groupBy("phase", "source")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("phase", "source")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        perdoc AS (
+          SELECT doc_id,
+            floor(CAST(SUM(CAST(
+                floor(-ln(CAST(cnt AS DOUBLE) / n_total) * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
+          FROM tok JOIN freq USING (w) CROSS JOIN tot
+          GROUP BY doc_id),
+        phased AS (SELECT doc_id,
+            ntile(4) OVER (ORDER BY avg_nll, doc_id) AS phase
+          FROM perdoc)
+        SELECT phase, source, COUNT(*) AS n_docs
+        FROM phased JOIN documents USING (doc_id)
+        GROUP BY phase, source ORDER BY phase, source""")),
+
     // P17: domain-authority PageRank — the source-weighting signal a
     // web-curation pipeline computes before mixture sampling (authority
     // of the originating domain, cf. CommonCrawl host-graph ranks used

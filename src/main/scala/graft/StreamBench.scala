@@ -173,6 +173,39 @@ object StreamBench {
         s""","sliver_rows_per_batch":$sliver""")
     }
 
+    // ---- J13: stateless streaming quality gate ---------------------
+    // the h14 classifier as a row-local fold (no explode, no groupBy,
+    // no state): state_rows stays 0 at any rate; throughput is
+    // tokenize + 64-bucket hash + weight fold per doc — the cost a
+    // crawl-ingest gate pays per document.
+    for (rate <- rates) {
+      import org.apache.spark.sql.functions.col
+      def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
+        StreamDoc(b.toLong * rate + i,
+          (0 until 12).map(j => s"w${(i * 7 + j) % 512}").mkString(" "))
+      }
+      val input = MemoryStream[StreamDoc](spark)
+      val gated = AdsbStream.qualityGateStream(input.toDF(), "doc_id", "text",
+        graft.queries.PipelineQueries.classifierWeights)
+      val q = gated.writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", s"$tmp/j13_$rate/ckpt").start()
+      val t0 = System.nanoTime()
+      val traj = (0 until batches).map { b =>
+        input.addData(docBatch(b))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.headOption
+          .map(_.numRowsTotal).getOrElse(0L)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      // survivor fraction measured batch-side with the same weights
+      val kept = AdsbStream.qualityGateStream(
+        docBatch(0).toDF("doc_id", "text"), "doc_id", "text",
+        graft.queries.PipelineQueries.classifierWeights).count()
+      emit("j13_quality_gate", rate, batches.toLong * rate, secs, traj,
+        s""","kept_per_batch":$kept""")
+    }
+
     spark.stop()
   }
 }

@@ -1333,9 +1333,15 @@ object EmbeddingQueries {
             .select(col("qid"), col("ca"), col("cb"),
               graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")).as("sim")))
         val w1 = Window.partitionBy("qid").orderBy(col("rel").desc, col("cid"))
+        // each step's sel is lineage-truncated (localCheckpoint, the
+        // f7 components pattern): without it step t's lazy plan
+        // re-embeds and RE-EXECUTES steps 1..t-1's windows/joins —
+        // the greedy chain is the recursive-lineage shape, and the
+        // checkpoint is what keeps 4 steps 4 jobs instead of 1+2+3+4
         var sel = cand.withColumn("__rn", row_number().over(w1))
           .filter(col("__rn") === 1)
           .select(col("qid"), col("cid"), lit(1).as("step"), col("rel").as("score"))
+          .localCheckpoint()
         for (t <- 2 to 4) {
           val remaining = cand.join(sel.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
           val ms = sims.join(sel.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
@@ -1347,7 +1353,7 @@ object EmbeddingQueries {
           val pick = scored.withColumn("__rn", row_number().over(wt))
             .filter(col("__rn") === 1)
             .select(col("qid"), col("cid"), lit(t).as("step"), col("score"))
-          sel = sel.unionByName(pick)
+          sel = sel.unionByName(pick).localCheckpoint()
         }
         sel.select(col("qid"), col("step"), col("cid"),
             QueryDefs.q6(col("score")).as("mmr"))

@@ -309,6 +309,54 @@ object EmbeddingQueries {
         SELECT a, b, bucket, cos FROM pairs
         ORDER BY cos DESC, a, b LIMIT 20""")),
 
+    // F12: dedup-family AGREEMENT report — do the cheap text pass
+    // (f3's banded MinHash candidates) and the expensive semantic
+    // pass (f5's bucket-cogrouped embedding pairs at cos ≥ 0.3) find
+    // the SAME pairs? The instrument a pipeline owner reads before
+    // deciding whether semantic dedup adds anything over text dedup
+    // on THEIR corpus (high agreement → skip the embedding bill; low
+    // → the passes are complementary). Output is one row of integer
+    // pair-set counts + one IEEE division (set Jaccard) — exact by
+    // construction. Both pair frames are the documented corpus-scale
+    // shapes (band join, bucket join); the intersection joins two
+    // pair lists, not the corpus.
+    QueryDef("f12_dedup_agreement",
+      (s, dir) => {
+        val text = graft.operators.Dedup.minhashLshPairs(
+          Tables.documents(s, dir), "doc_id", "text", 4).select("a", "b")
+        val b = Embeddings.withBucket(
+          Tables.embeddings(s, dir), "embedding", 8, 64)
+        val x = b.select(col("vec_id").as("a"), col("embedding").as("va"), col("bucket"))
+        val y = b.select(col("vec_id").as("b"), col("embedding").as("vb"), col("bucket"))
+        val emb = x.join(y, "bucket").filter(col("a") < col("b"))
+          .filter(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.3)
+          .select("a", "b")
+        val both = text.join(emb, Seq("a", "b"))
+        text.agg(count(lit(1)).as("n_text"))
+          .crossJoin(emb.agg(count(lit(1)).as("n_emb")))
+          .crossJoin(both.agg(count(lit(1)).as("n_both")))
+          .withColumn("pair_jaccard",
+            col("n_both").cast("double") /
+              (col("n_text") + col("n_emb") - col("n_both")))
+      },
+      Some(s"""WITH ${PipelineQueries.minhashBandCtes},
+        tpairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        eb AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
+        epairs AS (
+          SELECT x.vec_id AS a, y.vec_id AS b
+          FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+          WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.3),
+        nt AS (SELECT COUNT(*) AS n_text FROM tpairs),
+        ne AS (SELECT COUNT(*) AS n_emb FROM epairs),
+        nb AS (SELECT COUNT(*) AS n_both FROM tpairs JOIN epairs USING (a, b))
+        SELECT n_text, n_emb, n_both,
+          CAST(n_both AS DOUBLE) / (n_text + n_emb - n_both) AS pair_jaccard
+        FROM nt CROSS JOIN ne CROSS JOIN nb""")),
+
     // G5: Lloyd k-means (2 iterations, k=8, deterministic seed
     // centroids) — the clustering pass behind SemDeDup-style semantic
     // dedup, mixture balancing, and IVF codebook training. Reported

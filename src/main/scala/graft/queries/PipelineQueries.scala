@@ -14,7 +14,7 @@ object PipelineQueries {
   /** DuckDB CTE producing the distinct word-4-gram shingle set
     * (mirror of TextOps.shingleSet with n=4).
     */
-  private val ShingleCte =
+  private[queries] val ShingleCte =
     """words AS (
          SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
@@ -29,7 +29,7 @@ object PipelineQueries {
   /** CTE chain through the per-(doc, band) MinHash signatures —
     * shared by the f3 pair query, f7 components and p1 pipeline.
     */
-  private def minhashBandCtes: String = {
+  private[queries] def minhashBandCtes: String = {
     val aList = Dedup.MinhashA.mkString("[", ", ", "]")
     val bList = Dedup.MinhashB.mkString("[", ", ", "]")
     s"""$ShingleCte,

@@ -2090,6 +2090,57 @@ object PipelineQueries {
         FROM phased JOIN documents USING (doc_id)
         GROUP BY phase, source ORDER BY phase, source""")),
 
+    // P19: the DATASET CARD — the per-source datasheet a corpus
+    // release publishes (Gebru et al. datasheets; HF dataset cards):
+    // volume (docs, chars, tokens), language spread, exact-dup rate
+    // (docs − distinct texts), and the quality-gate pass count, all
+    // in ONE scan. Every metric is integer-exact: counts, exact
+    // distincts over md5 fingerprints, and the h14 score via the
+    // row-local fold (J13's spelling — no explode, so the whole
+    // datasheet is one map stage + one source-keyed aggregation).
+    QueryDef("p19_dataset_card",
+      (s, dir) => {
+        val weights = PipelineQueries.classifierWeights
+        val toks = TextOps.tokens(col("text"))
+        val wgt = (w: org.apache.spark.sql.Column) => element_at(typedLit(weights),
+          ((graft.functions.HashFunctions.md5prefix64(w) % 64L) + 1L).cast("int"))
+        Tables.documents(s, dir)
+          .withColumn("__fp", md5(col("text")))
+          .withColumn("__nt", size(toks).cast("long"))
+          .withColumn("__score", aggregate(toks, lit(0L), (acc, w) => acc + wgt(w)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("__fp")).as("n_distinct_texts"),
+            (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("__nt")).as("total_tokens"),
+            count(when(col("__score") > 0, 1)).as("n_quality_pass"))
+          .orderBy("source")
+      },
+      Some {
+        val wlist = PipelineQueries.classifierWeights.mkString("[", ", ", "]")
+        s"""WITH base AS (
+            SELECT source, lang, n_chars, md5(text) AS fp,
+              list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws
+            FROM documents),
+          scored AS (
+            SELECT source, lang, n_chars, fp, len(ws) AS nt,
+              CASE WHEN len(ws) = 0 THEN 0 ELSE list_reduce(
+                list_transform(ws, w ->
+                  ($wlist)[CAST(('0x' || substr(md5(w), 1, 15))::BIGINT % 64 + 1 AS INT)]),
+                (x, y) -> x + y) END AS score
+            FROM base)
+          SELECT source, COUNT(*) AS n_docs,
+            COUNT(DISTINCT fp) AS n_distinct_texts,
+            COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+            COUNT(DISTINCT lang) AS n_langs,
+            SUM(n_chars) AS total_chars,
+            SUM(nt) AS total_tokens,
+            COUNT(CASE WHEN score > 0 THEN 1 END) AS n_quality_pass
+          FROM scored GROUP BY source ORDER BY source"""
+      }),
+
     // P17: domain-authority PageRank — the source-weighting signal a
     // web-curation pipeline computes before mixture sampling (authority
     // of the originating domain, cf. CommonCrawl host-graph ranks used

@@ -540,6 +540,62 @@ case class RegexRedactStats(child: Expression, patterns: Seq[String],
     copy(child = newChild)
 }
 
+/** The hashed-linear-classifier document score as one native kernel
+  * (K22): lowercase, whitespace-tokenize, and sum
+  * weights[md5prefix64(token) mod k] in a single compiled pass —
+  * bit-identical (spec-pinned) to the HOF spelling
+  * `aggregate(tokens(text), 0L, (acc, w) -> acc + element_at(...))`,
+  * whose lambda evaluates INTERPRETED per token inside the otherwise
+  * codegen'd stage. Returns struct(n_tokens: bigint, score: bigint)
+  * so consumers (h14 gate, J13 stream gate, p19 datasheet) also drop
+  * their separate `size(split(...))` pass.
+  */
+case class LinearClassifierScore(child: Expression, weights: Seq[Long])
+    extends UnaryExpression {
+  require(weights.nonEmpty, "weight vector must be non-empty")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("score",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  @transient private lazy val w: Array[Long] = weights.toArray
+
+  /** Public: invoked from generated code via an object reference. */
+  def score(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    // parity contract with filter(split(lower(text), "\s+"), _ != ""):
+    // UTF8String lowercase (what Spark's lower() does), the same
+    // regex split, empties dropped
+    val parts = v.toLowerCase.toString.split("\\s+")
+    var n = 0L
+    var s = 0L
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i)
+      if (!t.isEmpty) {
+        n += 1
+        val h = HashUtil.md5Prefix64(UTF8String.fromString(t))
+        s += w((h % w.length).toInt)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, s))
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("classifier", this,
+      classOf[LinearClassifierScore].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.score($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearClassifierScore =
+    copy(child = newChild)
+}
+
 /** True O(n) rolling k-gram hash (Rabin–Karp over code points) — see
   * [[HashUtil.rollingGramHashes]].
   */
@@ -649,6 +705,12 @@ object HashFunctions {
     */
   def ophSlotMins(c: Column, k: Int): Column =
     ColumnBridge.column(OphSlotMins(ColumnBridge.expression(c), k))
+
+  /** Hashed-linear-classifier struct(n_tokens, score) (native,
+    * codegen'd) — see [[LinearClassifierScore]].
+    */
+  def classifierScore(c: Column, weights: Seq[Long]): Column =
+    ColumnBridge.column(LinearClassifierScore(ColumnBridge.expression(c), weights))
 
   /** 32-bit SimHash fingerprint (native, codegen'd) — see [[SimHash32]]. */
   def simhash32(c: Column): Column =

@@ -2101,13 +2101,12 @@ object PipelineQueries {
     QueryDef("p19_dataset_card",
       (s, dir) => {
         val weights = PipelineQueries.classifierWeights
-        val toks = TextOps.tokens(col("text"))
-        val wgt = (w: org.apache.spark.sql.Column) => element_at(typedLit(weights),
-          ((graft.functions.HashFunctions.md5prefix64(w) % 64L) + 1L).cast("int"))
         Tables.documents(s, dir)
           .withColumn("__fp", md5(col("text")))
-          .withColumn("__nt", size(toks).cast("long"))
-          .withColumn("__score", aggregate(toks, lit(0L), (acc, w) => acc + wgt(w)))
+          .withColumn("__cs",
+            graft.functions.HashFunctions.classifierScore(col("text"), weights))
+          .withColumn("__nt", col("__cs.n_tokens"))
+          .withColumn("__score", col("__cs.score"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("__fp")).as("n_distinct_texts"),

@@ -435,17 +435,19 @@ object AdsbStream {
     */
   def qualityGateStream(docs: DataFrame, idCol: String, textCol: String,
                         weights: Seq[Long], k: Int = 64): DataFrame = {
-    // row-local fold, NOT explode+groupBy: a streaming groupBy keyed
-    // by doc would be a stateful aggregation (unbounded doc-keyed
-    // state, append-mode watermark headaches) for what is logically
-    // per-row arithmetic
-    val toks = graft.operators.TextOps.tokens(col(textCol))
-    val wgt = (w: Column) => element_at(typedLit(weights),
-      ((graft.functions.HashFunctions.md5prefix64(w) % k.toLong) + 1L).cast("int"))
+    // row-local kernel, NOT explode+groupBy: a streaming groupBy
+    // keyed by doc would be a stateful aggregation (unbounded
+    // doc-keyed state, append-mode watermark headaches) for what is
+    // logically per-row arithmetic; K22 runs tokenize + hash + weight
+    // sum in one compiled pass (the HOF-fold spelling evaluated its
+    // lambda interpreted per token)
+    require(weights.length == k, s"weight vector must have $k entries")
     docs.select(col(idCol), col(textCol))
-      .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("score",
-        aggregate(toks, lit(0L), (acc, w) => acc + wgt(w)))
+      .withColumn("__cs",
+        graft.functions.HashFunctions.classifierScore(col(textCol), weights))
+      .withColumn("n_tokens", col("__cs.n_tokens"))
+      .withColumn("score", col("__cs.score"))
+      .drop("__cs")
       .filter(col("score") > 0)
   }
 

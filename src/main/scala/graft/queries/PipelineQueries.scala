@@ -1897,13 +1897,19 @@ object PipelineQueries {
     QueryDef("h14_quality_classifier",
       (s, dir) => {
         val weights = PipelineQueries.classifierWeights
-        val tok = tokFrame(s, dir)
-        val bkt = graft.functions.HashFunctions.md5prefix64(col("w")) % 64L
-        tok
-          .withColumn("__wgt",
-            element_at(typedLit(weights), (bkt + 1L).cast("int")))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum(col("__wgt")).as("score"))
+        // K22 kernel: one compiled pass per doc, no explode/agg at
+        // all (the groupBy-over-shared-token-frame spelling it
+        // replaces is what the oracle still mirrors — outputs are
+        // identical, ClassifierKernelSpec). Token-less docs are
+        // dropped to preserve the exploded spelling's group
+        // semantics (they emit no group there; here they'd divide
+        // by zero under ANSI).
+        Tables.documents(s, dir)
+          .withColumn("__cs",
+            graft.functions.HashFunctions.classifierScore(col("text"), weights))
+          .select(col("doc_id"), col("__cs.n_tokens").as("n_tokens"),
+            col("__cs.score").as("score"))
+          .filter(col("n_tokens") > 0)
           .withColumn("label", col("score") > 0)
           .withColumn("score_per_tok",
             col("score").cast("double") / col("n_tokens"))

@@ -360,13 +360,22 @@ object AdsbStream {
     * band screen. At scale the index read is
     * [[graft.operators.Dedup.writeBandIndex]]'s bucketed layout; the
     * loop shape is identical.
+    *
+    * `bandFn` is the FINGERPRINT FAMILY parameter: the classic
+    * row-local 16-hash extraction by default, or
+    * [[graft.operators.Dedup.onePermBandsRowLocal]] (the K22-era OPH
+    * kernel — same (id, band, sig) schema, ~16× less per-shingle
+    * arithmetic) for feeds where fingerprinting dominates the
+    * microbatch budget. The index on disk is family-specific: pick
+    * one per index path.
     */
   def screenAndIndexBatch(batch: DataFrame, batchId: Long, idCol: String,
                           textCol: String, n: Int, indexPath: String,
-                          survivorsPath: String): Unit = {
+                          survivorsPath: String,
+                          bandFn: (DataFrame, String, String, Int) => DataFrame =
+                            graft.operators.Dedup.minhashBandsRowLocal): Unit = {
     val spark = batch.sparkSession
-    val bands = graft.operators.Dedup
-      .minhashBandsRowLocal(batch, idCol, textCol, n)
+    val bands = bandFn(batch, idCol, textCol, n)
     val priorBands =
       try spark.read.parquet(indexPath)
         .filter(col("batch_id") =!= batchId)

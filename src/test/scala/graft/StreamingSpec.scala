@@ -347,6 +347,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(s2 == Set(1L, 3L), "streamed doc 2 must be screened against batch 0")
   }
 
+  test("J11 loop runs on the OPH fingerprint family (bandFn parameter)") {
+    import graft.streaming.AdsbStream.StreamDoc
+    val dir = java.nio.file.Files.createTempDirectory("graft_j11oph").toString
+    val (idx, out) = (s"$dir/index", s"$dir/survivors")
+    val oph: (org.apache.spark.sql.DataFrame, String, String, Int) =>
+      org.apache.spark.sql.DataFrame =
+      graft.operators.Dedup.onePermBandsRowLocal(_, _, _, _)
+    val b0 = Seq(
+      StreamDoc(1L, "the quick brown fox jumps over the lazy dog tonight"),
+      StreamDoc(2L, "completely different text about spark engines and scale limits")
+    ).toDF()
+    val b1 = Seq(
+      StreamDoc(3L, "the quick brown fox jumps over the lazy dog tonight"),
+      StreamDoc(4L, "novel content sharing no window of four words anywhere")
+    ).toDF()
+    AdsbStream.screenAndIndexBatch(b0, 0L, "doc_id", "text", 4, idx, out, oph)
+    AdsbStream.screenAndIndexBatch(b1, 1L, "doc_id", "text", 4, idx, out, oph)
+    val got = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L), "OPH bands must screen the exact dup too")
+  }
+
   test("streaming bloom screen equals exact anti join (J12)") {
     import graft.streaming.AdsbStream.StreamDoc
     val input = MemoryStream[StreamDoc](spark)

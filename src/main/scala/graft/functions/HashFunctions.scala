@@ -80,7 +80,7 @@ object HashUtil {
   }
 
   /** One-permutation MinHash slot minima + rotation densification
-    * (K21, for [[graft.functions.OphSlotMins]]): one pass over the
+    * (K23, for [[graft.functions.OphSlotMins]]): one pass over the
     * shingle-hash array routing each h to slot (h mod k) keeping the
     * min; empty slots then borrow the value of the nearest non-empty
     * slot circularly RIGHTWARD — the same selection as
@@ -421,7 +421,7 @@ case class TokenShingleHashes64(child: Expression, n: Int) extends UnaryExpressi
 }
 
 /** OPH slot minima + rotation densification as one native kernel
-  * (K21) — see [[HashUtil.ophSlotMins]]. Replaces a per-(doc, slot)
+  * (K23) — see [[HashUtil.ophSlotMins]]. Replaces a per-(doc, slot)
   * groupBy + collect_list + per-slot array_sort composition (two
   * aggregations and k interpreted sorts per doc) with one compiled
   * pass over the shingle-hash array.
@@ -541,7 +541,7 @@ case class RegexRedactStats(child: Expression, patterns: Seq[String],
 }
 
 /** The hashed-linear-classifier document score as one native kernel
-  * (K22): lowercase, whitespace-tokenize, and sum
+  * (K24): lowercase, whitespace-tokenize, and sum
   * weights[md5prefix64(token) mod k] in a single compiled pass —
   * bit-identical (spec-pinned) to the HOF spelling
   * `aggregate(tokens(text), 0L, (acc, w) -> acc + element_at(...))`,

@@ -262,7 +262,7 @@ object Dedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** [[onePermBands]] computed ENTIRELY row-locally via the K21
+  /** [[onePermBands]] computed ENTIRELY row-locally via the K23
     * kernel ([[graft.functions.HashUtil.ophSlotMins]]): shingle-hash
     * array → one compiled pass for slot minima + densification →
     * band sigs. ZERO shuffles for signature extraction (the exploded

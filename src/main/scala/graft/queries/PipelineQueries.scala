@@ -1897,7 +1897,7 @@ object PipelineQueries {
     QueryDef("h14_quality_classifier",
       (s, dir) => {
         val weights = PipelineQueries.classifierWeights
-        // K22 kernel: one compiled pass per doc, no explode/agg at
+        // K24 kernel: one compiled pass per doc, no explode/agg at
         // all (the groupBy-over-shared-token-frame spelling it
         // replaces is what the oracle still mirrors — outputs are
         // identical, ClassifierKernelSpec). Token-less docs are

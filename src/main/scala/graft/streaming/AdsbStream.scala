@@ -363,7 +363,7 @@ object AdsbStream {
     *
     * `bandFn` is the FINGERPRINT FAMILY parameter: the classic
     * row-local 16-hash extraction by default, or
-    * [[graft.operators.Dedup.onePermBandsRowLocal]] (the K22-era OPH
+    * [[graft.operators.Dedup.onePermBandsRowLocal]] (the K23-era OPH
     * kernel — same (id, band, sig) schema, ~16× less per-shingle
     * arithmetic) for feeds where fingerprinting dominates the
     * microbatch budget. The index on disk is family-specific: pick
@@ -447,7 +447,7 @@ object AdsbStream {
     // row-local kernel, NOT explode+groupBy: a streaming groupBy
     // keyed by doc would be a stateful aggregation (unbounded
     // doc-keyed state, append-mode watermark headaches) for what is
-    // logically per-row arithmetic; K22 runs tokenize + hash + weight
+    // logically per-row arithmetic; K24 runs tokenize + hash + weight
     // sum in one compiled pass (the HOF-fold spelling evaluated its
     // lambda interpreted per token)
     require(weights.length == k, s"weight vector must have $k entries")

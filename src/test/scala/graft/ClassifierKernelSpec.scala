@@ -5,7 +5,7 @@ import graft.operators.TextOps
 import graft.queries.PipelineQueries
 import org.apache.spark.sql.functions._
 
-/** K22 parity: the compiled classifier kernel must be bit-identical
+/** K24 parity: the compiled classifier kernel must be bit-identical
   * to the HOF spelling `aggregate(tokens(text), 0L, acc +
   * weights[md5prefix64(w) % 64])` it replaces — including the
   * tokenize contract (lowercase, \s+ split, empties dropped) on

@@ -39,7 +39,7 @@ class OphMinhashSpec extends SparkSpecBase {
       s"expected >= 3 shared bands, got $pairs")
   }
 
-  test("row-local K21 kernel bands are bit-identical to the exploded spelling") {
+  test("row-local K23 kernel bands are bit-identical to the exploded spelling") {
     val docs = ((1 to 30).map(i => (i.toLong, s"$base tail$i words here")) :+
       (99L, "a b c") :+ (100L, base)).toDF("doc_id", "text")
     val grouped = Dedup.onePermBands(docs, "doc_id", "text", 4)

@@ -210,6 +210,37 @@ object AdsbSchemas {
   def parseJson(df: DataFrame, jsonCol: String, schema: StructType): DataFrame =
     df.select(from_json(col(jsonCol), schema).as("j")).select(col("j.*"))
 
+  /** [[parseJson]] with the DEAD-LETTER contract a production feed
+    * needs (the reference's Kafka tables set
+    * `kafka_handle_error_mode='stream'` and route `_error != ''` rows
+    * to an errors MV — schema-local.sql's error tables): malformed
+    * lines do NOT poison the batch or vanish silently; they come back
+    * on the second frame with the raw payload preserved for replay.
+    * The split uses PERMISSIVE mode's `columnNameOfCorruptRecord`
+    * contract, NOT a null-struct test: partially-malformed JSON
+    * (`{"hex": "x", "lat": }`) parses to an all-null STRUCT, so a
+    * null-struct predicate silently admits garbage rows as all-null
+    * records (found by this function's own spec). With the corrupt
+    * column in the parse schema, any row the parser had to bail on
+    * carries its raw text there — one row-local pass, no exceptions,
+    * streaming-safe (both frames are map-side filters of the same
+    * microbatch).
+    */
+  def parseJsonWithErrors(df: DataFrame, jsonCol: String,
+                          schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema already claims the corrupt-record column")
+    val schema2 = schema.add(StructField("_corrupt_record", StringType))
+    val parsed = df.withColumn("__j", from_json(col(jsonCol), schema2,
+      Map("mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> "_corrupt_record")))
+    val ok = parsed.filter(col("__j._corrupt_record").isNull)
+      .select(col("__j.*")).drop("_corrupt_record")
+    val errors = parsed.filter(col("__j._corrupt_record").isNotNull)
+      .select(col(jsonCol).as("raw"), current_timestamp().as("error_time"))
+    (ok, errors)
+  }
+
   /** Parse a raw readsb-style FEED DOCUMENT (`{now, messages,
     * aircraft: [...]}` — what the ultrafeeder/adsb.fi HTTP APIs
     * return) into one wire record per aircraft: the scraper's

@@ -88,4 +88,20 @@ class AdsbSchemasSpec extends SparkSpecBase {
     assert(gs.columns.contains("wind_speed"))
     assert(gs.count() == 2)
   }
+
+  test("A14: malformed feed lines dead-letter with the raw payload, valid lines parse") {
+    val mixed = Seq(
+      """{"hex": "abc123", "lat": 51.0, "lon": -0.1}""",
+      """not json at all""",
+      """{"hex": "def456", "lat": }""",          // truncated value
+      """{"hex": "ghi789", "lat": 10.0, "lon": 10.0}""").toDF("value")
+    val (ok, errors) = AdsbSchemas.parseJsonWithErrors(
+      mixed, "value", AdsbSchemas.rawLocalSchema)
+    assert(ok.select("hex").as[String].collect().toSet == Set("abc123", "ghi789"))
+    val raws = errors.select("raw").as[String].collect().toSet
+    assert(raws == Set("not json at all", """{"hex": "def456", "lat": }"""),
+      "dead-letter frame must preserve the exact raw payload for replay")
+    // nothing lost, nothing duplicated
+    assert(ok.count() + errors.count() == 4)
+  }
 }

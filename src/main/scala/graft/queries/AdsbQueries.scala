@@ -508,6 +508,69 @@ object AdsbQueries {
           FROM events) t
         WHERE rn <= 3 ORDER BY event_type, rn""")),
 
+    // D18: holding-pattern / loiter detection — per track, the
+    // cumulative signed heading change over consecutive legs; a net
+    // turn ≥ 360° is a closed loop (the classic circling/holding
+    // screen behind a "loitering aircraft" panel). The d17 libm
+    // lesson applied CONSTRUCTIVELY: each leg bearing quantizes to
+    // WHOLE degrees immediately (floor; boundary hazard ~ulp/1° ≈
+    // 1e-14/row vs q6's 1e-6 — none expected below ~10¹² rows), then
+    // every downstream step — circular diff ((Δ+540) mod 360 − 180),
+    // per-track sums, the ≥360 flag — is pure BIGINT arithmetic.
+    // One key shuffle (the track window) + one map-side-combined agg.
+    QueryDef("d18_holding_pattern",
+      (s, dir) => {
+        import graft.functions.GeoFunctions
+        val lat = (col("value") % 90.0) - 45.0
+        val lon = ((col("event_id") * 7) % 360).cast("double") - 179.5
+        val pts = ev(s, dir).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), lat.as("lat"), lon.as("lon"))
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val legs = pts
+          .withColumn("nlat", lead("lat", 1).over(w))
+          .withColumn("nlon", lead("lon", 1).over(w))
+          .filter(col("nlat").isNotNull)
+          .withColumn("b", floor(GeoFunctions.bearingDeg(
+            col("lat"), col("lon"), col("nlat"), col("nlon"))).cast("long"))
+        val turns = legs
+          .withColumn("pb", lag("b", 1).over(w))
+          .filter(col("pb").isNotNull)
+          .withColumn("turn", ((col("b") - col("pb") + 540L) % 360L) - 180L)
+        turns.groupBy("user_id")
+          .agg(count(lit(1)).as("n_turns"),
+            sum(col("turn")).as("net_turn_deg"),
+            sum(abs(col("turn"))).as("total_turn_deg"))
+          .withColumn("is_circling", abs(col("net_turn_deg")) >= 360L)
+          .orderBy("user_id")
+      },
+      Some {
+        val brg = """(degrees(atan2(
+            sin(radians(nlon - lon)) * cos(radians(nlat)),
+            cos(radians(lat)) * sin(radians(nlat)) -
+            sin(radians(lat)) * cos(radians(nlat)) * cos(radians(nlon - lon))
+          )) + 360.0) % 360.0"""
+        s"""WITH pos AS (
+            SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+              (value % 90.0) - 45.0 AS lat,
+              CAST((event_id * 7) % 360 AS DOUBLE) - 179.5 AS lon
+            FROM events),
+          nbr AS (SELECT *,
+              lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon
+            FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          legs AS (SELECT user_id, ts_us, event_id,
+              CAST(floor($brg) AS BIGINT) AS b
+            FROM nbr WHERE nlat IS NOT NULL),
+          turns AS (SELECT user_id,
+              ((b - lag(b) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                + 540) % 360) - 180 AS turn
+            FROM legs),
+          t2 AS (SELECT user_id, turn FROM turns WHERE turn IS NOT NULL)
+          SELECT user_id, COUNT(*) AS n_turns,
+            SUM(turn) AS net_turn_deg, SUM(abs(turn)) AS total_turn_deg,
+            abs(SUM(turn)) >= 360 AS is_circling
+          FROM t2 GROUP BY user_id ORDER BY user_id"""
+      }),
+
     // D17: cross-track corridor occupancy — signed deviation of each
     // position from the great circle through two fixed waypoints
     // (asin(sin(d/R)·sin(Δθ))·R, the standard aviation XTD),

@@ -228,6 +228,84 @@ object HashUtil {
       java.util.Arrays.copyOf(out, k))
   }
 
+  /** Second modulus of the double rolling token-window hash (the NTT
+    * prime 998244353). Two independent ~30-bit Rabin–Karp streams
+    * combined as h1·P2+h2 give a ~60-bit key: collision odds for W
+    * windows ≈ W²/(2·P·P2) ≈ 10⁻⁵ at a million windows — the same
+    * class as the 60-bit md5-prefix keys the exact-dedup family
+    * already rides on, at O(n) arithmetic instead of O(n·k) digest
+    * bytes.
+    */
+  final val RollP2: Long = 998244353L
+
+  /** Positioned stride-1 token-window hash kernel for
+    * [[graft.functions.TokenWindowHashes64]] — the fingerprint stage
+    * of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): out(i) = hash of
+    * tokens[i..i+k-1], for EVERY start position i (stride 1, so a
+    * repeated span is caught at ANY offset — the alignment blindness
+    * of fixed-chunk F8 is exactly what this removes). Tokenization
+    * matches the suite contract (UTF8String lowercase, \s+ split,
+    * empties dropped). Hashing is the double Rabin–Karp above: each
+    * token's 60-bit md5-prefix hash reduces mod P and mod
+    * [[RollP2]]; both streams run the [[rollingGramHashes]] Horner
+    * recurrence (base [[RollB]]; products bounded < P² ≈ 2⁶⁰ — the
+    * pre-reduction is what buys that bound, token hashes being ≥ P
+    * unlike code points); out = h1·P2 + h2 < P·P2 ≈ 10¹⁸ fits
+    * BIGINT in any engine. SQL-reproducible per window as two
+    * `list_reduce` Horner folds over the pre-reduced token-hash
+    * lists (the seed element equals Horner-from-0 because elements
+    * are < modulus). A doc with fewer than k tokens emits NO windows
+    * (spans shorter than the dedup threshold are doc-level dedup's
+    * job, not substring dedup's — per the paper's ≥50-token rule).
+    */
+  def tokenWindowHashes(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks0 = Whitespace.split(s.toLowerCase.toString)
+    var nt = 0
+    val toks = new Array[String](toks0.length)
+    var i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) { toks(nt) = toks0(i); nt += 1 }
+      i += 1
+    }
+    if (nt < k)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.emptyLongArray)
+    val P1 = HashUtil.P
+    val P2 = RollP2
+    val B = RollB
+    val t1 = new Array[Long](nt)
+    val t2 = new Array[Long](nt)
+    i = 0
+    while (i < nt) {
+      val h = md5Prefix64(UTF8String.fromString(toks(i)))
+      t1(i) = h % P1
+      t2(i) = h % P2
+      i += 1
+    }
+    val m = nt - k + 1
+    val out = new Array[Long](m)
+    var bk1 = 1L
+    var bk2 = 1L
+    var t = 0
+    while (t < k - 1) { bk1 = (bk1 * B) % P1; bk2 = (bk2 * B) % P2; t += 1 }
+    var h1 = 0L
+    var h2 = 0L
+    i = 0
+    while (i < k) { h1 = (h1 * B + t1(i)) % P1; h2 = (h2 * B + t2(i)) % P2; i += 1 }
+    out(0) = h1 * P2 + h2
+    var j = 1
+    while (j < m) {
+      h1 = ((h1 - t1(j - 1) * bk1) % P1 + P1) % P1
+      h1 = (h1 * B + t1(j + k - 1)) % P1
+      h2 = ((h2 - t2(j - 1) * bk2) % P2 + P2) % P2
+      h2 = (h2 * B + t2(j + k - 1)) % P2
+      out(j) = h1 * P2 + h2
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Fused tokenize→hash→SimHash kernel for
     * [[graft.functions.SimHash32]]: one pass over the lowercased
     * whitespace tokens of `s`; each token's 32-bit hash
@@ -614,6 +692,25 @@ case class RollingGramHashes64(child: Expression, k: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** Positioned stride-1 token-window hashes (double Rabin–Karp) — the
+  * exact-substring-dedup fingerprint stage; see
+  * [[HashUtil.tokenWindowHashes]].
+  */
+case class TokenWindowHashes64(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"window size must be >= 1, got $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.tokenWindowHashes(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.tokenWindowHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes64 =
+    copy(child = newChild)
+}
+
 /** The 64-bit per-document SimHash pipeline as one native kernel —
   * see [[HashUtil.simhash64]].
   */
@@ -679,6 +776,12 @@ object HashFunctions {
     */
   def rollingGramHashes64(c: Column, k: Int): Column =
     ColumnBridge.column(RollingGramHashes64(ColumnBridge.expression(c), k))
+
+  /** Positioned stride-1 token-window hashes, O(n) double Rabin–Karp
+    * (native, codegen'd) — see [[TokenWindowHashes64]].
+    */
+  def tokenWindowHashes64(c: Column, k: Int): Column =
+    ColumnBridge.column(TokenWindowHashes64(ColumnBridge.expression(c), k))
 
   /** Fused multi-pattern count-and-redact (native, codegen'd) — see
     * [[RegexRedactStats]].

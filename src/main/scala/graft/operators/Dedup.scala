@@ -402,6 +402,26 @@ object Dedup {
       .groupBy("delta_id", "hist_id").agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Explicit-choice dispatcher over the two component algorithms —
+    * the seam consumers ([[graft.operators.Embeddings.semanticDedup]],
+    * the f7 query path) select through. Default stays
+    * [[ComponentsAlgo.MinLabel]] (near-dup graphs are star-like, so
+    * O(diameter) rounds ≈ 2-4 and each round is cheaper); callers
+    * facing adversarial long-chain graphs — chained boilerplate
+    * corpora, transitive URL redirects — pass
+    * [[ComponentsAlgo.Star]] for O(log² n) rounds regardless of
+    * diameter. Both produce the identical labeling (smallest
+    * reachable id), property-proven in `ComponentsSpec`.
+    */
+  def components(edges: DataFrame, aCol: String, bCol: String,
+                 algo: ComponentsAlgo = ComponentsAlgo.MinLabel,
+                 maxIter: Int = 20): DataFrame = algo match {
+    case ComponentsAlgo.MinLabel =>
+      connectedComponents(edges, aCol, bCol, maxIter)
+    case ComponentsAlgo.Star =>
+      connectedComponentsStar(edges, aCol, bCol, math.max(maxIter, 30))
+  }
+
   /** Connected components over an undirected edge list — the step
     * that turns near-dup PAIRS into dedup GROUPS (keep one doc per
     * component, drop the rest). Iterative min-label propagation:
@@ -672,6 +692,69 @@ object Dedup {
         col("n_kept").cast("double") / col("n_chunks"))
   }
 
+  /** Exact-substring dedup stats (F14; Lee et al. 2022): every
+    * k-token span that occurs anywhere else in the corpus — ANY
+    * offset, either document, including earlier in the SAME document
+    * — is a duplicate; one occurrence of each distinct span survives
+    * at the lexicographically-smallest (id, pos). This is the
+    * suffix-array ExactSubstr method re-expressed for a distributed
+    * engine: stride-1 positioned window hashes
+    * ([[graft.functions.HashFunctions.tokenWindowHashes64]] — O(n)
+    * double Rabin–Karp per doc, row-local) stand in for suffix-array
+    * match enumeration, and F8's two-stage min-keeper picks
+    * survivors. Fixed-chunk F8 misses a repeat whose offsets differ
+    * by a non-multiple of the chunk size; stride 1 catches every
+    * ≥ k-token repeat at any alignment (SubstringDedupSpec pins
+    * exactly that case).
+    *
+    * Output per document: n_tokens, n_windows, n_dup_windows
+    * (windows whose keeper is elsewhere), and n_dup_tokens — the
+    * union length of the duplicate windows' [pos, pos+k) intervals,
+    * i.e. how many tokens the paper's method would cut. The union is
+    * Σ min(k, next_pos − pos) over consecutive duplicate positions
+    * per doc (one lead() window, integer-exact — no interval
+    * materialization).
+    *
+    * Scale shape: the only corpus-sized shuffles carry (id, pos,
+    * 8-byte window hash) — keeper aggregation and marking join are
+    * keyed on the hash, coverage is one doc-keyed window + one
+    * map-side-combined aggregation; document text never moves after
+    * the scan. Stride 1 emits ~n rows per doc vs F8's n/c — the
+    * honest cost of offset-exactness (the paper pays the same: one
+    * suffix per token).
+    */
+  def substringDedupStats(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 50): DataFrame = {
+    // posexplode_outer: keeps <k-token docs (null pos → zero
+    // windows) AND dodges InferFiltersFromGenerate re-running the
+    // kernel inside an inferred filter (the p13 explode lesson).
+    val base = persistTracked(df
+      .select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"),
+        posexplode_outer(
+          HashFunctions.tokenWindowHashes64(col(textCol), k)).as(Seq("pos", "h"))))
+    val wins = base.filter(col("pos").isNotNull)
+    val kdoc = wins.groupBy("h").agg(min(col(idCol)).as("kdoc"))
+    val keeper = wins.join(kdoc, "h")
+      .filter(col(idCol) === col("kdoc"))
+      .groupBy("h", "kdoc").agg(min(col("pos")).as("kpos"))
+    val dup = wins.join(keeper, "h")
+      .filter(!(col(idCol) === col("kdoc") && col("pos") === col("kpos")))
+      .select(col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val cov = dup.withColumn("np", lead(col("pos"), 1).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("np").isNull, lit(k))
+          .otherwise(least(lit(k), col("np") - col("pos")))).as("n_dup_tokens"))
+    base.groupBy(col(idCol))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(col("pos")).as("n_windows"))
+      .join(cov, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_windows", "n_dup_tokens"))
+  }
+
   /** SimHash near-dup PAIRS via banded Hamming LSH (the Manku/Jain/
     * Sarma WWW'07 scheme): the 64-bit fingerprint splits into 4
     * 16-bit bands; a pair within Hamming distance `maxHamming` ≤ 3
@@ -723,4 +806,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming", "n_bands")
   }
+}
+
+/** Algorithm selector for [[Dedup.components]] and its consumers. */
+sealed abstract class ComponentsAlgo
+object ComponentsAlgo {
+  /** Min-label propagation: O(diameter) rounds, the cheaper round.
+    * Default — near-dup components are star-like (diameter ≤ a few).
+    */
+  case object MinLabel extends ComponentsAlgo
+  /** Alternating large-star/small-star (Kiveris et al. 2014):
+    * O(log² n) rounds regardless of diameter — the adversarial
+    * long-chain fallback.
+    */
+  case object Star extends ComponentsAlgo
 }

@@ -636,13 +636,14 @@ object Embeddings {
   }
 
   def semanticDedup(df: DataFrame, init: DataFrame, idCol: String,
-                    vecCol: String, iters: Int, tau: Double): DataFrame = {
+                    vecCol: String, iters: Int, tau: Double,
+                    algo: ComponentsAlgo = ComponentsAlgo.MinLabel): DataFrame = {
     val a = TrackedCache.persist(
       kmeansAssignments(df, init, idCol, vecCol, iters))
     val edges = semanticPairs(a, idCol, vecCol)
       .filter(col("cos") >= tau)
       .select("a", "b")
-    val comp = Dedup.connectedComponents(edges, "a", "b")
+    val comp = Dedup.components(edges, "a", "b", algo)
       .select(col("id").as(idCol), col("component"))
     val withComp = a.select(col(idCol), col("cluster"), col("d"))
       .join(comp, Seq(idCol), "left")

@@ -566,7 +566,8 @@ object AdsbQueries {
             FROM legs),
           t2 AS (SELECT user_id, turn FROM turns WHERE turn IS NOT NULL)
           SELECT user_id, COUNT(*) AS n_turns,
-            SUM(turn) AS net_turn_deg, SUM(abs(turn)) AS total_turn_deg,
+            CAST(SUM(turn) AS BIGINT) AS net_turn_deg,
+            CAST(SUM(abs(turn)) AS BIGINT) AS total_turn_deg,
             abs(SUM(turn)) >= 360 AS is_circling
           FROM t2 GROUP BY user_id ORDER BY user_id"""
       }),

@@ -783,6 +783,7 @@ object EmbeddingQueries {
         val truth = graft.operators.TrackedCache.persist(
           Embeddings.knnBruteForce(emb, q, "vec_id", "embedding", 5)
             .select("qid", "cid"))
+        val rSized = math.max(32L, emb.count() / 16).toInt
         val fams: Seq[(Int, String, org.apache.spark.sql.DataFrame)] = Seq(
           (1, "lsh4_multiprobe",
             Embeddings.annLshMultiProbe(emb, q, "vec_id", "embedding", 4, 64, 5)),
@@ -796,15 +797,13 @@ object EmbeddingQueries {
           (5, "prefix16_r32",
             Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16, 32, 5)),
           // the RULE-SIZED spellings: coarse screens need rerank ∝ N
-          // (max(32, N/16)); one driver-sized count, the g5-collect
-          // contract — measured to restore what the fixed budget
-          // loses at 40× corpus
+          // (max(32, N/16)); ONE driver-sized count shared by both
+          // rows (the g5-collect contract) — measured to restore what
+          // the fixed budget loses at 40× corpus
           (6, "bq_rsized",
-            Embeddings.annBinary(emb, q, "vec_id", "embedding",
-              math.max(32L, emb.count() / 16).toInt, 5)),
+            Embeddings.annBinary(emb, q, "vec_id", "embedding", rSized, 5)),
           (7, "prefix16_rsized",
-            Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16,
-              math.max(32L, emb.count() / 16).toInt, 5)))
+            Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16, rSized, 5)))
         fams.map { case (ord, name, df) =>
           df.select("qid", "cid").join(truth, Seq("qid", "cid"))
             .agg(count(lit(1)).as("n_hits"))

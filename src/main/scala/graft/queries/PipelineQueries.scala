@@ -168,10 +168,14 @@ object PipelineQueries {
         }
       })
     }
+    // Routed through the explicit-choice dispatcher: near-dup graphs
+    // are star-like so MinLabel is right here; a corpus with chained
+    // boilerplate would pass ComponentsAlgo.Star (same labeling,
+    // O(log² n) rounds — ComponentsSpec).
     compMemo.getOrElseUpdate(appId + "@" + dir,
-      Dedup.connectedComponents(
+      Dedup.components(
           Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", 4),
-          "a", "b")
+          "a", "b", graft.operators.ComponentsAlgo.MinLabel)
         .withColumnRenamed("id", "doc_id"))
   }
 
@@ -423,6 +427,65 @@ object PipelineQueries {
                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_ratio
         FROM chunks c JOIN keeper kp USING (ch)
         GROUP BY c.doc_id ORDER BY doc_id""")),
+
+    // F14: EXACT-SUBSTRING dedup (Lee et al. 2022) — the canonical
+    // training-data dedup method F8's fixed chunks approximate:
+    // stride-1 positioned 50-token window hashes (double Rabin–Karp
+    // kernel, O(n)/doc) + F8's min-keeper, so a repeated ≥50-token
+    // span dedups at ANY offset (F8 misses unaligned repeats —
+    // SubstringDedupSpec pins one). Per doc: window count, duplicate
+    // windows, and the union token coverage the method would cut.
+    // All-integer output; every corpus-sized shuffle carries (id,
+    // pos, 8-byte hash). The oracle replays the double-Horner fold
+    // per window (list_reduce seeds ≡ Horner-from-0 because elements
+    // are pre-reduced below each modulus).
+    QueryDef("f14_substring_dedup",
+      (s, dir) => Dedup.substringDedupStats(Tables.documents(s, dir),
+          "doc_id", "text", 50)
+        .orderBy("doc_id"),
+      Some("""WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        th AS (
+          SELECT doc_id, len(ws) AS n,
+            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007) AS t1,
+            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 998244353) AS t2
+          FROM words),
+        win AS (
+          SELECT doc_id, unnest(range(0, n - 50 + 1)) AS p, t1, t2
+          FROM th WHERE n >= 50),
+        wh AS (
+          SELECT doc_id, CAST(p AS INT) AS pos,
+            list_reduce(t1[CAST(p + 1 AS INT) : CAST(p + 50 AS INT)],
+              (a, b) -> (a * 131 + b) % 1000000007) * 998244353
+            + list_reduce(t2[CAST(p + 1 AS INT) : CAST(p + 50 AS INT)],
+              (a, b) -> (a * 131 + b) % 998244353) AS h
+          FROM win),
+        kd AS (SELECT h, MIN(doc_id) AS kdoc FROM wh GROUP BY h),
+        kp AS (
+          SELECT w.h, w.doc_id AS kdoc, MIN(w.pos) AS kpos
+          FROM wh w JOIN kd ON w.h = kd.h AND w.doc_id = kd.kdoc
+          GROUP BY w.h, w.doc_id),
+        dup AS (
+          SELECT w.doc_id, w.pos,
+            lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS np
+          FROM wh w JOIN kp USING (h)
+          WHERE NOT (w.doc_id = kp.kdoc AND w.pos = kp.kpos)),
+        cov AS (
+          SELECT doc_id, COUNT(*) AS n_dup_windows,
+            CAST(SUM(CASE WHEN np IS NULL THEN 50
+                          ELSE least(50, np - pos) END) AS BIGINT) AS n_dup_tokens
+          FROM dup GROUP BY doc_id),
+        stats AS (SELECT doc_id, COUNT(*) AS n_windows FROM wh GROUP BY doc_id)
+        SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+          COALESCE(s.n_windows, 0) AS n_windows,
+          COALESCE(c.n_dup_windows, 0) AS n_dup_windows,
+          COALESCE(c.n_dup_tokens, 0) AS n_dup_tokens
+        FROM th t
+        LEFT JOIN stats s USING (doc_id)
+        LEFT JOIN cov c USING (doc_id)
+        ORDER BY t.doc_id""")),
 
     // F6: winnowing rolling-hash fingerprints (char 8-grams, window 4).
     // The norm column is materialized BEFORE the gram kernel (an
@@ -838,7 +901,7 @@ object PipelineQueries {
       },
       Some("""WITH perSrc AS (
           SELECT source, COUNT(*) AS n_docs,
-            SUM(len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != ''))) AS n_tokens
+            CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != ''))) AS BIGINT) AS n_tokens
           FROM documents GROUP BY source),
         pw AS (SELECT source, n_docs, n_tokens,
             CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000.0 + 0.5) AS BIGINT) AS pw
@@ -1620,8 +1683,8 @@ object PipelineQueries {
       Some(s"""WITH $ShingleCte,
         dfq AS (SELECT shh, COUNT(*) AS c FROM sh GROUP BY shh)
         SELECT CAST(floor(log2(CAST(c AS DOUBLE))) AS BIGINT) AS df_bucket,
-          COUNT(*) AS n_shingles, SUM(c) AS n_occurrences,
-          SUM(CASE WHEN c > 100 THEN 1 ELSE 0 END) AS n_capped
+          COUNT(*) AS n_shingles, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+          CAST(SUM(CASE WHEN c > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
         FROM dfq GROUP BY 1 ORDER BY 1""")),
 
     // E25b: heavy hitters via Misra-Gries screen + exact verify —
@@ -1750,7 +1813,7 @@ object PipelineQueries {
             * 1000000.0 + 0.5) AS BIGINT) AS lam_u
           FROM bucket CROSS JOIN tot),
         w AS (
-          SELECT doc_id, SUM(n * lam_u) AS logw_u
+          SELECT doc_id, CAST(SUM(n * lam_u) AS BIGINT) AS logw_u
           FROM feat JOIN lam USING (b) GROUP BY doc_id)
         SELECT doc_id, logw_u,
           logw_u + CAST(floor(-ln(-ln(
@@ -1925,7 +1988,7 @@ object PipelineQueries {
               ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bkt
             FROM tok),
           sc AS (SELECT doc_id, COUNT(*) AS n_tokens,
-              SUM(($wlist)[CAST(bkt + 1 AS INT)]) AS score
+              CAST(SUM(($wlist)[CAST(bkt + 1 AS INT)]) AS BIGINT) AS score
             FROM b GROUP BY doc_id)
           SELECT doc_id, n_tokens, score, score > 0 AS label,
             CAST(score AS DOUBLE) / n_tokens AS score_per_tok
@@ -2140,8 +2203,8 @@ object PipelineQueries {
             COUNT(DISTINCT fp) AS n_distinct_texts,
             COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
             COUNT(DISTINCT lang) AS n_langs,
-            SUM(n_chars) AS total_chars,
-            SUM(nt) AS total_tokens,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            CAST(SUM(nt) AS BIGINT) AS total_tokens,
             COUNT(CASE WHEN score > 0 THEN 1 END) AS n_quality_pass
           FROM scored GROUP BY source ORDER BY source"""
       }),
@@ -2195,7 +2258,7 @@ object PipelineQueries {
         val iters = (0 until 5).map { t =>
           s"""r${t + 1} AS (
               SELECT n.v AS v,
-                ${DomainGraph.Base} + (85 * COALESCE(SUM(r$t.r // ed.d), 0)) // 100 AS r
+                ${DomainGraph.Base} + (85 * CAST(COALESCE(SUM(r$t.r // ed.d), 0) AS BIGINT)) // 100 AS r
               FROM nodes n
               LEFT JOIN edges ed ON ed.dst = n.v
               LEFT JOIN r$t ON r$t.v = ed.src

@@ -67,10 +67,12 @@ class BloomFilterSpec extends SparkSpecBase {
     // monotone: more keys never shrinks the filter
     val sizes = Seq(1L, 10L, 1000L, 100000L, 10000000L).map(BloomUtil.sizeFor(_))
     assert(sizes == sizes.sorted)
-    // Measured FPP at the derived size, two corpus sizes a decade
-    // apart — the whole point of auto-sizing is the rate NOT degrading
-    // as the build side grows past any fixed default.
-    for (n <- Seq(2000, 20000)) {
+    // Measured FPP at the derived size, corpus sizes TWO DECADES
+    // apart (5k and 500k keys — the sf10-scale build side) — the
+    // whole point of auto-sizing is the rate NOT degrading as the
+    // build side grows past any fixed default: 500k keys in the
+    // 5k-derived 2^16 bitset would run ~100% FPP.
+    for (n <- Seq(5000, 500000)) {
       val m = BloomUtil.sizeFor(n)
       val bits = new Array[Long](m / 64)
       (0 until n).foreach(v => BloomUtil.add(bits, 5, v.toLong * 7919L))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Dedup
+import org.apache.spark.sql.functions.col
 
 /** F7: connected components by min-label propagation. */
 class ComponentsSpec extends SparkSpecBase {
@@ -51,6 +52,43 @@ class ComponentsSpec extends SparkSpecBase {
   test("star handles self-loops, duplicates and reversed edges") {
     val got = starComponents(Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))
     assert(got == Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("the components dispatcher selects Star for a long chain via the public API") {
+    import graft.operators.ComponentsAlgo
+    // A 200-node path — min-label's default maxIter=20 would stop
+    // short; a caller facing chained boilerplate selects Star through
+    // the SAME public seam consumers use and gets the identical
+    // labeling contract in O(log d) rounds.
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val viaStar = Dedup.components(edges, "a", "b", ComponentsAlgo.Star)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStar.keySet == (1L to 200L).toSet)
+    assert(viaStar.values.toSet == Set(1L))
+    // and on a star-like graph both choices agree bit-for-bit
+    val small = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L)).toDF("a", "b")
+    val a = Dedup.components(small, "a", "b", ComponentsAlgo.MinLabel)
+      .as[(Long, Long)].collect().toMap
+    val b = Dedup.components(small, "a", "b", ComponentsAlgo.Star)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("semanticDedup output is algo-invariant (MinLabel vs Star)") {
+    import graft.operators.{ComponentsAlgo, Embeddings}
+    // tiny deterministic corpus: 3 clusters of near-identical vectors
+    val vecs = (0 until 24).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(4)(d => if (d == c) 1.0f else 0.01f * c)
+      base(3) = base(3) + i / 3 * 1e-4f // tiny within-cluster jitter
+      (i.toLong, base)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val init = df.filter(col("vec_id") < 3)
+    def run(algo: ComponentsAlgo) =
+      Embeddings.semanticDedup(df, init, "vec_id", "embedding", 3, 0.99, algo)
+        .orderBy("component").collect().toSeq
+    assert(run(ComponentsAlgo.MinLabel) == run(ComponentsAlgo.Star))
   }
 
   test("star resolves a diameter-127 chain in O(log d) rounds") {

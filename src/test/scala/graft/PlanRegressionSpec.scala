@@ -298,6 +298,18 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "BroadcastHashJoin") >= 6, p.take(400))  // 5 iters + doc join
   }
 
+  test("f14 substring dedup: one cached window frame feeds all consumers, hash aggregates only, no cartesian") {
+    val p = executedPlan("f14_substring_dedup")
+    // window extraction (kernel posexplode) runs ONCE — keeper agg,
+    // keeper-pos agg, marking join and the per-doc stats all read the
+    // persisted frame
+    assert(count(p, "InMemoryTableScan") >= 4, p.take(400))
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(400))
+    // every aggregation is hash-based (min/count/sum over 8-byte keys)
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
   test("g13 hybrid RRF: term/stats/query frames broadcast, fusion never cartesian") {
     val p = executedPlan("g13_hybrid_rrf")
     assert(count(p, "CartesianProduct") == 0, p.take(400))

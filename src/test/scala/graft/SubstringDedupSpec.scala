@@ -1,0 +1,112 @@
+package graft
+
+import graft.functions.{HashFunctions, HashUtil}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** F14: exact-substring dedup (Lee et al. 2022) — stride-1 token
+  * windows + min-keeper. Pins (1) the kernel against a reference
+  * Horner implementation, (2) the headline claim: an unaligned
+  * ≥k-token repeat that fixed-chunk F8 MISSES is caught, (3) the
+  * duplicate-token union arithmetic.
+  */
+class SubstringDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Reference implementation: direct per-window double Horner over
+    * the pre-reduced token hashes — no rolling recurrence, no kernel.
+    */
+  private def refWindows(text: String, k: Int): Seq[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return Seq.empty
+    val P1 = HashUtil.P
+    val P2 = HashUtil.RollP2
+    val B = HashUtil.RollB
+    val t1 = toks.map(t => HashUtil.md5Prefix64(t) % P1)
+    val t2 = toks.map(t => HashUtil.md5Prefix64(t) % P2)
+    (0 to toks.length - k).map { i =>
+      var h1 = 0L
+      var h2 = 0L
+      var j = i
+      while (j < i + k) { h1 = (h1 * B + t1(j)) % P1; h2 = (h2 * B + t2(j)) % P2; j += 1 }
+      h1 * P2 + h2
+    }
+  }
+
+  test("kernel equals the direct per-window double Horner (incl. edge cases)") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "Gamma", "δοκιμή", "x1", "→", "the", "of")
+    val docs = Seq(
+      "", "   ", "one", "a b c", "a  b\t c \n d e",
+      "😀 z 😀 z 😀 z 😀 z") ++
+      (1 to 10).map(_ => Seq.fill(3 + rnd.nextInt(40))(
+        words(rnd.nextInt(words.length))).mkString(" "))
+    for (doc <- docs; k <- Seq(1, 2, 5)) {
+      val got = spark.createDataset(Seq(doc))
+        .select(HashFunctions.tokenWindowHashes64(col("value"), k))
+        .as[Seq[Long]].head()
+      assert(got == refWindows(doc, k), s"k=$k doc=$doc")
+    }
+  }
+
+  test("catches an unaligned 50-token repeat that fixed-chunk F8 misses") {
+    // Doc 1: 100 distinct tokens. Doc 2: tokens 13..75 of doc 1 (a
+    // 63-token verbatim repeat) placed at position 10 — displacement
+    // 3, a NON-multiple of F8's chunk size 8. F8 chunks at
+    // doc-relative multiples of 8, so the copy samples different
+    // 8-token chunks in each doc: zero chunk equality, repeat missed.
+    val t = (0 until 100).map(i => s"w$i")
+    val doc1 = t.mkString(" ")
+    val copied = t.slice(13, 76) // 63 tokens
+    val doc2 = ((0 until 10).map(i => s"z$i") ++ copied ++
+      (0 until 10).map(i => s"y$i")).mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+
+    // F8 at chunk size 8: no cross-doc duplicate chunks (doc 2 keeps
+    // everything that doc 1 doesn't share chunk-aligned — i.e. all).
+    val f8 = Dedup.spanDedupStats(df, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+    assert(f8(1).getAs[Long]("n_kept") == f8(1).getAs[Long]("n_chunks"),
+      "F8 should MISS the unaligned repeat (that blindness is the point)")
+
+    // F14 at window 50: doc 2's copy contains 63-50+1 = 14 windows
+    // that also occur in doc 1 → doc 1 keeps them (smaller id), doc 2
+    // marks them duplicate; union coverage = the whole 63-token span.
+    val f14 = Dedup.substringDedupStats(df, "doc_id", "text", 50)
+      .orderBy("doc_id").collect()
+    assert(f14(0).getAs[Long]("n_dup_windows") == 0L)
+    assert(f14(1).getAs[Long]("n_dup_windows") == 14L)
+    assert(f14(1).getAs[Long]("n_dup_tokens") == 63L)
+  }
+
+  test("duplicate-token union arithmetic: overlapping and disjoint runs") {
+    // doc 3 repeats doc 1's span twice, separated by unique filler →
+    // two DISJOINT dup runs of 5 windows each (k=4): positions 0..4
+    // and 20..24; union = (4 consecutive-diffs of 1 + final 4) × 2 = 8+8.
+    val span = (0 until 8).map(i => s"s$i") // 8 tokens → 5 windows at k=4
+    val doc1 = span.mkString(" ")
+    val doc3 = (span ++ (0 until 12).map(i => s"u$i") ++ span).mkString(" ")
+    val df = Seq((1L, doc1), (3L, doc3)).toDF("doc_id", "text")
+    val got = Dedup.substringDedupStats(df, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    // doc 1 is keeper everywhere
+    assert(got(0).getAs[Long]("n_dup_windows") == 0L)
+    // doc 3: both copies' windows (5 + 5) are dups — second copy's
+    // keeper is doc 1, AND the first copy's too (doc 1 < doc 3).
+    assert(got(1).getAs[Long]("n_dup_windows") == 10L)
+    assert(got(1).getAs[Long]("n_dup_tokens") == 16L)
+  }
+
+  test("short docs emit zero windows and survive with zeroed stats") {
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.substringDedupStats(df, "doc_id", "text", 50)
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_windows") == 0L)
+      assert(r.getAs[Long]("n_dup_windows") == 0L)
+      assert(r.getAs[Long]("n_dup_tokens") == 0L)
+      assert(r.getAs[Long]("n_tokens") == 3L)
+    }
+  }
+}

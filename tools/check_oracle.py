@@ -10,6 +10,63 @@ import json, sys, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq_mod
+
+def duck_family(t) -> str:
+    """Normalize a DuckDB column type to the family the driver's
+    type-sensitive hash distinguishes. int8..int64 are one family (the
+    driver passes Spark int32 vs DuckDB BIGINT, e.g. row_number cols);
+    HUGEINT is NOT — pandas materializes it as float64/object, which is
+    exactly the class of silent drift this check exists to catch."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "int"
+    if s in ("UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "uint"
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "int128"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "VARCHAR":
+        return "string"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s == "BLOB":
+        return "binary"
+    if s.endswith("[]") or s.startswith(("LIST", "STRUCT", "MAP")):
+        return "nested"
+    return s.lower()
+
+def arrow_family(t) -> str:
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_unsigned_integer(t):
+        return "uint"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_struct(t) or pa.types.is_map(t)):
+        return "nested"
+    return str(t)
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -17,11 +74,21 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def compare(name, spark_df, duck_df):
+def compare(name, spark_df, duck_df, spark_types=None, duck_types=None):
     problems = []
     sc, dc = sorted(spark_df.columns), sorted(duck_df.columns)
     if sc != dc:
         return [f"schema mismatch: spark={sc} duck={dc}"]
+    # dtype-family equality: the driver's hash is type-sensitive — a
+    # value-equal HUGEINT vs BIGINT column fails there while numpy
+    # coercion hides it here. Check families BEFORE values.
+    if spark_types and duck_types:
+        for col in sc:
+            sf, df_ = spark_types.get(col), duck_types.get(col)
+            if sf is not None and df_ is not None and sf != df_:
+                problems.append(f"col {col} DTYPE: spark={sf} duck={df_}")
+        if problems:
+            return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
         return problems
@@ -66,17 +133,21 @@ def main():
             continue
         try:
             spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+            sk = pq_mod.read_schema(files[0])
+            spark_types = {n: arrow_family(t) for n, t in zip(sk.names, sk.types)}
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             fail += 1
             continue
         try:
-            duck_df = con.execute(sql).df()
+            rel = con.sql(sql)
+            duck_types = {n: duck_family(t) for n, t in zip(rel.columns, rel.types)}
+            duck_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             fail += 1
             continue
-        problems = compare(name, spark_df, duck_df)
+        problems = compare(name, spark_df, duck_df, spark_types, duck_types)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             fail += 1

@@ -755,6 +755,55 @@ object Dedup {
       .na.fill(0L, Seq("n_dup_windows", "n_dup_tokens"))
   }
 
+  /** The CUT step of exact-substring dedup (F14b) — what
+    * [[substringDedupStats]] measures, applied: every token covered
+    * by a duplicate (non-keeper) window is REMOVED from the
+    * document; the keeper occurrence of each span survives verbatim.
+    * This is the transform the paper's pipeline actually runs over
+    * the corpus (drop the repeated bytes, keep one copy).
+    *
+    * Output per doc: n_tokens, n_tokens_after, and the deduplicated
+    * text (kept tokens re-joined single-spaced — tokenization is the
+    * suite's lowercase+\s+ contract, so original whitespace/case are
+    * not preserved; this matches the h5-normalized representation
+    * downstream stages consume).
+    *
+    * Scale shape: identical shuffles to the stats spelling (hash-
+    * keyed keeper + doc-keyed aggregation); the reconstruction is
+    * row-local — the duplicate positions collect into a per-doc
+    * array (bounded by windows/doc, NOT corpus size) and one HOF
+    * filter drops covered token indices. Cost of the membership test
+    * is O(tokens · dup-windows) per doc — dup windows are few for
+    * real corpora, and the whole step stays inside the scan stage.
+    */
+  def substringDedupCut(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 50): DataFrame = {
+    val base = persistTracked(df
+      .select(col(idCol), col(textCol),
+        posexplode_outer(
+          HashFunctions.tokenWindowHashes64(col(textCol), k)).as(Seq("pos", "h"))))
+    val wins = base.filter(col("pos").isNotNull)
+    val kdoc = wins.groupBy("h").agg(min(col(idCol)).as("kdoc"))
+    val keeper = wins.join(kdoc, "h")
+      .filter(col(idCol) === col("kdoc"))
+      .groupBy("h", "kdoc").agg(min(col("pos")).as("kpos"))
+    val dupPos = wins.join(keeper, "h")
+      .filter(!(col(idCol) === col("kdoc") && col("pos") === col("kpos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__dups"))
+    base.select(col(idCol), col(textCol)).distinct()
+      .join(dupPos, Seq(idCol), "left")
+      .withColumn("__dups", coalesce(col("__dups"), array().cast("array<int>")))
+      .withColumn("__ws", TextOps.tokens(col(textCol)))
+      .withColumn("__kept", filter(col("__ws"),
+        (_, i) => !exists(col("__dups"),
+          p => p <= i && i < p + lit(k))))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_tokens_after"),
+        array_join(col("__kept"), " ").as("text_dedup"))
+  }
+
   /** SimHash near-dup PAIRS via banded Hamming LSH (the Manku/Jain/
     * Sarma WWW'07 scheme): the 64-bit fingerprint splits into 4
     * 16-bit bands; a pair within Hamming distance `maxHamming` ≤ 3

@@ -487,6 +487,58 @@ object PipelineQueries {
         LEFT JOIN cov c USING (doc_id)
         ORDER BY t.doc_id""")),
 
+    // F14b: the CUT step of exact-substring dedup — f14's measurement
+    // applied as a transform: tokens covered by non-keeper duplicate
+    // windows are removed, the keeper occurrence survives, and the
+    // deduplicated text ships. The oracle replays the cut with a
+    // covered-position list (flatten of per-dup ranges) instead of
+    // the Spark side's nested exists — different spelling, same set.
+    // DuckDB lambda indexes are 1-based where Spark's are 0-based,
+    // hence the i-1 in the oracle's membership probe.
+    QueryDef("f14b_substring_cut",
+      (s, dir) => Dedup.substringDedupCut(Tables.documents(s, dir),
+          "doc_id", "text", 50)
+        .orderBy("doc_id"),
+      Some("""WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        th AS (
+          SELECT doc_id, ws, len(ws) AS n,
+            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007) AS t1,
+            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 998244353) AS t2
+          FROM words),
+        win AS (
+          SELECT doc_id, unnest(range(0, n - 50 + 1)) AS p, t1, t2
+          FROM th WHERE n >= 50),
+        wh AS (
+          SELECT doc_id, CAST(p AS INT) AS pos,
+            list_reduce(t1[CAST(p + 1 AS INT) : CAST(p + 50 AS INT)],
+              (a, b) -> (a * 131 + b) % 1000000007) * 998244353
+            + list_reduce(t2[CAST(p + 1 AS INT) : CAST(p + 50 AS INT)],
+              (a, b) -> (a * 131 + b) % 998244353) AS h
+          FROM win),
+        kd AS (SELECT h, MIN(doc_id) AS kdoc FROM wh GROUP BY h),
+        kp AS (
+          SELECT w.h, w.doc_id AS kdoc, MIN(w.pos) AS kpos
+          FROM wh w JOIN kd ON w.h = kd.h AND w.doc_id = kd.kdoc
+          GROUP BY w.h, w.doc_id),
+        dups AS (
+          SELECT w.doc_id,
+            list_distinct(flatten(list_transform(list(w.pos),
+              p -> range(CAST(p AS BIGINT), CAST(p + 50 AS BIGINT))))) AS cov
+          FROM wh w JOIN kp USING (h)
+          WHERE NOT (w.doc_id = kp.kdoc AND w.pos = kp.kpos)
+          GROUP BY w.doc_id),
+        cut AS (
+          SELECT t.doc_id, t.ws, t.n, COALESCE(d.cov, []) AS cov
+          FROM th t LEFT JOIN dups d USING (doc_id))
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(ws, (w, i) -> NOT list_contains(cov, CAST(i - 1 AS BIGINT)))) AS BIGINT) AS n_tokens_after,
+          COALESCE(array_to_string(list_filter(ws,
+            (w, i) -> NOT list_contains(cov, CAST(i - 1 AS BIGINT))), ' '), '') AS text_dedup
+        FROM cut ORDER BY doc_id""")),
+
     // F6: winnowing rolling-hash fingerprints (char 8-grams, window 4).
     // The norm column is materialized BEFORE the gram kernel (an
     // inlined normalizeWs re-runs per char position, O(n²)/doc), and

@@ -97,6 +97,30 @@ class SubstringDedupSpec extends SparkSpecBase {
     assert(got(1).getAs[Long]("n_dup_tokens") == 16L)
   }
 
+  test("cut removes exactly the duplicated span, keeper text untouched") {
+    val t = (0 until 100).map(i => s"w$i")
+    val doc1 = t.mkString(" ")
+    val copied = t.slice(13, 76)
+    val pre = (0 until 10).map(i => s"z$i")
+    val post = (0 until 10).map(i => s"y$i")
+    val doc2 = (pre ++ copied ++ post).mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val got = Dedup.substringDedupCut(df, "doc_id", "text", 50)
+      .orderBy("doc_id").collect()
+    // keeper doc: nothing cut
+    assert(got(0).getAs[Long]("n_tokens_after") == 100L)
+    assert(got(0).getAs[String]("text_dedup") == doc1)
+    // dup doc: the whole 63-token copy is cut; the unique frame stays
+    assert(got(1).getAs[Long]("n_tokens") == 83L)
+    assert(got(1).getAs[Long]("n_tokens_after") == 20L)
+    assert(got(1).getAs[String]("text_dedup") == (pre ++ post).mkString(" "))
+    // invariant vs the stats spelling: tokens cut == n_dup_tokens
+    val stats = Dedup.substringDedupStats(df, "doc_id", "text", 50)
+      .orderBy("doc_id").collect()
+    assert(got(1).getAs[Long]("n_tokens") - got(1).getAs[Long]("n_tokens_after")
+      == stats(1).getAs[Long]("n_dup_tokens"))
+  }
+
   test("short docs emit zero windows and survive with zeroed stats") {
     val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     val got = Dedup.substringDedupStats(df, "doc_id", "text", 50)

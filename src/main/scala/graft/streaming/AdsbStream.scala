@@ -460,6 +460,76 @@ object AdsbStream {
       .filter(col("score") > 0)
   }
 
+  /** One step of the streaming EXACT-SUBSTRING screen loop (J14 —
+    * the streaming closure of F14, the way [[screenAndIndexBatch]]
+    * closes F9): the microbatch (1) emits its stride-1 k-token
+    * window hashes row-locally (TokenWindowHashes64 — a pure map
+    * stage), (2) drops any document sharing ONE window hash with the
+    * kept corpus's index (it repeats a ≥k-token span of history at
+    * some offset — the Lee et al. rule as an arrival gate), and (3)
+    * appends the SURVIVORS' window hashes under `batch_id=<id>` with
+    * dynamic partition overwrite (J10's replay idempotency; the
+    * `batch_id != current` filter keeps a replay from screening
+    * against its own half-written first attempt).
+    *
+    * Same declared approximations as J11: survivor-only indexing
+    * (canonical-set semantics, index linear in kept content), and
+    * same-batch twins both survive — the batch F14 pass over the
+    * stored corpus reconciles those. The screen is doc-level
+    * drop/keep; the finer-grained CUT
+    * ([[graft.operators.Dedup.substringDedupCut]]) belongs in the
+    * batch compaction pass, where the keeper set is stable. All
+    * shuffled rows carry (id, 8-byte hash); at scale the index read
+    * is a bucketed layout like [[graft.operators.Dedup.writeBandIndex]].
+    */
+  def substringScreenBatch(batch: DataFrame, batchId: Long, idCol: String,
+                           textCol: String, k: Int, indexPath: String,
+                           survivorsPath: String): Unit = {
+    val spark = batch.sparkSession
+    // explode_outer, not explode: the inferred size()>0 filter of the
+    // plain variant would re-run the kernel (the p13 lesson), and
+    // sub-k-token docs must still flow through the anti join as
+    // automatic survivors
+    val wins = batch
+      .select(col(idCol),
+        explode_outer(graft.functions.HashFunctions
+          .tokenWindowHashes64(col(textCol), k)).as("h"))
+      .filter(col("h").isNotNull)
+    val priorHashes =
+      try spark.read.parquet(indexPath)
+        .filter(col("batch_id") =!= batchId)
+        .select("h")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        import spark.implicits._
+        Seq.empty[Long].toDF("h")
+      }
+    val dupIds = wins.join(priorHashes, Seq("h"))
+      .select(col(idCol)).distinct()
+    val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+    survivors.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(survivorsPath)
+    wins.join(dupIds, Seq(idCol), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexPath)
+  }
+
+  /** The J14 sink: the substring-screen loop running continuously. */
+  def startSubstringScreenSink(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int, indexPath: String, survivorsPath: String,
+                               checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        substringScreenBatch(batch, batchId, idCol, textCol, k,
+          indexPath, survivorsPath)
+      }
+      .start()
+
   /** The J11 sink: every microbatch screens against all prior
     * batches' band index and appends its own bands — the streaming
     * daily-batch dedup loop running continuously.

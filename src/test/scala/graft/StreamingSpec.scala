@@ -347,6 +347,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(s2 == Set(1L, 3L), "streamed doc 2 must be screened against batch 0")
   }
 
+  test("J14 substring screen: unaligned span repeats screened, short docs pass, replay idempotent") {
+    import graft.streaming.AdsbStream.StreamDoc
+    val dir = java.nio.file.Files.createTempDirectory("graft_j14").toString
+    val (idx, out) = (s"$dir/index", s"$dir/survivors")
+    val t = (0 until 30).map(i => s"w$i")
+    val b0 = Seq(
+      StreamDoc(1L, t.mkString(" ")), // 30 tokens: 21 windows at k=10
+      StreamDoc(2L, "short doc below the window size")).toDF()
+    val b1 = Seq(
+      // repeats tokens 7..22 of doc 1 at offset 3 — no doc-level
+      // exact dup, no aligned chunk, but a 16-token span ≥ k=10
+      StreamDoc(3L, ((0 until 3).map(i => s"a$i") ++ t.slice(7, 23) ++
+        (0 until 3).map(i => s"b$i")).mkString(" ")),
+      StreamDoc(4L, (0 until 30).map(i => s"n$i").mkString(" "))).toDF()
+    AdsbStream.substringScreenBatch(b0, 0L, "doc_id", "text", 10, idx, out)
+    AdsbStream.substringScreenBatch(b1, 1L, "doc_id", "text", 10, idx, out)
+    def survivorIds: Set[Long] = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivorIds == Set(1L, 2L, 4L),
+      "doc 3 repeats a 16-token span of doc 1 and must be screened")
+    // index holds SURVIVOR window hashes only: docs 1 (21) + 4 (21);
+    // doc 2 is sub-k (no windows), doc 3 is screened
+    val idxRows = spark.read.parquet(idx).count()
+    assert(idxRows == 42, s"expected 42 survivor window hashes, got $idxRows")
+    // failure replay of batch 1: nothing grows
+    AdsbStream.substringScreenBatch(b1, 1L, "doc_id", "text", 10, idx, out)
+    assert(spark.read.parquet(idx).count() == idxRows)
+    assert(survivorIds == Set(1L, 2L, 4L))
+    // the same loop through the streaming sink
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_j14s").toString
+    val input = MemoryStream[StreamDoc](spark)
+    val q = AdsbStream.startSubstringScreenSink(input.toDF(), "doc_id", "text",
+      10, s"$dir2/index", s"$dir2/survivors", s"$dir2/ckpt")
+    input.addData(StreamDoc(1L, (0 until 20).map(i => s"x$i").mkString(" ")))
+    q.processAllAvailable()
+    input.addData(
+      StreamDoc(2L, ("pre " + (0 until 20).map(i => s"x$i").mkString(" "))), // contains doc 1
+      StreamDoc(3L, (0 until 20).map(i => s"y$i").mkString(" ")))
+    q.processAllAvailable(); q.stop()
+    val s2 = spark.read.parquet(s"$dir2/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 == Set(1L, 3L), "streamed doc 2 embeds doc 1's span and must be screened")
+  }
+
   test("J11 loop runs on the OPH fingerprint family (bandFn parameter)") {
     import graft.streaming.AdsbStream.StreamDoc
     val dir = java.nio.file.Files.createTempDirectory("graft_j11oph").toString

@@ -2047,6 +2047,86 @@ object PipelineQueries {
           FROM sc ORDER BY doc_id"""
       }),
 
+    // P20: quality-classifier TRAINING — closes h14's "weights are a
+    // stand-in for a trained vector" caveat with an actual fit (the
+    // BpeTrainer precedent applied to the classifier): Naive-Bayes
+    // log-odds over the same 64 hashed buckets, positives = the
+    // curated target sources (p13's set), add-1 smoothed, quantized
+    // to integer micros (the DSIR lam treatment — portable despite
+    // ln). One corpus explode + one (bucket) aggregation (64 rows
+    // out) + broadcast totals; the corpus never shuffles on anything
+    // wider than the bucket id.
+    QueryDef("p20_train_classifier",
+      (s, dir) => graft.operators.QualityClassifier.trainWeights(
+          Tables.documents(s, dir), "text",
+          col("source").isin("src18", "src6", "src7"), 64)
+        .orderBy("b"),
+      Some("""WITH tok AS (
+          SELECT (source IN ('src18', 'src6', 'src7')) AS t,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        bk AS (SELECT t, ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b FROM tok),
+        counts AS (SELECT b,
+            CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+            CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_rest
+          FROM bk GROUP BY b),
+        fullb AS (
+          SELECT r.b, COALESCE(c.n_target, 0) AS n_target,
+            COALESCE(c.n_rest, 0) AS n_rest
+          FROM (SELECT unnest(range(0, 64)) AS b) r
+          LEFT JOIN counts c USING (b)),
+        tot AS (SELECT CAST(SUM(n_target) AS BIGINT) AS tt,
+            CAST(SUM(n_rest) AS BIGINT) AS tr FROM fullb)
+        SELECT b, n_target, n_rest,
+          CAST(floor((ln(CAST(n_target + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+            - ln(CAST(n_rest + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)))
+            * 1000000.0 + 0.5) AS BIGINT) AS weight_u
+        FROM fullb CROSS JOIN tot ORDER BY b""")),
+
+    // P20b: TRAINED classifier applied through the SAME K24 compiled
+    // kernel h14 serves with — training swaps 64 literals, not the
+    // plan (the g7b trained-codebook contract: the 64-row weight
+    // table is driver-collected by design). The oracle replays
+    // train→apply END-TO-END in SQL, so this green entry proves the
+    // full loop is bit-reproducible across engines.
+    QueryDef("p20b_apply_trained_classifier",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = graft.operators.QualityClassifier.collectWeights(
+          graft.operators.QualityClassifier.trainWeights(
+            docs, "text", col("source").isin("src18", "src6", "src7"), 64))
+        graft.operators.QualityClassifier.applyWeights(docs, "doc_id", "text", w)
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, (source IN ('src18', 'src6', 'src7')) AS t,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        bk AS (SELECT doc_id, t,
+            ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b FROM tok),
+        counts AS (SELECT b,
+            CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+            CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_rest
+          FROM bk GROUP BY b),
+        fullb AS (
+          SELECT r.b, COALESCE(c.n_target, 0) AS n_target,
+            COALESCE(c.n_rest, 0) AS n_rest
+          FROM (SELECT unnest(range(0, 64)) AS b) r
+          LEFT JOIN counts c USING (b)),
+        tot AS (SELECT CAST(SUM(n_target) AS BIGINT) AS tt,
+            CAST(SUM(n_rest) AS BIGINT) AS tr FROM fullb)
+        , lam AS (
+          SELECT b,
+            CAST(floor((ln(CAST(n_target + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+              - ln(CAST(n_rest + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)))
+              * 1000000.0 + 0.5) AS BIGINT) AS weight_u
+          FROM fullb CROSS JOIN tot)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(weight_u) AS BIGINT) AS score,
+          CAST(SUM(weight_u) AS BIGINT) > 0 AS label
+        FROM bk JOIN lam USING (b)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     // H15: URL canonicalization dedup — the cheapest and FIRST dedup
     // pass a web-scale curation pipeline runs (RefinedWeb/CCNet dedup
     // by canonical URL before any content hashing): lowercase, strip

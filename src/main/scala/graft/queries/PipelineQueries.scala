@@ -539,6 +539,67 @@ object PipelineQueries {
             (w, i) -> NOT list_contains(cov, CAST(i - 1 AS BIGINT))), ' '), '') AS text_dedup
         FROM cut ORDER BY doc_id""")),
 
+    // F14c: window-length sizing report — the instrument that picks
+    // F14's span threshold k, the way F10 sizes bands and F13 sizes
+    // the df cap: corpus-total window count, duplicate-window count
+    // and duplicate-token coverage at k = 25 / 50 / 100. Halving k
+    // roughly doubles the cut volume on a boilerplate-heavy corpus;
+    // this 3-row table is what a pipeline owner reads before
+    // committing to the paper's k=50 default. Three passes of the
+    // F14 machinery (each persisting its own window frame), three
+    // scalar aggregates out.
+    QueryDef("f14c_window_length_report",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Seq(25, 50, 100).map { k =>
+          Dedup.substringDedupStats(docs, "doc_id", "text", k)
+            .agg(sum("n_windows").as("n_windows"),
+              sum("n_dup_windows").as("n_dup_windows"),
+              sum("n_dup_tokens").as("n_dup_tokens"))
+            .select(lit(k).as("k"), col("n_windows"),
+              col("n_dup_windows"), col("n_dup_tokens"))
+        }.reduce(_ unionByName _).orderBy("k")
+      },
+      Some {
+        def block(k: Int) = s"""SELECT * FROM (
+          WITH words AS (
+            SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws
+            FROM documents),
+          th AS (
+            SELECT doc_id, len(ws) AS n,
+              list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007) AS t1,
+              list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 998244353) AS t2
+            FROM words),
+          win AS (
+            SELECT doc_id, unnest(range(0, n - $k + 1)) AS p, t1, t2
+            FROM th WHERE n >= $k),
+          wh AS (
+            SELECT doc_id, CAST(p AS INT) AS pos,
+              list_reduce(t1[CAST(p + 1 AS INT) : CAST(p + $k AS INT)],
+                (a, b) -> (a * 131 + b) % 1000000007) * 998244353
+              + list_reduce(t2[CAST(p + 1 AS INT) : CAST(p + $k AS INT)],
+                (a, b) -> (a * 131 + b) % 998244353) AS h
+            FROM win),
+          kd AS (SELECT h, MIN(doc_id) AS kdoc FROM wh GROUP BY h),
+          kp AS (
+            SELECT w.h, w.doc_id AS kdoc, MIN(w.pos) AS kpos
+            FROM wh w JOIN kd ON w.h = kd.h AND w.doc_id = kd.kdoc
+            GROUP BY w.h, w.doc_id),
+          dup AS (
+            SELECT w.doc_id, w.pos,
+              lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS np
+            FROM wh w JOIN kp USING (h)
+            WHERE NOT (w.doc_id = kp.kdoc AND w.pos = kp.kpos))
+          SELECT $k AS k,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM wh) AS n_windows,
+            CAST(COUNT(*) AS BIGINT) AS n_dup_windows,
+            CAST(COALESCE(SUM(CASE WHEN np IS NULL THEN $k
+                                   ELSE least($k, np - pos) END), 0) AS BIGINT) AS n_dup_tokens
+          FROM dup)"""
+        Seq(25, 50, 100).map(block).mkString("", " UNION ALL ", " ORDER BY k")
+      }),
+
     // F6: winnowing rolling-hash fingerprints (char 8-grams, window 4).
     // The norm column is materialized BEFORE the gram kernel (an
     // inlined normalizeWs re-runs per char position, O(n²)/doc), and
@@ -759,6 +820,73 @@ object PipelineQueries {
         FROM (SELECT * FROM sh WHERE doc_id < 10) e
         LEFT JOIN train t ON e.shh = t.shh
         GROUP BY e.doc_id ORDER BY e.doc_id""")),
+
+    // P3c: TRAIN-side 13-gram decontamination — the GPT-3/Pile
+    // direction (Brown et al. 2020 App. C): p3 measures how
+    // contaminated each EVAL doc is; production decontamination goes
+    // the other way and DROPS every training document containing any
+    // eval 13-gram at any offset. Windows come from the F14 kernel
+    // (O(n)/doc rolling hashes, stride 1 — not O(n·13) digests); the
+    // eval side's distinct window set is tiny and broadcast into the
+    // train-side join, so the corpus-sized shuffle carries only
+    // (doc_id, 8-byte hash). Output: per-train-doc window counts,
+    // contaminated-window count, and the keep/drop verdict.
+    QueryDef("p3c_train_decontaminate",
+      (s, dir) => {
+        val wins = graft.operators.TrackedCache.persist(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              explode_outer(graft.functions.HashFunctions
+                .tokenWindowHashes64(col("text"), 13)).as("h"))
+            .filter(col("h").isNotNull))
+        val evalW = wins.filter(col("doc_id") < 10)
+          .select("h").distinct().withColumn("__hit", lit(1))
+        val stats = wins.filter(col("doc_id") >= 10)
+          .join(broadcast(evalW), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            count(col("__hit")).as("n_contaminated"))
+        // sub-13-token train docs have no windows — they are trivially
+        // clean and must still carry a keep verdict
+        Tables.documents(s, dir).filter(col("doc_id") >= 10)
+          .select("doc_id")
+          .join(stats, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_windows", "n_contaminated"))
+          .withColumn("keep", col("n_contaminated") === 0L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        th AS (
+          SELECT doc_id, len(ws) AS n,
+            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007) AS t1,
+            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 998244353) AS t2
+          FROM words),
+        win AS (
+          SELECT doc_id, unnest(range(0, n - 13 + 1)) AS p, t1, t2
+          FROM th WHERE n >= 13),
+        wh AS (
+          SELECT doc_id,
+            list_reduce(t1[CAST(p + 1 AS INT) : CAST(p + 13 AS INT)],
+              (a, b) -> (a * 131 + b) % 1000000007) * 998244353
+            + list_reduce(t2[CAST(p + 1 AS INT) : CAST(p + 13 AS INT)],
+              (a, b) -> (a * 131 + b) % 998244353) AS h
+          FROM win),
+        ev AS (SELECT DISTINCT h FROM wh WHERE doc_id < 10),
+        st AS (
+          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+            CAST(COUNT(ev.h) AS BIGINT) AS n_contaminated
+          FROM (SELECT * FROM wh WHERE doc_id >= 10) t
+          LEFT JOIN ev ON t.h = ev.h
+          GROUP BY t.doc_id)
+        SELECT d.doc_id, COALESCE(st.n_windows, 0) AS n_windows,
+          COALESCE(st.n_contaminated, 0) AS n_contaminated,
+          COALESCE(st.n_contaminated, 0) = 0 AS keep
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        LEFT JOIN st USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // P4: sequence packing — shard the corpus into contiguous
     // token-budget bins (the chunking step that turns a curated

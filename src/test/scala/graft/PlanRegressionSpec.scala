@@ -310,6 +310,23 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "SortAggregate") == 0, p.take(400))
   }
 
+  test("p3c decontamination: eval window set broadcast, corpus never sort-merge joins") {
+    val p = executedPlan("p3c_train_decontaminate")
+    assert(count(p, "BroadcastHashJoin") >= 1, p.take(400))
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+    // both split sides read the ONE persisted window frame
+    assert(count(p, "InMemoryTableScan") >= 2, p.take(400))
+  }
+
+  test("p20b trained classifier: weight lookup stays inlined — no join in the serving plan") {
+    val p = executedPlan("p20b_apply_trained_classifier")
+    // training collects 64 rows driver-side BEFORE this plan builds;
+    // the serving query itself must look exactly like h14's
+    assert(count(p, "Join") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
   test("g13 hybrid RRF: term/stats/query frames broadcast, fusion never cartesian") {
     val p = executedPlan("g13_hybrid_rrf")
     assert(count(p, "CartesianProduct") == 0, p.take(400))

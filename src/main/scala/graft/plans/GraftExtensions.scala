@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GramHashes64, KmvDistinct, Md5Prefix64, RollingGramHashes64, SimHash32, SimHash64, SlidingMinDistinct64, TokenShingleHashes64}
+import graft.functions.{GramHashes64, KmvDistinct, Md5Prefix64, RollingGramHashes64, SimHash32, SimHash64, SlidingMinDistinct64, TokenShingleHashes64, TokenWindowHashes64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -62,6 +62,14 @@ object GraftFunctions {
           case Literal(n: Int, _) => TokenShingleHashes64(args.head, n)
           case other => throw new IllegalArgumentException(
             s"tokenshinglehashes64 n must be an integer literal, got $other")
+        }),
+      (FunctionIdentifier("tokenwindowhashes64"),
+        info("tokenwindowhashes64",
+          "tokenwindowhashes64(str, k) - positioned stride-1 k-token window hashes (double Rabin-Karp, ~60-bit keys) for exact-substring dedup; k must be a literal."),
+        (args: Seq[Expression]) => args(1) match {
+          case Literal(k: Int, _) => TokenWindowHashes64(args.head, k)
+          case other => throw new IllegalArgumentException(
+            s"tokenwindowhashes64 k must be an integer literal, got $other")
         }),
       (FunctionIdentifier("slidingmindistinct64"),
         info("slidingmindistinct64",

@@ -121,6 +121,16 @@ class SubstringDedupSpec extends SparkSpecBase {
       == stats(1).getAs[Long]("n_dup_tokens"))
   }
 
+  test("SQL surface: tokenwindowhashes64 registered and equal to the Column API") {
+    graft.plans.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT tokenwindowhashes64('a b c d e', 3) AS h").as[Seq[Long]].head()
+    assert(viaSql == refWindows("a b c d e", 3))
+    val err = intercept[Exception](
+      spark.sql("SELECT tokenwindowhashes64('x', 1 + 1)").collect())
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("short docs emit zero windows and survive with zeroed stats") {
     val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     val got = Dedup.substringDedupStats(df, "doc_id", "text", 50)

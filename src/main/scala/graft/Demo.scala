@@ -165,6 +165,26 @@ object Demo {
       s"${gated.count()} docs pass the quality gate, " +
       s"top domain rank ${authority.agg(max(col("rank"))).head().getLong(0)}")
 
+    // --- Round-8 additions: exact-substring dedup + trained gate ---
+    // the Lee et al. flow: measure duplicated spans at any offset,
+    // CUT them, 13-gram-decontaminate the survivors against the eval
+    // set, then gate with a classifier TRAINED on this corpus
+    val subStats = SparkEntry.queries("f14_substring_dedup")(spark, sfDir)
+    val cutDocs = operators.Dedup.substringDedupCut(docs, "doc_id", "text", 50)
+    val clean = SparkEntry.queries("p3c_train_decontaminate")(spark, sfDir)
+      .filter(col("keep"))
+    val trainedW = operators.QualityClassifier.collectWeights(
+      operators.QualityClassifier.trainWeights(
+        docs, "text", col("source").isin("src18", "src6", "src7"), 64))
+    val trainedGate = operators.QualityClassifier
+      .applyWeights(docs, "doc_id", "text", trainedW).filter(col("label"))
+    val dupToks = subStats.agg(sum(col("n_dup_tokens"))).head().getLong(0)
+    val cutToks = cutDocs.agg(sum(col("n_tokens") - col("n_tokens_after")))
+      .head().getLong(0)
+    println(s"[demo] substring dedup: $dupToks duplicate tokens measured, " +
+      s"$cutToks cut; ${clean.count()} train docs survive 13-gram decontamination; " +
+      s"${trainedGate.count()} pass the TRAINED quality gate")
+
     // --- Serving: hybrid retrieval fused, then diversified ---
     val fused = SparkEntry.queries("g13_hybrid_rrf")(spark, sfDir)
     val diverse = SparkEntry.queries("g14_mmr_rerank")(spark, sfDir)

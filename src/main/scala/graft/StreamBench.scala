@@ -106,15 +106,18 @@ object StreamBench {
     }
 
     // ---- J11: screen-and-append incremental dedup loop -------------
-    // 10% of each batch near-dups the PREVIOUS batch; every other doc
-    // is globally unique (tokens carry the doc's identity). The
-    // on-disk band index must grow linearly in unique SURVIVORS
-    // (~90% of feed rows), never in raw rows.
+    // 10% of each batch near-dups the PREVIOUS batch's SURVIVOR
+    // region (offset past its own dup slots — a dup referencing a
+    // prior dup would reference text that never entered the index,
+    // the r8 generator fix: pre-fix only batch 1's dups ever
+    // screened); every other doc is globally unique (tokens carry
+    // the doc's identity). The on-disk band index must grow linearly
+    // in unique SURVIVORS (~90% of feed rows), never in raw rows.
     for (rate <- rates) {
       val (index, surv) = (s"$tmp/j11_$rate/index", s"$tmp/j11_$rate/surv")
       def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
         val dup = b > 0 && i < rate / 10
-        val (ob, oi) = if (dup) (b - 1, i) else (b, i)
+        val (ob, oi) = if (dup) (b - 1, rate / 10 + i) else (b, i)
         val words = (0 until 30).map(w => s"w${ob}_${oi}_$w")
         StreamDoc(b.toLong * rate + i, words.mkString(" "))
       }
@@ -127,6 +130,36 @@ object StreamBench {
       val secs = (System.nanoTime() - t0) / 1e9
       val survivors = spark.read.parquet(surv).count()
       emit("j11_screen_append", rate, batches.toLong * rate, secs, traj,
+        s""","survivors":$survivors""")
+    }
+
+    // ---- J14: exact-substring screen loop --------------------------
+    // 10% of each batch EMBEDS a 15-token span of a previous-batch
+    // SURVIVOR at offset 3 — no doc-level exact dup, no aligned
+    // chunk, only the stride-1 window family can see it. The on-disk
+    // window index must grow linearly in SURVIVOR windows.
+    for (rate <- rates) {
+      val (index, surv) = (s"$tmp/j14_$rate/index", s"$tmp/j14_$rate/surv")
+      def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
+        val dup = b > 0 && i < rate / 10
+        if (dup) {
+          val core = (0 until 20).map(w => s"w${b - 1}_${rate / 10 + i}_$w")
+          val words = (0 until 3).map(w => s"p${b}_${i}_$w") ++ core.take(15)
+          StreamDoc(b.toLong * rate + i, words.mkString(" "))
+        } else {
+          StreamDoc(b.toLong * rate + i,
+            (0 until 20).map(w => s"w${b}_${i}_$w").mkString(" "))
+        }
+      }
+      val t0 = System.nanoTime()
+      val traj = (0 until batches).map { b =>
+        AdsbStream.substringScreenBatch(docBatch(b).toDF("doc_id", "text"),
+          b, "doc_id", "text", 10, index, surv)
+        spark.read.parquet(index).count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val survivors = spark.read.parquet(surv).count()
+      emit("j14_substring_screen", rate, batches.toLong * rate, secs, traj,
         s""","survivors":$survivors""")
     }
 

@@ -1092,6 +1092,74 @@ object PipelineQueries {
             / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS epochs
         FROM pw CROSS JOIN z ORDER BY source""")),
 
+    // P21: UniMax budget allocation (Chung et al. 2023) — the third
+    // published mixing policy beside p11 (temperature) and p15
+    // (α-epochs): given budget B tokens and an epoch cap C, allocate
+    // UNIFORMLY across sources, capping each at C·n_s, and waterfill
+    // the freed budget into the uncapped rest. Exact integer
+    // waterfill: sources sort ascending by capacity; candidate level
+    // t_i = (B − Σ caps below i) DIV (#sources from i on); the level
+    // is t at the FIRST feasible position (t_i ≤ cap_i) — every
+    // capped source takes its cap, every uncapped source takes the
+    // level (floor slack < #sources tokens, integer-exact in both
+    // engines). If B exceeds total capacity nothing is feasible and
+    // every source takes its cap. Scale shape: one map-side-combined
+    // groupBy(source) over the corpus; the waterfill runs over
+    // #sources rows (one tiny window sort + a 1-row broadcast) — the
+    // corpus shuffles nothing wider than the source key.
+    QueryDef("p21_unimax_budget",
+      (s, dir) => {
+        val B = 1000000L // token budget
+        val C = 3L       // epoch cap
+        val perSrc = Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"))
+          .withColumn("cap", col("n_tokens") * C)
+        val w = org.apache.spark.sql.expressions.Window.orderBy("cap", "source")
+        val ranked = perSrc
+          .withColumn("rn", row_number().over(w))
+          .withColumn("below",
+            coalesce(sum(col("cap")).over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+        val total = ranked.agg(count(lit(1)).as("n_src"))
+        val cand = ranked.crossJoin(broadcast(total))
+          .withColumn("t", expr(s"($B - below) DIV (n_src - rn + 1)"))
+        val level = cand.filter(col("t") <= col("cap"))
+          .orderBy("rn").limit(1)
+          .select(col("t").as("lvl"))
+        cand.crossJoin(broadcast(level.unionByName(
+            // no feasible position (budget >= total capacity): level
+            // sentinel larger than any cap so min() picks the cap
+            cand.agg((max(col("cap")) + 1L).as("lvl"))).limit(1)))
+          .withColumn("alloc", least(col("cap"), col("lvl")))
+          .withColumn("epochs_micro", expr("(alloc * 1000000) DIV n_tokens"))
+          .select("source", "n_tokens", "cap", "alloc", "epochs_micro")
+          .orderBy("source")
+      },
+      Some("""WITH perSrc AS (
+          SELECT source,
+            CAST(SUM(len(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        capped AS (SELECT source, n_tokens, n_tokens * 3 AS cap FROM perSrc),
+        ranked AS (
+          SELECT source, n_tokens, cap,
+            row_number() OVER (ORDER BY cap, source) AS rn,
+            COALESCE(SUM(cap) OVER (ORDER BY cap, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+          FROM capped),
+        tot AS (SELECT COUNT(*) AS n_src FROM ranked),
+        cand AS (
+          SELECT r.*, (1000000 - below) // (n_src - rn + 1) AS t
+          FROM ranked r CROSS JOIN tot),
+        lvl AS (
+          SELECT COALESCE(
+            (SELECT t FROM cand WHERE t <= cap ORDER BY rn LIMIT 1),
+            (SELECT MAX(cap) + 1 FROM cand)) AS lvl)
+        SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap,
+          CAST(least(cap, lvl) AS BIGINT) AS alloc,
+          CAST((least(cap, lvl) * 1000000) // n_tokens AS BIGINT) AS epochs_micro
+        FROM cand CROSS JOIN lvl ORDER BY source""")),
+
     // H7: mean unigram negative-log-likelihood — the public
     // corpus-frequency analog of the CCNet/C4 LM-perplexity quality
     // filter: documents of rare-on-average tokens score high

@@ -121,6 +121,45 @@ class SubstringDedupSpec extends SparkSpecBase {
       == stats(1).getAs[Long]("n_dup_tokens"))
   }
 
+  test("property: stats match a brute-force span reference on random corpora") {
+    // brute force: actual token windows (no hashing), min-(doc,pos)
+    // keeper, per-doc dup counts + interval-union coverage
+    def brute(docs: Seq[(Long, String)], k: Int): Map[Long, (Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val wins = for {
+        (id, ws) <- toks.toSeq
+        p <- 0 to ws.length - k
+      } yield (id, p, ws.slice(p, p + k).mkString(" "))
+      val keeper = wins.groupBy(_._3).map { case (w, occ) =>
+        w -> occ.map(o => (o._1, o._2)).min }
+      val dups = wins.filter(o => keeper(o._3) != ((o._1, o._2)))
+      val cov = dups.groupBy(_._1).map { case (id, ds) =>
+        val ps = ds.map(_._2).sorted
+        val tot = ps.zip(ps.drop(1) :+ (ps.last + k))
+          .map { case (a, b) => math.min(k, b - a) }.sum
+        id -> tot.toLong }
+      toks.map { case (id, ws) =>
+        val nw = math.max(ws.length - k + 1, 0)
+        val nd = dups.count(_._1 == id)
+        id -> (nw.toLong, nd.toLong, cov.getOrElse(id, 0L)) }
+    }
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("a", "b", "c", "d") // tiny vocab → dense repeats
+    for (trial <- 1 to 5) {
+      val docs = (0L until 12L).map { id =>
+        id -> Seq.fill(4 + rnd.nextInt(25))(vocab(rnd.nextInt(4))).mkString(" ") }
+      val k = 3 + rnd.nextInt(3)
+      val want = brute(docs, k)
+      val got = Dedup.substringDedupStats(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+            r.getAs[Long]("n_dup_tokens"))).toMap
+      assert(got == want, s"trial $trial k=$k")
+    }
+  }
+
   test("SQL surface: tokenwindowhashes64 registered and equal to the Column API") {
     graft.plans.GraftFunctions.register(spark)
     val viaSql = spark.sql(

@@ -44,6 +44,65 @@ class UnimaxSpec extends SparkSpecBase {
     assert(got.values.map(_._2).sum == 1000000L, "budget must be exactly exhausted")
   }
 
+  test("property: allocation matches a reference waterfill on random capacity profiles") {
+    // reference: iterative textbook waterfill with the same integer
+    // DIV floor — remove capped sources until the uniform level fits
+    def refWaterfill(caps: Seq[Long], budget: Long): Map[Int, Long] = {
+      var active = caps.indices.toSet
+      val alloc = scala.collection.mutable.Map[Int, Long]()
+      var remaining = budget
+      var changed = true
+      while (changed && active.nonEmpty) {
+        val level = remaining / active.size
+        val newlyCapped = active.filter(i => caps(i) < level)
+        changed = newlyCapped.nonEmpty
+        newlyCapped.foreach { i =>
+          alloc(i) = caps(i); remaining -= caps(i); active -= i
+        }
+        if (!changed) active.foreach(i => alloc(i) = level)
+      }
+      if (active.isEmpty && alloc.size < caps.size)
+        caps.indices.foreach(i => alloc.getOrElseUpdate(i, caps(i)))
+      alloc.toMap
+    }
+    // the query's closed form: sort ascending, first feasible
+    // candidate level wins
+    def queryForm(caps: Seq[Long], budget: Long): Map[Int, Long] = {
+      val sorted = caps.zipWithIndex.sortBy { case (c, i) => (c, i) }
+      val s = caps.size
+      var below = 0L
+      var level = Option.empty[Long]
+      sorted.zipWithIndex.foreach { case ((c, _), pos) =>
+        if (level.isEmpty) {
+          val t = (budget - below) / (s - pos)
+          if (t <= c) level = Some(t)
+          below += c
+        }
+      }
+      val lvl = level.getOrElse(caps.max + 1)
+      caps.zipWithIndex.map { case (c, i) => i -> math.min(c, lvl) }.toMap
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 200) {
+      val n = 2 + rnd.nextInt(8)
+      val caps = Seq.fill(n)(1L + rnd.nextInt(10000).toLong)
+      val budget = 1L + rnd.nextInt(30000).toLong
+      val a = refWaterfill(caps, budget)
+      val b = queryForm(caps, budget)
+      // identical capped sets; uncapped allocations within the DIV
+      // floor slack of each other (both are valid integer waterfills
+      // — the query form is ONE deterministic pick, the iterative
+      // form another; capped-set equality is the semantic contract)
+      val cappedA = a.filter { case (i, v) => v == caps(i) }.keySet
+      val cappedB = b.filter { case (i, v) => v == caps(i) }.keySet
+      assert(cappedA == cappedB,
+        s"trial $trial caps=$caps budget=$budget: capped sets differ $a vs $b")
+      // neither over-spends
+      assert(a.values.sum <= budget.max(caps.sum.min(budget)) + n)
+      assert(b.values.sum <= budget + n || cappedB.size == n)
+    }
+  }
+
   test("all-capped branch: budget above total capacity leaves every source at its cap") {
     val rows = (0 until 4).flatMap(s => (0 until 5).map(i =>
       (s * 10L + i, s"s$s", (0 until 100).map(j => s"t$j").mkString(" "))))

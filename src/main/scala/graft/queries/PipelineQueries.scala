@@ -1973,6 +1973,44 @@ object PipelineQueries {
         FROM tok CROSS JOIN tot GROUP BY w, n
         HAVING COUNT(*) * 1500 > n ORDER BY w""")),
 
+    // E25c: heavy hitters via Count-Min screen + exact verify — the
+    // OVERCOUNT-side sibling of e25b's Misra-Gries composition
+    // (Cormode & Muthukrishnan 2005). Pass 1 folds the token stream
+    // into ONE 4×2048 counter matrix (K25 — the shuffle is
+    // sketch-sized, like e25b/K17). Pass 2 probes the driver-shipped
+    // matrix INSIDE the scan of the cached token frame: rows whose
+    // estimate can't reach n/1500 die before the exchange (the bloom
+    // pattern with counters), and only candidate-key rows take the
+    // exact aggregation. CMS never underestimates, so the screen has
+    // no false negatives above the threshold and screen + verify ≡
+    // the exact heavy-hitter query — bit-exact and oracle-able even
+    // though estimates themselves carry collision noise. The oracle
+    // is the plain exact GROUP BY ... HAVING.
+    QueryDef("e25c_heavy_hitters_cms",
+      (s, dir) => {
+        import graft.functions.CmsFunctions
+        val tok = tokFrame(s, dir)
+          .withColumn("h", HashFunctions.md5prefix64(col("w")))
+        val bytes = tok.agg(CmsFunctions.cmsAgg(col("h"), 4, 2048))
+          .head().getAs[Array[Byte]](0)
+        val tot = tok.agg(count(lit(1)).as("n"))
+        tok.crossJoin(broadcast(tot))
+          .filter(CmsFunctions.cmsEstimate(bytes, col("h")) * 1500 > col("n"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt") * 1500 > col("n"))
+          .select("w", "cnt")
+          .orderBy("w")
+      },
+      Some("""WITH tok AS (
+          SELECT unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        tot AS (SELECT COUNT(*) AS n FROM tok)
+        SELECT w, COUNT(*) AS cnt
+        FROM tok CROSS JOIN tot GROUP BY w, n
+        HAVING COUNT(*) * 1500 > n ORDER BY w""")),
+
     // P13: DSIR-style importance resampling (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling") — the
     // public-method data-selection step: score every raw document by

@@ -385,6 +385,81 @@ object RelationalQueries {
                ELSE 63.0 * power(2.0, 60) / hk END AS approx_users
         FROM agg ORDER BY event_type""")),
 
+    // E13f: deterministic HyperLogLog (Flajolet et al. 2007) — the
+    // algorithm class behind ClickHouse's uniqCombined and Spark's
+    // own approx_count_distinct (e13b), respelled so the WHOLE
+    // estimator is oracle-replayable, which the native ones can't be:
+    // registers from the SQL-reproducible md5-prefix hash (j = low 12
+    // bits, rank = leading zeros of the remaining 48-bit window + 1,
+    // computed EXACTLY via binary-string length — no float log), the
+    // harmonic sum as an EXACT BIGINT (terms 2^(49−M_j) — register
+    // values ≤ 49 keep Σ < 2^61, and integer sums commute, so the
+    // sketch state is partition-invariant like K25's), and only the
+    // final alpha·m²/S division plus the small-range linear-counting
+    // ln run in floats, spelled token-identically in both engines
+    // (q6-quantized output — the d17 tie-stability treatment). Large-
+    // range correction is moot in a 2^60 hash space. Scale shape:
+    // one map-side-combined (group, register) max — the shuffle is
+    // ≤ groups·4096 rows of 3 small ints, sketch-sized — then a
+    // group-keyed fold of the 4096 registers.
+    QueryDef("e13f_hll_distinct",
+      (s, dir) => {
+        val m = 4096
+        val h = HashFunctions.md5prefix64(col("user_id").cast("string"))
+        val regs = Tables.events(s, dir)
+          .select(col("event_type"), h.as("h"))
+          .withColumn("j", pmod(col("h"), lit(m.toLong)))
+          .withColumn("w", expr(s"h DIV $m"))
+          .withColumn("rho", when(col("w") === 0L, lit(49))
+            .otherwise(lit(49) - length(conv(col("w"), 10, 2))))
+          .groupBy("event_type", "j")
+          .agg(max(col("rho")).as("mj"))
+        val sums = regs.groupBy("event_type")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - mj AS INT))"))
+            .as("s_present"),
+            count(lit(1)).as("n_present"))
+          .withColumn("s",
+            col("s_present") + (lit(m.toLong) - col("n_present")) * lit(1L << 49))
+          .withColumn("v", lit(m.toLong) - col("n_present"))
+        sums
+          .withColumn("raw",
+            (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0))
+              * lit(4096.0) * lit(4096.0) * lit(562949953421312.0))
+              / col("s").cast("double"))
+          .withColumn("approx_users", QueryDefs.q6(
+            when(col("raw") <= 10240.0 && col("v") > 0L,
+              lit(4096.0) * log(lit(4096.0) / col("v").cast("double")))
+              .otherwise(col("raw"))))
+          .select("event_type", "approx_users")
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (
+          SELECT event_type,
+            ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM events),
+        r AS (
+          SELECT event_type, h % 4096 AS j,
+            CASE WHEN h // 4096 = 0 THEN 49
+                 ELSE 49 - length(bin(h // 4096)) END AS rho
+          FROM h),
+        mreg AS (SELECT event_type, j, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+        sums AS (
+          SELECT event_type,
+            CAST(SUM(CAST(1 AS BIGINT) << CAST(49 - mj AS INT)) AS BIGINT) AS s_present,
+            COUNT(*) AS n_present
+          FROM mreg GROUP BY event_type),
+        est AS (
+          SELECT event_type,
+            4096 - n_present AS v,
+            ((0.7213 / (1.0 + 1.079 / 4096.0) * 4096.0 * 4096.0 * 562949953421312.0))
+              / CAST(s_present + (4096 - n_present) * 562949953421312 AS DOUBLE) AS raw
+          FROM sums)
+        SELECT event_type,
+          floor((CASE WHEN raw <= 10240.0 AND v > 0
+                      THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+                      ELSE raw END) * 1000000.0 + 0.5) / 1000000.0 AS approx_users
+        FROM est ORDER BY event_type""")),
+
     // E13d: KMV sketch SET ALGEBRA — estimate |clickers ∩ purchasers|
     // without an exact distinct-intersection: per-set k-min sketches,
     // merged into the union sketch (k smallest of the combined mins),

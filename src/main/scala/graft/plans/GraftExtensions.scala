@@ -86,6 +86,15 @@ object GraftFunctions {
           case Literal(k: Int, _) => KmvDistinct(args.head, k)
           case other => throw new IllegalArgumentException(
             s"kmvdistinct64 k must be an integer literal, got $other")
+        }),
+      (FunctionIdentifier("countmin64"),
+        info("countmin64",
+          "countmin64(h, depth, width) - AGGREGATE: serialized Count-Min sketch over LONG keys (deterministic; estimate via graft.functions.CmsFunctions.cmsEstimate); depth/width must be literals, width a power of two."),
+        (args: Seq[Expression]) => (args(1), args(2)) match {
+          case (Literal(d: Int, _), Literal(w: Int, _)) =>
+            graft.functions.CountMinAgg(args.head, d, w).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"countmin64 depth/width must be integer literals, got $other")
         }))
 
   /** Register into an existing session's function registry. */

@@ -327,6 +327,22 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "SortAggregate") == 0, p.take(400))
   }
 
+  test("e25c CMS heavy hitters: estimate probe below the exchange, hash aggregates only") {
+    val p = executedPlan("e25c_heavy_hitters_cms")
+    assert(p.contains("cms_estimate"), p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+    // every hash exchange feeding the exact count must have the CMS
+    // probe in its subtree: non-candidate rows die before the wire
+    val hashEx = "Exchange hashpartitioning[^)]*\\)".r.findAllIn(p).length
+    assert(hashEx >= 1, p.take(400))
+  }
+
+  test("e13f HLL: register aggregation map-side combined, no sort aggregates, no joins") {
+    val p = executedPlan("e13f_hll_distinct")
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+    assert(count(p, "Join") == 0, p.take(400))
+  }
+
   test("g13 hybrid RRF: term/stats/query frames broadcast, fusion never cartesian") {
     val p = executedPlan("g13_hybrid_rrf")
     assert(count(p, "CartesianProduct") == 0, p.take(400))

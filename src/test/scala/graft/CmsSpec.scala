@@ -76,6 +76,18 @@ class CmsSpec extends SparkSpecBase {
     }
   }
 
+  test("SQL surface: countmin64 registered, sketch equals the Column API build") {
+    graft.plans.GraftFunctions.register(spark)
+    spark.range(0, 1000).createOrReplaceTempView("cms_t")
+    val viaSql = spark.sql("SELECT countmin64(id % 50, 4, 256) FROM cms_t")
+      .head().getAs[Array[Byte]](0)
+    val viaApi = spark.range(0, 1000)
+      .agg(CmsFunctions.cmsAgg(col("id") % 50, 4, 256))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(viaSql, viaApi))
+    assert(CmsUtil.deserialize(viaSql).estimate(7L) == 20L) // exact at this density
+  }
+
   test("error bound: estimates stay within the e*n/width envelope on the corpus") {
     // classic CMS bound: overcount <= e*n/width with prob 1-e^-depth
     // per key; assert the MAX overcount over all keys stays inside

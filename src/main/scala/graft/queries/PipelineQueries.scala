@@ -1160,6 +1160,127 @@ object PipelineQueries {
           CAST((least(cap, lvl) * 1000000) // n_tokens AS BIGINT) AS epochs_micro
         FROM cand CROSS JOIN lvl ORDER BY source""")),
 
+    // P22: cross-family dedup SCOREBOARD — the first question a
+    // pipeline owner asks of a new corpus: which dedup pass fires,
+    // and how much would it remove? One row per family, same params
+    // as the families' own queries (f1 exact, f3 MinHash n=4, f4b
+    // banded SimHash ≤3, f14 substring k=50), with family-appropriate
+    // units (docs / candidate pairs / tokens). Complements f12's
+    // pairwise agreement report with the volume view. Each family
+    // reduces to ONE scalar row; the oracle replays all four from the
+    // shared CTE constants the per-family oracles use, so scoreboard
+    // and family queries can never drift apart.
+    QueryDef("p22_dedup_scoreboard",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def pairRow(ord: Int, family: String,
+                    pairs0: org.apache.spark.sql.DataFrame) = {
+          val pairs = graft.operators.TrackedCache.persist(
+            pairs0.select("a", "b"))
+          pairs.select(explode(array(col("a"), col("b"))).as("d"))
+            .agg(countDistinct(col("d")).as("n_affected_docs"))
+            .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_removed_units"))))
+            .select(lit(ord).as("ord"), lit(family).as("family"),
+              lit("pairs").as("unit"), col("n_affected_docs"),
+              col("n_removed_units"))
+        }
+        val exact = Dedup.exactGroups(docs, "doc_id", "text")
+          .agg(sum(when(col("n_dups") > 1L, col("n_dups")).otherwise(0L)).as("a"),
+            sum(col("n_dups") - 1L).as("u"))
+          .select(lit(1).as("ord"), lit("exact_text").as("family"),
+            lit("docs").as("unit"), col("a").as("n_affected_docs"),
+            col("u").as("n_removed_units"))
+        val minhash = pairRow(2, "minhash_lsh",
+          Dedup.minhashLshPairs(docs, "doc_id", "text", 4))
+        val simhash = pairRow(3, "simhash_banded",
+          Dedup.simhashPairs(docs, "doc_id", "text"))
+        val substring = Dedup.substringDedupStats(docs, "doc_id", "text", 50)
+          .agg(count(when(col("n_dup_windows") > 0L, 1)).as("a"),
+            sum(col("n_dup_tokens")).as("u"))
+          .select(lit(4).as("ord"), lit("substring_50").as("family"),
+            lit("tokens").as("unit"), col("a").as("n_affected_docs"),
+            col("u").as("n_removed_units"))
+        exact.unionByName(minhash).unionByName(simhash).unionByName(substring)
+          .orderBy("ord")
+      },
+      Some {
+        val sub = s"""SELECT * FROM (
+          WITH words AS (
+            SELECT doc_id,
+              list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws
+            FROM documents),
+          th AS (
+            SELECT doc_id, len(ws) AS n,
+              list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007) AS t1,
+              list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 998244353) AS t2
+            FROM words),
+          win AS (SELECT doc_id, unnest(range(0, n - 50 + 1)) AS p, t1, t2
+            FROM th WHERE n >= 50),
+          wh AS (
+            SELECT doc_id, CAST(p AS INT) AS pos,
+              list_reduce(t1[CAST(p + 1 AS INT) : CAST(p + 50 AS INT)],
+                (a, b) -> (a * 131 + b) % 1000000007) * 998244353
+              + list_reduce(t2[CAST(p + 1 AS INT) : CAST(p + 50 AS INT)],
+                (a, b) -> (a * 131 + b) % 998244353) AS h
+            FROM win),
+          kd AS (SELECT h, MIN(doc_id) AS kdoc FROM wh GROUP BY h),
+          kp AS (SELECT w.h, w.doc_id AS kdoc, MIN(w.pos) AS kpos
+            FROM wh w JOIN kd ON w.h = kd.h AND w.doc_id = kd.kdoc
+            GROUP BY w.h, w.doc_id),
+          dup AS (
+            SELECT w.doc_id, w.pos,
+              lead(w.pos) OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS np
+            FROM wh w JOIN kp USING (h)
+            WHERE NOT (w.doc_id = kp.kdoc AND w.pos = kp.kpos)),
+          cov AS (
+            SELECT doc_id,
+              CAST(SUM(CASE WHEN np IS NULL THEN 50
+                            ELSE least(50, np - pos) END) AS BIGINT) AS toks
+            FROM dup GROUP BY doc_id)
+          SELECT 4 AS ord, 'substring_50' AS family, 'tokens' AS unit,
+            CAST(COUNT(*) AS BIGINT) AS n_affected_docs,
+            CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS n_removed_units
+          FROM cov)"""
+        s"""SELECT * FROM (
+          WITH g AS (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)
+          SELECT 1 AS ord, 'exact_text' AS family, 'docs' AS unit,
+            CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_affected_docs,
+            CAST(SUM(n - 1) AS BIGINT) AS n_removed_units
+          FROM g)
+        UNION ALL SELECT * FROM (
+          WITH $minhashBandCtes,
+          mpairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+            GROUP BY 1, 2)
+          SELECT 2 AS ord, 'minhash_lsh' AS family, 'pairs' AS unit,
+            CAST((SELECT COUNT(DISTINCT d) FROM
+              (SELECT a AS d FROM mpairs UNION ALL SELECT b AS d FROM mpairs)) AS BIGINT),
+            CAST(COUNT(*) AS BIGINT)
+          FROM mpairs)
+        UNION ALL SELECT * FROM (
+          WITH $simhash64Ctes,
+          b0 AS (SELECT doc_id, simhash,
+              unnest(list_transform(range(0, 4),
+                b -> {'band': b, 'bv': (simhash >> CAST(b * 16 AS INT)) & 65535})) AS u
+            FROM sim64),
+          banded AS (SELECT doc_id, simhash, CAST(u.band AS INT) AS band, u.bv AS bv FROM b0),
+          spairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b
+            FROM banded x JOIN banded y
+              ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+            GROUP BY 1, 2, x.simhash, y.simhash
+            HAVING bit_count(xor(x.simhash, y.simhash)) <= 3)
+          SELECT 3 AS ord, 'simhash_banded' AS family, 'pairs' AS unit,
+            CAST((SELECT COUNT(DISTINCT d) FROM
+              (SELECT a AS d FROM spairs UNION ALL SELECT b AS d FROM spairs)) AS BIGINT),
+            CAST(COUNT(*) AS BIGINT)
+          FROM spairs)
+        UNION ALL $sub
+        ORDER BY ord"""
+      }),
+
     // H7: mean unigram negative-log-likelihood — the public
     // corpus-frequency analog of the CCNet/C4 LM-perplexity quality
     // filter: documents of rare-on-average tokens score high

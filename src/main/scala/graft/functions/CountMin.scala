@@ -155,6 +155,17 @@ case class CountMinAgg(
 case class CmsEstimate(child: Expression, sketch: Array[Byte])
     extends UnaryExpression {
 
+  // Array params compare by reference in case-class equals; without
+  // structural equality two identical probe expressions never satisfy
+  // semanticEquals, defeating canonicalization / CSE / plan caching.
+  override def equals(other: Any): Boolean = other match {
+    case that: CmsEstimate =>
+      child == that.child && java.util.Arrays.equals(sketch, that.sketch)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(sketch)
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -322,19 +322,24 @@ object EmbeddingQueries {
     // pair lists, not the corpus.
     QueryDef("f12_dedup_agreement",
       (s, dir) => {
-        val text = graft.operators.Dedup.minhashLshPairs(
-          Tables.documents(s, dir), "doc_id", "text", 4).select("a", "b")
+        // both pair frames feed TWO consumers (their own count + the
+        // intersection join) — persist so each candidate pipeline
+        // (band self-join / bucket cogroup + cosine) executes ONCE
+        val text = graft.operators.TrackedCache.persist(
+          graft.operators.Dedup.minhashLshPairs(
+            Tables.documents(s, dir), "doc_id", "text", 4).select("a", "b"))
         val b = Embeddings.withBucket(
           Tables.embeddings(s, dir), "embedding", 8, 64)
         val x = b.select(col("vec_id").as("a"), col("embedding").as("va"), col("bucket"))
         val y = b.select(col("vec_id").as("b"), col("embedding").as("vb"), col("bucket"))
-        val emb = x.join(y, "bucket").filter(col("a") < col("b"))
-          .filter(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.3)
-          .select("a", "b")
+        val emb = graft.operators.TrackedCache.persist(
+          x.join(y, "bucket").filter(col("a") < col("b"))
+            .filter(graft.functions.VectorFunctions.cosineSim(col("va"), col("vb")) >= 0.3)
+            .select("a", "b"))
         val both = text.join(emb, Seq("a", "b"))
         text.agg(count(lit(1)).as("n_text"))
-          .crossJoin(emb.agg(count(lit(1)).as("n_emb")))
-          .crossJoin(both.agg(count(lit(1)).as("n_both")))
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_emb"))))
+          .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
           .withColumn("pair_jaccard",
             col("n_both").cast("double") /
               (col("n_text") + col("n_emb") - col("n_both")))

@@ -1129,8 +1129,12 @@ object PipelineQueries {
           .select(col("t").as("lvl"))
         cand.crossJoin(broadcast(level.unionByName(
             // no feasible position (budget >= total capacity): level
-            // sentinel larger than any cap so min() picks the cap
-            cand.agg((max(col("cap")) + 1L).as("lvl"))).limit(1)))
+            // sentinel larger than any cap so min() picks the cap.
+            // min() over {first-feasible t, sentinel} is order-
+            // independent (sentinel = max cap + 1 > any feasible t),
+            // unlike limit(1) on an unordered union.
+            cand.agg((max(col("cap")) + 1L).as("lvl")))
+          .agg(min(col("lvl")).as("lvl"))))
           .withColumn("alloc", least(col("cap"), col("lvl")))
           .withColumn("epochs_micro", expr("(alloc * 1000000) DIV n_tokens"))
           .select("source", "n_tokens", "cap", "alloc", "epochs_micro")

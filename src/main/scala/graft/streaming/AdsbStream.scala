@@ -503,18 +503,28 @@ object AdsbStream {
         import spark.implicits._
         Seq.empty[Long].toDF("h")
       }
-    val dupIds = wins.join(priorHashes, Seq("h"))
-      .select(col(idCol)).distinct()
-    val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
-    survivors.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(survivorsPath)
-    wins.join(dupIds, Seq(idCol), "left_anti")
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(indexPath)
+    // materialize wins + dupIds before the two writes: the batch is
+    // hashed ONCE (not once per write), and the index write no longer
+    // embeds a lazy self-read of the indexPath it is overwriting
+    val winsP = wins.persist()
+    val dupIds = winsP.join(priorHashes, Seq("h"))
+      .select(col(idCol)).distinct().persist()
+    dupIds.count()
+    try {
+      val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+      survivors.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(survivorsPath)
+      winsP.join(dupIds, Seq(idCol), "left_anti")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(indexPath)
+    } finally {
+      dupIds.unpersist()
+      winsP.unpersist()
+    }
   }
 
   /** The J14 sink: the substring-screen loop running continuously. */

@@ -45,6 +45,74 @@ object PipelineQueries {
          FROM mh GROUP BY doc_id, i // 4)"""
   }
 
+  /** Corpus ∪ the literal rule-exercise battery (h17/p12b) — the
+    * oracle twin of the Spark-side unionByName over
+    * [[graft.operators.QualityRules.BatteryDocs]].
+    */
+  private[queries] def corpusBatteryCte: String =
+    s"""corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id, text FROM (VALUES ${graft.operators.QualityRules.batterySqlValues}) AS t(doc_id, text))"""
+
+  /** CTE chain computing the Gopher+C4 rule battery over a `corpus`
+    * CTE (doc_id, text) — mirror of
+    * [[graft.operators.QualityRules.withRuleColumns]]. Ends in `gvp`
+    * with all signal/rule/verdict columns. All-integer verdicts.
+    */
+  private[queries] def gopherRuleCtes: String =
+    s"""gf AS (
+         SELECT doc_id, text,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws,
+           string_split(text, chr(10)) AS lns
+         FROM corpus),
+       gsig AS (
+         SELECT doc_id, text,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(coalesce(list_aggregate(list_transform(ws, w -> length(w)), 'sum'), 0) AS BIGINT) AS sum_wchars,
+           CAST(len(lns) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lns, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+           CAST(len(list_filter(lns, l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS n_ellipsis_lines,
+           CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash_chars,
+           CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+           CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+           CAST(len(list_filter(['the','be','to','of','and','that','have','with'], s -> list_contains(ws, s))) AS BIGINT) AS n_req_stops,
+           CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT) AS n_sentences,
+           contains(text, '{') AS has_brace,
+           contains(lower(text), 'lorem ipsum') AS has_lorem
+         FROM gf),
+       gr AS (
+         SELECT *,
+           n_words BETWEEN 50 AND 100000 AS r_word_count,
+           (3 * n_words <= sum_wchars AND sum_wchars <= 10 * n_words) AS r_mean_word_len,
+           10 * (n_hash_chars + n_ellipsis) <= n_words AS r_symbol_ratio,
+           10 * n_bullet_lines < 9 * n_lines AS r_bullet_lines,
+           10 * n_ellipsis_lines < 3 * n_lines AS r_ellipsis_lines,
+           5 * n_alpha_words >= 4 * n_words AS r_alpha_words,
+           n_req_stops >= 2 AS r_stopwords,
+           (NOT has_brace) AS r_no_brace,
+           (NOT has_lorem) AS r_no_lorem,
+           n_sentences >= 3 AS r_min_sentences
+         FROM gsig),
+       gv AS (
+         SELECT *,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_bullet_lines
+             AND r_ellipsis_lines AND r_alpha_words AND r_stopwords) AS gopher_pass,
+           (r_no_brace AND r_no_lorem AND r_min_sentences) AS c4_pass,
+           CASE WHEN NOT r_word_count THEN 'gopher_word_count'
+                WHEN NOT r_mean_word_len THEN 'gopher_mean_word_len'
+                WHEN NOT r_symbol_ratio THEN 'gopher_symbol_ratio'
+                WHEN NOT r_bullet_lines THEN 'gopher_bullet_lines'
+                WHEN NOT r_ellipsis_lines THEN 'gopher_ellipsis_lines'
+                WHEN NOT r_alpha_words THEN 'gopher_alpha_words'
+                WHEN NOT r_stopwords THEN 'gopher_stopwords'
+                WHEN NOT r_no_brace THEN 'c4_brace'
+                WHEN NOT r_no_lorem THEN 'c4_lorem'
+                WHEN NOT r_min_sentences THEN 'c4_min_sentences'
+                ELSE NULL END AS first_fail
+         FROM gr),
+       gvp AS (SELECT *, (gopher_pass AND c4_pass) AS pass FROM gv)"""
+
   private def minhashSql: String =
     s"""WITH $minhashBandCtes
        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
@@ -1987,6 +2055,74 @@ object PipelineQueries {
           UNION ALL SELECT 3, 'quality', CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT) FROM gated
         ) t ORDER BY stage_order""")),
 
+    // P12b: the curation funnel with the H17 battery composed as its
+    // quality gate — raw → exact dedup → Gopher structural rules
+    // (word count / mean word length / symbols / bullets / ellipsis /
+    // alpha) → full Gopher (+ required stopwords) → + C4 page rules.
+    // Run over corpus ∪ battery so the tail stages are non-vacuous on
+    // the synthetic corpus (only the golden doc survives everything —
+    // which is the honest verdict on punctuation-free word salad).
+    // Same single-scan stat shape as p12: each stage is a row-local
+    // filter refinement; no new shuffle beyond the dedup groupBy.
+    QueryDef("p12b_curation_funnel_gated",
+      (s, dir) => {
+        import s.implicits._
+        val qr = graft.operators.QualityRules
+        val battery = qr.BatteryDocs.toDF("doc_id", "text")
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+          .unionByName(battery)
+          .withColumn("fp", HashFunctions.md5prefix64(col("text")))
+          .withColumn("ntok", TextOps.tokenCount(col("text")).cast("long"))
+        val keep = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val canon = docs.join(keep, Seq("fp", "doc_id"))
+        val ruled = qr.withRuleColumns(canon, "text")
+        val structural = ruled.filter(
+          qr.GopherRules.take(6).map(col).reduce(_ && _))
+        val gopher = structural.filter(col("gopher_pass"))
+        val full = gopher.filter(col("pass"))
+        def stat(order: Int, name: String,
+                 df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum("ntok"), lit(0L)).as("n_tokens"))
+            .select(lit(order).as("stage_order"), lit(name).as("stage"),
+              col("n_docs"), col("n_tokens"))
+        stat(0, "raw", docs)
+          .unionByName(stat(1, "exact_dedup", canon))
+          .unionByName(stat(2, "gopher_structural", structural))
+          .unionByName(stat(3, "gopher_full", gopher))
+          .unionByName(stat(4, "c4_full", full))
+          .orderBy("stage_order")
+      },
+      Some(s"""WITH $corpusBatteryCte,
+        d AS (
+          SELECT doc_id, text,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ntok
+          FROM corpus),
+        keep AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+        dcanon AS (SELECT d.* FROM d JOIN keep USING (fp, doc_id)),
+        $gopherRuleCtes,
+        ruled AS (SELECT g.*, dc.ntok FROM gvp g
+          JOIN (SELECT doc_id, ntok FROM dcanon) dc USING (doc_id)),
+        structural AS (SELECT * FROM ruled
+          WHERE r_word_count AND r_mean_word_len AND r_symbol_ratio
+            AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words),
+        gph AS (SELECT * FROM structural WHERE gopher_pass),
+        fl AS (SELECT * FROM gph WHERE pass)
+        SELECT * FROM (
+          SELECT 0 AS stage_order, 'raw' AS stage,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(coalesce(SUM(ntok), 0) AS BIGINT) AS n_tokens FROM d
+          UNION ALL SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+            CAST(coalesce(SUM(ntok), 0) AS BIGINT) FROM dcanon
+          UNION ALL SELECT 2, 'gopher_structural', CAST(COUNT(*) AS BIGINT),
+            CAST(coalesce(SUM(ntok), 0) AS BIGINT) FROM structural
+          UNION ALL SELECT 3, 'gopher_full', CAST(COUNT(*) AS BIGINT),
+            CAST(coalesce(SUM(ntok), 0) AS BIGINT) FROM gph
+          UNION ALL SELECT 4, 'c4_full', CAST(COUNT(*) AS BIGINT),
+            CAST(coalesce(SUM(ntok), 0) AS BIGINT) FROM fl
+        ) t ORDER BY stage_order""")),
+
     // I4: media near-dup pairs — stub pHash (the documented codec
     // seam: exact-sensitive md5 recompose standing in for a DCT
     // pHash) + the GENERIC 4x16-bit banded Hamming join shared with
@@ -2596,6 +2732,45 @@ object PipelineQueries {
             s"CAST(SUM(CAST(${QueryDefs.sqlQ6("-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))")} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")} AS avg_nll
         FROM bg2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN voc
         GROUP BY doc_id ORDER BY doc_id""")),
+
+    // H17: the PUBLISHED composite quality-rule battery — Gopher
+    // Table A1 (Rae et al. 2021) + C4 page rules (Raffel et al.
+    // 2020) as one per-doc gate with a first-failing-rule verdict:
+    // the rule set a curation team cites as "Gopher-filtered". The
+    // individual signals exist across h2/h6/h10/h16; this is the
+    // cited COMPOSITE. The synthetic corpus is punctuation-free word
+    // salad, so the literal battery docs (ids ≥ 900000, one golden
+    // pass + one engineered first-fail per rule) are unioned
+    // in-query — every rule provably fires at every SF. All verdicts
+    // are integer cross-multiplications (no float): bit-exact by
+    // construction. Row-local single-scan work; streaming-safe.
+    QueryDef("h17_gopher_rules",
+      (s, dir) => {
+        import s.implicits._
+        val battery = graft.operators.QualityRules.BatteryDocs
+          .toDF("doc_id", "text")
+        val corpus = Tables.documents(s, dir).select("doc_id", "text")
+          .unionByName(battery)
+        val outCols =
+          Seq("doc_id", "n_words", "sum_wchars", "n_lines", "n_bullet_lines",
+            "n_ellipsis_lines", "n_hash_chars", "n_ellipsis", "n_alpha_words",
+            "n_req_stops", "n_sentences") ++
+          graft.operators.QualityRules.RuleOrder.map(_._1) ++
+          Seq("gopher_pass", "c4_pass", "pass", "first_fail")
+        graft.operators.QualityRules.withRuleColumns(corpus, "text")
+          .select(outCols.map(col): _*)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $corpusBatteryCte,
+        $gopherRuleCtes
+        SELECT doc_id, n_words, sum_wchars, n_lines, n_bullet_lines,
+          n_ellipsis_lines, n_hash_chars, n_ellipsis, n_alpha_words,
+          n_req_stops, n_sentences,
+          r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+          r_ellipsis_lines, r_alpha_words, r_stopwords, r_no_brace,
+          r_no_lorem, r_min_sentences,
+          gopher_pass, c4_pass, pass, first_fail
+        FROM gvp ORDER BY doc_id""")),
 
     // P18: curriculum phases — order the corpus by a difficulty
     // signal (h7's unigram NLL: low = predictable/easy text) and cut

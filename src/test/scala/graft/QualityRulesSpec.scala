@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.QualityRules
+import org.apache.spark.sql.functions._
+
+/** H17: the Gopher Table A1 + C4 composite rule battery. Pins
+  * (1) every engineered battery doc fails with exactly its targeted
+  * first rule (and the golden doc passes all 10), (2) the exact
+  * integer boundary semantics of the published thresholds (50-word
+  * floor inclusive, 90% bullet fraction exclusive, mean-word-length
+  * endpoints inclusive), (3) a hand-computed full signal row.
+  */
+class QualityRulesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ruleRows(docs: Seq[(Long, String)]) =
+    QualityRules.withRuleColumns(docs.toDF("doc_id", "text"), "text")
+      .select("doc_id", "pass", "gopher_pass", "c4_pass", "first_fail")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+          if (r.isNullAt(4)) null else r.getString(4))))
+      .toMap
+
+  test("battery docs fail with exactly their targeted first rule") {
+    val got = ruleRows(QualityRules.BatteryDocs)
+    assert(got(900000L) === ((true, true, true, null)))
+    val expected = Map(
+      900001L -> "gopher_word_count",
+      900002L -> "gopher_mean_word_len",
+      900003L -> "gopher_symbol_ratio",
+      900004L -> "gopher_bullet_lines",
+      900005L -> "gopher_ellipsis_lines",
+      900006L -> "gopher_alpha_words",
+      900007L -> "gopher_stopwords",
+      900008L -> "c4_brace",
+      900009L -> "c4_lorem",
+      900010L -> "c4_min_sentences")
+    expected.foreach { case (id, rule) =>
+      val (pass, _, _, firstFail) = got(id)
+      assert(!pass, s"doc $id should fail")
+      assert(firstFail === rule, s"doc $id first_fail")
+    }
+    // the gopher-rule failures must leave c4 verdicts independent:
+    // 900004/900005 have no sentences → c4 also fails; 900003 keeps
+    // golden's periods → c4 passes despite the gopher failure
+    assert(got(900003L)._3 === true)
+    assert(got(900007L)._3 === true)
+  }
+
+  test("published thresholds sit on exact integer boundaries") {
+    // 50 words is IN (inclusive floor); 49 is out
+    val in50 = (Seq.fill(46)("the") ++ Seq("of", "and", "to", "that.")).mkString(" ")
+    val in49 = (Seq.fill(45)("the") ++ Seq("of", "and", "to", "that.")).mkString(" ")
+    // bullet fraction: 9/10 lines = 0.9 is NOT < 0.9 → fail; 8/10 pass
+    def bulletDoc(nBullet: Int) =
+      (Seq.fill(nBullet)("- the data of and that have with more words here.") ++
+        Seq.fill(10 - nBullet)("the data of and that have with more words here."))
+        .mkString("\n")
+    val got = ruleRows(Seq(
+      1L -> in50, 2L -> in49, 3L -> bulletDoc(9), 4L -> bulletDoc(8)))
+    assert(got(1L)._4 !== "gopher_word_count")
+    assert(got(2L)._4 === "gopher_word_count")
+    assert(got(3L)._4 === "gopher_bullet_lines")
+    assert(got(4L)._2 === true, "8/10 bullet lines passes gopher")
+  }
+
+  test("hand-computed signal row") {
+    // 2 lines; line 1 bullet; line 2 ends with ellipsis; 1 '#'
+    val doc = "- the data of systems.\nmore value here going on...# ok?"
+    val row = QualityRules
+      .withRuleColumns(Seq(1L -> doc).toDF("doc_id", "text"), "text")
+      .select("n_words", "sum_wchars", "n_lines", "n_bullet_lines",
+        "n_ellipsis_lines", "n_hash_chars", "n_ellipsis", "n_alpha_words",
+        "n_req_stops", "n_sentences")
+      .collect()(0)
+    // words: ["-","the","data","of","systems.","more","value","here",
+    //         "going","on...#","ok?"] = 11
+    assert(row.getLong(0) === 11L)
+    // lens: 1+3+4+2+8+4+5+4+5+6+3 = 45
+    assert(row.getLong(1) === 45L)
+    assert(row.getLong(2) === 2L)
+    assert(row.getLong(3) === 1L)  // "- the..." starts with bullet
+    assert(row.getLong(4) === 0L)  // line 2 ends "...# ok?" not "..."
+    assert(row.getLong(5) === 1L)  // one '#'
+    assert(row.getLong(6) === 1L)  // one '...'
+    assert(row.getLong(7) === 10L) // all but "-" contain a letter
+    assert(row.getLong(8) === 2L)  // {the, of}
+    // [.!?] hits: "systems." + the three ellipsis dots + "ok?" = 5
+    assert(row.getLong(9) === 5L)
+  }
+
+  test("sentence count counts every terminal-punctuation char") {
+    val row = QualityRules
+      .withRuleColumns(Seq(1L -> "a. b! c? d... e").toDF("doc_id", "text"), "text")
+      .select("n_sentences").collect()(0)
+    assert(row.getLong(0) === 6L) // . ! ? plus the 3 ellipsis dots
+  }
+}

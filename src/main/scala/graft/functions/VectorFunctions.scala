@@ -140,6 +140,26 @@ object VectorFunctions {
       }.toArray
     }
 
+  /** Row j of the Achlioptas (2003) sign-projection matrix: `dim`
+    * entries in {+1, −1}, sign = md5 parity of seed "jl{j},{i}" —
+    * the Johnson–Lindenstrauss database-friendly construction
+    * (±1 entries; the 1/√d' scale is dropped because cosine is
+    * invariant to uniform per-vector scaling). Deterministic and
+    * engine-replayable like [[hyperplane]]/[[codebook]].
+    */
+  def jlSignRow(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { i =>
+      if (HashUtil.md5Prefix64(s"jl$j,$i") % 2L == 0L) 1.0 else -1.0
+    }
+
+  /** JL random projection d=`dim` → d'=`dOut`: y_j = Σ_i R[j][i]·x_i
+    * over the seeded sign matrix — dOut native dot-product folds per
+    * row against literal rows (no shuffle, no per-row hashing;
+    * row-local like [[lshBucket]]). Output `array<double>`.
+    */
+  def jlProject(v: Column, dOut: Int, dim: Int): Column =
+    array((0 until dOut).map(j => dot(v, typedLit(jlSignRow(j, dim)))): _*)
+
   /** Deterministic product-quantization codebook for subvector `m`:
     * `k` codewords of `subDim` md5-derived weights (seed space
     * "pq{m},{j},{i}" — same family as [[hyperplane]]/[[codebook]]).

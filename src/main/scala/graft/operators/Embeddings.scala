@@ -436,6 +436,37 @@ object Embeddings {
       .select("qid", "rank", "cid", "cos")
   }
 
+  /** Johnson–Lindenstrauss compressed serving: coarse-score in the
+    * d'=`dOut` sign-projected space ([[graft.functions.VectorFunctions.jlProject]],
+    * Achlioptas 2003), exact-rerank the top `rerank` in the original
+    * space — the published embedding-compression lever next to
+    * dim-prefix (g11) and int8/binary quantization. Same shape as
+    * [[annDimPrefix]]: the projection is row-local (computed once per
+    * row in the scan), the coarse pass touches dOut/dim of the float
+    * math, and at corpus scale the projected vectors are the ones a
+    * serving index stores (4× memory cut at dOut=16, dim=64).
+    */
+  def annJl(corpus: DataFrame, queries: DataFrame, idCol: String,
+            vecCol: String, dOut: Int, dim: Int, rerank: Int,
+            k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+      VectorFunctions.jlProject(col(vecCol), dOut, dim).as("cproj"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      VectorFunctions.jlProject(col(vecCol), dOut, dim).as("qproj"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("s_proj", VectorFunctions.cosineSim(col("qproj"), col("cproj")))
+    val aw = Window.partitionBy(col("qid")).orderBy(col("s_proj").desc, col("cid"))
+    val cand = scored.withColumn("arank", row_number().over(aw))
+      .filter(col("arank") <= rerank)
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cos")
+  }
+
   def annBinary(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, rerank: Int, k: Int): DataFrame = {
     import graft.functions.VectorFunctions

@@ -42,6 +42,18 @@ object EmbeddingQueries {
         CAST((('0x' || substr(md5('c$j' || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
           % 2001 - 1000) AS DOUBLE) / 1000.0)"""
 
+  /** DuckDB mirror of VectorFunctions.jlSignRow(j, 64): ±1 by md5
+    * parity of seed "jl{j},{i}".
+    */
+  private def sqlJlRow(j: Int): String =
+    s"""list_transform(range(0, 64), i ->
+        CASE WHEN ('0x' || substr(md5('jl$j' || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+          THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"""
+
+  /** DuckDB mirror of VectorFunctions.jlProject(v, dOut, 64). */
+  private def sqlJlProject(v: String, dOut: Int = 16): String =
+    (0 until dOut).map(j => sqlDot(v, sqlJlRow(j))).mkString("[", ", ", "]")
+
   /** The SemDeDup oracle (p9/p9b): replays training (g5's CTEs),
     * in-cluster pairs, recursive reachability (f7's pattern) and the
     * keep-best aggregation end to end; `seedWhere` picks the k-means
@@ -808,7 +820,12 @@ object EmbeddingQueries {
           (6, "bq_rsized",
             Embeddings.annBinary(emb, q, "vec_id", "embedding", rSized, 5)),
           (7, "prefix16_rsized",
-            Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16, rSized, 5)))
+            Embeddings.annDimPrefix(emb, q, "vec_id", "embedding", 16, rSized, 5)),
+          // JL sign projection at the same 16-dim / r32 budget as
+          // prefix16_r32 — the apples-to-apples row for the
+          // axis-bias question (mix all dims vs keep the first 16)
+          (8, "jl16_r32",
+            Embeddings.annJl(emb, q, "vec_id", "embedding", 16, 64, 32, 5)))
         fams.map { case (ord, name, df) =>
           df.select("qid", "cid").join(truth, Seq("qid", "cid"))
             .agg(count(lit(1)).as("n_hits"))
@@ -946,6 +963,26 @@ object EmbeddingQueries {
             SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
             FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM pcand2) s0) t
           WHERE rank <= 5),
+        jb AS (
+          SELECT vec_id, embedding, ${sqlJlProject("embedding")} AS proj
+          FROM embeddings),
+        jscored AS (
+          SELECT q.vec_id AS qid, c.vec_id AS cid,
+            q.embedding AS qvec, c.embedding AS cvec,
+            ${sqlCos("q.proj", "c.proj")} AS s_proj
+          FROM jb c
+          CROSS JOIN (SELECT vec_id, embedding, proj FROM jb WHERE vec_id < 10) q
+          WHERE q.vec_id != c.vec_id),
+        jcand AS (
+          SELECT qid, cid, qvec, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s_proj DESC, cid) AS arank
+            FROM jscored) t
+          WHERE arank <= 32),
+        jres AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM jcand) s0) t
+          WHERE rank <= 5),
         nt AS (SELECT COUNT(*) AS n_truth FROM truth)
         SELECT * FROM (
           SELECT 1 AS family_order, 'lsh4_multiprobe' AS family,
@@ -962,6 +999,8 @@ object EmbeddingQueries {
             (SELECT COUNT(*) FROM bres2 JOIN truth USING (qid, cid)), n_truth FROM nt
           UNION ALL SELECT 7, 'prefix16_rsized',
             (SELECT COUNT(*) FROM pres2 JOIN truth USING (qid, cid)), n_truth FROM nt
+          UNION ALL SELECT 8, 'jl16_r32',
+            (SELECT COUNT(*) FROM jres JOIN truth USING (qid, cid)), n_truth FROM nt
         ) t ORDER BY family_order"""
       }),
 
@@ -1162,6 +1201,43 @@ object EmbeddingQueries {
         cand AS (
           SELECT qid, cid, qvec, cvec FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s_pre DESC, cid) AS arank
+            FROM scored) t
+          WHERE arank <= 32),
+        cand2 AS (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM cand)
+        SELECT qid, rank, cid, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM cand2) t
+        WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // G15: Johnson–Lindenstrauss compressed serving — coarse-score in
+    // the d'=16 seeded ±1 sign-projected space (Achlioptas 2003,
+    // database-friendly JL), exact-rerank top-32. Unlike g11's
+    // prefix (which keeps 16 raw dims and their axis bias), the JL
+    // projection mixes ALL 64 dims into each of the 16 — distance
+    // preservation holds in expectation for ANY fixed vector set.
+    // Projection is row-local (16 literal-row dot folds in the scan);
+    // the projected vectors are what a serving index stores: 4× less
+    // float traffic in the coarse pass at corpus scale.
+    QueryDef("g15_ann_jl",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Embeddings.annJl(emb, emb.filter(col("vec_id") < 3),
+            "vec_id", "embedding", 16, 64, 32, 3)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qvec,
+            ${sqlJlProject("embedding")} AS qproj
+          FROM embeddings WHERE vec_id < 3),
+        c AS (SELECT vec_id AS cid, embedding AS cvec,
+            ${sqlJlProject("embedding")} AS cproj
+          FROM embeddings),
+        scored AS (
+          SELECT qid, cid, qvec, cvec, ${sqlCos("qproj", "cproj")} AS s_proj
+          FROM c CROSS JOIN q WHERE qid != cid),
+        cand AS (
+          SELECT qid, cid, qvec, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s_proj DESC, cid) AS arank
             FROM scored) t
           WHERE arank <= 32),
         cand2 AS (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM cand)

@@ -2123,6 +2123,126 @@ object PipelineQueries {
             CAST(coalesce(SUM(ntok), 0) AS BIGINT) FROM fl
         ) t ORDER BY stage_order""")),
 
+    // P23: snapshot DIFF report — the "what changed since the last
+    // crawl" table every corpus release ships: added / removed /
+    // changed / unchanged doc+token counts between two snapshots
+    // (classified by an 8-byte content fingerprint full-outer join on
+    // doc id), plus the exact-dup-family delta (duplicate docs and
+    // redundant token mass per snapshot, F1b's min-keeper semantics)
+    // and per-snapshot totals. Snapshots are synthesized
+    // deterministically from the one corpus (prev drops ids ≡0 mod
+    // 10; curr drops ≡5 mod 10, revises text of ids ≡0 mod 7, and
+    // re-ingests exact copies of ids ≡1 mod 13 under new ids — the
+    // re-crawl duplication a release diff exists to expose) so all
+    // four classes AND the dup-family rows are non-empty at every
+    // SF. Scale
+    // shape: the join carries (id, 8-byte fp, token count) only; with
+    // day-partitioned snapshots the scan prunes to the two release
+    // partitions, and the dup aggregation is one map-side-combined
+    // groupBy(fp) per snapshot.
+    QueryDef("p23_snapshot_diff",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val prev = base.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"),
+            HashFunctions.md5prefix64(col("text")).as("pfp"),
+            TextOps.tokenCount(col("text")).cast("long").as("ptok"))
+        val curr = base.filter(col("doc_id") % 10 =!= 5)
+          .withColumn("t2", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+          .select(col("doc_id"), col("t2"))
+          .unionByName(base.filter(col("doc_id") % 13 === 1)
+            .select((col("doc_id") + 500000L).as("doc_id"),
+              col("text").as("t2")))
+          .select(col("doc_id"),
+            HashFunctions.md5prefix64(col("t2")).as("cfp"),
+            TextOps.tokenCount(col("t2")).cast("long").as("ctok"))
+        val classed = prev.join(curr, Seq("doc_id"), "full_outer")
+          .withColumn("cls",
+            when(col("pfp").isNull, "added")
+              .when(col("cfp").isNull, "removed")
+              .when(col("pfp") =!= col("cfp"), "changed")
+              .otherwise("unchanged"))
+          .withColumn("tok", coalesce(col("ctok"), col("ptok")))
+        val classRows = classed.groupBy("cls")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+          .withColumn("row_order",
+            when(col("cls") === "added", 1).when(col("cls") === "removed", 2)
+              .when(col("cls") === "changed", 3).otherwise(4))
+          .select(col("row_order"), col("cls").as("metric"),
+            col("n_docs"), col("n_tokens"))
+        def dupStats(df: org.apache.spark.sql.DataFrame, fpCol: String,
+                     tokCol: String, order: Int, name: String) =
+          df.groupBy(col(fpCol))
+            .agg(count(lit(1)).as("cnt"), sum(col(tokCol)).as("stok"),
+              min_by(col(tokCol), col("doc_id")).as("keep_tok"))
+            .agg(sum(col("cnt") - 1).as("n_docs"),
+              sum(col("stok") - col("keep_tok")).as("n_tokens"))
+            .select(lit(order).as("row_order"), lit(name).as("metric"),
+              col("n_docs"), col("n_tokens"))
+        def totals(df: org.apache.spark.sql.DataFrame, tokCol: String,
+                   order: Int, name: String) =
+          df.agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("n_tokens"))
+            .select(lit(order).as("row_order"), lit(name).as("metric"),
+              col("n_docs"), col("n_tokens"))
+        classRows
+          .unionByName(dupStats(prev, "pfp", "ptok", 5, "exact_dup_prev"))
+          .unionByName(dupStats(curr, "cfp", "ctok", 6, "exact_dup_curr"))
+          .unionByName(totals(prev, "ptok", 7, "total_prev"))
+          .unionByName(totals(curr, "ctok", 8, "total_curr"))
+          .orderBy("row_order")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+        prev AS (SELECT doc_id,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT AS pfp,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ptok
+          FROM base WHERE doc_id % 10 != 0),
+        curr AS (SELECT doc_id,
+            ('0x' || substr(md5(t2), 1, 15))::BIGINT AS cfp,
+            CAST(len(regexp_split_to_array(trim(t2), '\s+')) AS BIGINT) AS ctok
+          FROM (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS t2
+            FROM base WHERE doc_id % 10 != 5
+            UNION ALL
+            SELECT doc_id + 500000 AS doc_id, text AS t2
+            FROM base WHERE doc_id % 13 = 1) t0),
+        j AS (SELECT doc_id, pfp, ptok, cfp, ctok
+          FROM prev FULL OUTER JOIN curr USING (doc_id)),
+        classed AS (SELECT *,
+            CASE WHEN pfp IS NULL THEN 'added'
+                 WHEN cfp IS NULL THEN 'removed'
+                 WHEN pfp != cfp THEN 'changed'
+                 ELSE 'unchanged' END AS cls,
+            coalesce(ctok, ptok) AS tok
+          FROM j),
+        clsrows AS (SELECT
+            CASE cls WHEN 'added' THEN 1 WHEN 'removed' THEN 2
+                     WHEN 'changed' THEN 3 ELSE 4 END AS row_order,
+            cls AS metric, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(tok) AS BIGINT) AS n_tokens
+          FROM classed GROUP BY cls),
+        pg AS (SELECT pfp, COUNT(*) AS cnt, SUM(ptok) AS stok,
+            min_by(ptok, doc_id) AS keep_tok FROM prev GROUP BY pfp),
+        cg AS (SELECT cfp, COUNT(*) AS cnt, SUM(ctok) AS stok,
+            min_by(ctok, doc_id) AS keep_tok FROM curr GROUP BY cfp),
+        pdup AS (SELECT 5 AS row_order, 'exact_dup_prev' AS metric,
+            CAST(SUM(cnt - 1) AS BIGINT) AS n_docs,
+            CAST(SUM(stok - keep_tok) AS BIGINT) AS n_tokens FROM pg),
+        cdup AS (SELECT 6 AS row_order, 'exact_dup_curr' AS metric,
+            CAST(SUM(cnt - 1) AS BIGINT) AS n_docs,
+            CAST(SUM(stok - keep_tok) AS BIGINT) AS n_tokens FROM cg),
+        ptot AS (SELECT 7 AS row_order, 'total_prev' AS metric,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(ptok) AS BIGINT) AS n_tokens FROM prev),
+        ctot AS (SELECT 8 AS row_order, 'total_curr' AS metric,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(ctok) AS BIGINT) AS n_tokens FROM curr)
+        SELECT row_order, metric, n_docs, n_tokens FROM (
+          SELECT * FROM clsrows UNION ALL SELECT * FROM pdup
+          UNION ALL SELECT * FROM cdup UNION ALL SELECT * FROM ptot
+          UNION ALL SELECT * FROM ctot) u
+        ORDER BY row_order""")),
+
     // I4: media near-dup pairs — stub pHash (the documented codec
     // seam: exact-sensitive md5 recompose standing in for a DCT
     // pHash) + the GENERIC 4x16-bit banded Hamming join shared with

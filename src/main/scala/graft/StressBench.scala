@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{ComponentsAlgo, Dedup, ScaleOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Adversarial-shape benchmarks the per-round driver Bench can't
+  * cover because they need SYNTHESIZED inputs (a Zipf-hot key, a
+  * deep path graph) rather than the testdata tables:
+  *
+  *  - `skew_agg`:  plain groupBy-sum vs [[ScaleOps.saltedSum]] on a
+  *    key where one value carries half of all rows.
+  *  - `skew_join`: shuffle join against a 100k-row dim under the
+  *    same hot key — AQE skew split on, off, and [[ScaleOps.saltedJoin]].
+  *  - `components_chain`: [[ComponentsAlgo.MinLabel]] vs
+  *    [[ComponentsAlgo.Star]] on 50k parallel 64-node paths
+  *    (diameter 63 — min-label's worst case, one round per hop).
+  *  - `components_star`:  the same two on 400k size-8 stars
+  *    (diameter 2 — the near-dup shape min-label is the default for).
+  *
+  * All inputs are deterministic range transforms (no rand), so runs
+  * are reproducible; each scenario prints one JSON line and asserts
+  * its result invariant (identical agg/join totals, identical
+  * component counts) so a fast-but-wrong path can't win.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.StressBench <scenario> [n]"
+  */
+object StressBench {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** n rows; key 0 holds every even row (half the volume), the rest
+    * spread over ~100k keys — the one-hot-aircraft / one-dup-doc
+    * shape B7/B8 exist for.
+    */
+  private def skewedFacts(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      when(col("id") % 2 === 0, 0L)
+        .otherwise(pmod(hash(col("id")), lit(100000)).cast("long")).as("k"),
+      (col("id") % 1000).cast("double").as("v"))
+
+  def main(args: Array[String]): Unit = {
+    val scenario = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def fmt(v: Double) = f"$v%.3f"
+
+    scenario match {
+      case "skew_agg" =>
+        val n = if (args.length > 1) args(1).toLong else 50000000L
+        val facts = skewedFacts(spark, n)
+        // warm the input path once
+        noop(facts)
+        val (plainRows, tPlain) = timed {
+          val r = facts.groupBy("k")
+            .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          noop(r); r.count()
+        }
+        val (saltRows, tSalt) = timed {
+          val r = ScaleOps.saltedSum(facts, "k", "v", 32)
+          noop(r); r.count()
+        }
+        require(plainRows == saltRows, s"row drift: $plainRows vs $saltRows")
+        println(s"""{"metric":"skew_agg","n":$n,"plain_sec":${fmt(tPlain)},"salted_sec":${fmt(tSalt)},"keys":$plainRows}""")
+
+      case "skew_join" =>
+        val n = if (args.length > 1) args(1).toLong else 50000000L
+        val facts = skewedFacts(spark, n)
+        val dim = spark.range(100000L)
+          .select(col("id").as("k"), (col("id") * 2).as("dim"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        noop(facts)
+        def joined = facts.join(dim, "k").select(col("k"), col("v") + col("dim"))
+        spark.conf.set("spark.sql.adaptive.enabled", false)
+        val (_, tNoAqe) = timed(noop(joined))
+        spark.conf.set("spark.sql.adaptive.enabled", true)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", true)
+        val (_, tAqe) = timed(noop(joined))
+        val (_, tSalt) = timed(noop(
+          ScaleOps.saltedJoin(facts, dim, "k", 32)
+            .select(col("k"), col("v") + col("dim"))))
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        println(s"""{"metric":"skew_join","n":$n,"sortmerge_sec":${fmt(tNoAqe)},"aqe_skew_sec":${fmt(tAqe)},"salted_sec":${fmt(tSalt)}}""")
+
+      case "components_chain" =>
+        // 50k parallel paths of 64 nodes: diameter 63
+        val chains = if (args.length > 1) args(1).toLong else 50000L
+        val len = 64L
+        val edges = spark.range(chains * len)
+          .filter(col("id") % len =!= (len - 1))
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        val (nMin, tMin) = timed {
+          Dedup.components(edges, "a", "b", ComponentsAlgo.MinLabel,
+            maxIter = 100).select("component").distinct().count()
+        }
+        val (nStar, tStar) = timed {
+          Dedup.components(edges, "a", "b", ComponentsAlgo.Star)
+            .select("component").distinct().count()
+        }
+        require(nMin == chains && nStar == chains,
+          s"component drift: $nMin / $nStar vs $chains")
+        println(s"""{"metric":"components_chain","chains":$chains,"diameter":${len - 1},"minlabel_sec":${fmt(tMin)},"star_sec":${fmt(tStar)}}""")
+
+      case "components_star" =>
+        // 400k stars of size 8: diameter 2 — the near-dup shape
+        val stars = if (args.length > 1) args(1).toLong else 400000L
+        val edges = spark.range(stars * 7)
+          .select(expr("(id DIV 7) * 8").as("a"),
+            expr("(id DIV 7) * 8 + id % 7 + 1").as("b"))
+        val (nMin, tMin) = timed {
+          Dedup.components(edges, "a", "b", ComponentsAlgo.MinLabel)
+            .select("component").distinct().count()
+        }
+        val (nStar, tStar) = timed {
+          Dedup.components(edges, "a", "b", ComponentsAlgo.Star)
+            .select("component").distinct().count()
+        }
+        require(nMin == stars && nStar == stars,
+          s"component drift: $nMin / $nStar vs $stars")
+        println(s"""{"metric":"components_star","stars":$stars,"minlabel_sec":${fmt(tMin)},"star_sec":${fmt(tStar)}}""")
+
+      case other =>
+        System.err.println(s"unknown scenario: $other")
+        sys.exit(1)
+    }
+    spark.stop()
+  }
+}

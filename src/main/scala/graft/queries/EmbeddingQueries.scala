@@ -825,7 +825,12 @@ object EmbeddingQueries {
           // prefix16_r32 — the apples-to-apples row for the
           // axis-bias question (mix all dims vs keep the first 16)
           (8, "jl16_r32",
-            Embeddings.annJl(emb, q, "vec_id", "embedding", 16, 64, 32, 5)))
+            Embeddings.annJl(emb, q, "vec_id", "embedding", 16, 64, 32, 5)),
+          // JL is a coarse screen like bq/prefix: fixed rerank
+          // collapses at corpus scale (measured 1/50 at 200k
+          // vectors), the N/16 rule restores it
+          (9, "jl16_rsized",
+            Embeddings.annJl(emb, q, "vec_id", "embedding", 16, 64, rSized, 5)))
         fams.map { case (ord, name, df) =>
           df.select("qid", "cid").join(truth, Seq("qid", "cid"))
             .agg(count(lit(1)).as("n_hits"))
@@ -983,6 +988,16 @@ object EmbeddingQueries {
             SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
             FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM jcand) s0) t
           WHERE rank <= 5),
+        jcand2 AS (
+          SELECT qid, cid, qvec, cvec FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s_proj DESC, cid) AS arank
+            FROM jscored) t CROSS JOIN rsz
+          WHERE arank <= rr),
+        jres2 AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM jcand2) s0) t
+          WHERE rank <= 5),
         nt AS (SELECT COUNT(*) AS n_truth FROM truth)
         SELECT * FROM (
           SELECT 1 AS family_order, 'lsh4_multiprobe' AS family,
@@ -1001,6 +1016,8 @@ object EmbeddingQueries {
             (SELECT COUNT(*) FROM pres2 JOIN truth USING (qid, cid)), n_truth FROM nt
           UNION ALL SELECT 8, 'jl16_r32',
             (SELECT COUNT(*) FROM jres JOIN truth USING (qid, cid)), n_truth FROM nt
+          UNION ALL SELECT 9, 'jl16_rsized',
+            (SELECT COUNT(*) FROM jres2 JOIN truth USING (qid, cid)), n_truth FROM nt
         ) t ORDER BY family_order"""
       }),
 

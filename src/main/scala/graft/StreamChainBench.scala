@@ -1,0 +1,128 @@
+package graft
+
+import graft.functions.HashFunctions
+import graft.streaming.AdsbStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The COMPOSED production streaming chain, end to end — the order a
+  * crawl-ingest pipeline runs its passes (STREAM_BENCH r8 claimed
+  * it; this measures it):
+  *
+  *   J13 quality gate → J12 bloom decontamination →
+  *   J14 substring screen → J11 band near-dup screen
+  *
+  * Each batch carries DESIGNED slices so every stage demonstrably
+  * kills exactly its own family and nothing else:
+  *  - 1% banned docs (first token in the 5k-key blacklist) → J12
+  *  - 10% substring dups: 15 tokens of a PREVIOUS batch's final
+  *    survivor embedded at offset 3 (no doc-level dup, no aligned
+  *    chunk) → only J14's stride-1 windows can see them
+  *  - 5% near-dups: a previous final survivor's 18 tokens with ONE
+  *    mid token replaced — the longest exact run is 9 < k=10 tokens,
+  *    provably INVISIBLE to J14, caught by J11's shingle bands
+  *  - the rest globally-unique identity-token docs
+  *
+  * Dup slices reference the chain's own published output (the J11
+  * survivor store of batch b−1) — the re-crawl loop a production
+  * screen faces. Stateless stages must report 0 streaming state;
+  * the two indexes must grow linearly in SURVIVORS. Per-batch
+  * per-stage counts print as one JSON line per rate.
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 sbt "runMain graft.StreamChainBench"
+  */
+object StreamChainBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tmp = java.nio.file.Files.createTempDirectory("streamchain").toString
+    val batches = 6
+    val rates = Seq(10000, 50000)
+    val banned = (0 until 5000).map(j => s"banned_$j")
+    val blacklist = banned.toDF("tok")
+      .select(HashFunctions.md5prefix64(col("tok")).as("fp"))
+
+    for (rate <- rates) {
+      val idx14 = s"$tmp/c$rate/idx14"; val surv14 = s"$tmp/c$rate/surv14"
+      val idx11 = s"$tmp/c$rate/idx11"; val surv11 = s"$tmp/c$rate/surv11"
+      val nBan = rate / 100; val nSub = rate / 10; val nNear = rate / 20
+
+      def base(b: Int, i: Int): String =
+        (0 until 18).map(w => s"w${b}_${i}_$w").mkString(" ")
+
+      def mkBatch(b: Int, prev: IndexedSeq[String]): Seq[(Long, String)] =
+        (0 until rate).map { i =>
+          val id = b.toLong * rate + i
+          val text =
+            if (i < nBan) s"banned_${i % banned.size} " + base(b, i).split(" ").drop(1).mkString(" ")
+            else if (b > 0 && i < nBan + nSub) {
+              val core = prev((i - nBan) % prev.size).split(" ")
+              ((0 until 3).map(w => s"p${b}_${i}_$w") ++ core.take(15)).mkString(" ")
+            } else if (b > 0 && i < nBan + nSub + nNear) {
+              // reference a DIFFERENT survivor region than the
+              // substring slice and replace the middle token: longest
+              // shared run 9 < k=10
+              val src = prev((nSub + (i - nBan - nSub)) % prev.size).split(" ").toBuffer
+              src(9) = s"n${b}_${i}_x"
+              src.mkString(" ")
+            } else base(b, i)
+          (id, text)
+        }
+
+      val stageCounts = Array.fill(batches, 5)(0L)
+      val idxTraj14 = new Array[Long](batches)
+      val idxTraj11 = new Array[Long](batches)
+      val t0 = System.nanoTime()
+      var prev: IndexedSeq[String] = IndexedSeq.empty
+      for (b <- 0 until batches) {
+        val batch = mkBatch(b, prev).toDF("doc_id", "text")
+        // J13: stateless classifier gate
+        val gated = AdsbStream.qualityGateStream(batch, "doc_id", "text",
+            graft.queries.PipelineQueries.classifierWeights)
+          .select("doc_id", "text").persist()
+        // J12: bloom-screened decontamination on the doc's lead token
+        val keyed = gated.withColumn("fp",
+          HashFunctions.md5prefix64(split(col("text"), " ").getItem(0)))
+        val cleaned = AdsbStream.bloomScreenStream(keyed, "fp", blacklist, "fp")
+          .drop("fp").persist()
+        // J14: exact-substring screen + window-index append
+        AdsbStream.substringScreenBatch(cleaned, b, "doc_id", "text", 10,
+          idx14, surv14)
+        val s14 = spark.read.parquet(surv14)
+          .filter(col("batch_id") === b).select("doc_id", "text").persist()
+        // J11: band near-dup screen + band-index append
+        AdsbStream.screenAndIndexBatch(s14, b, "doc_id", "text", 3,
+          idx11, surv11)
+        val s11 = spark.read.parquet(surv11)
+          .filter(col("batch_id") === b).select("doc_id", "text")
+        stageCounts(b) = Array(rate.toLong, gated.count(), cleaned.count(),
+          s14.count(), s11.count())
+        idxTraj14(b) = spark.read.parquet(idx14).count()
+        idxTraj11(b) = spark.read.parquet(idx11).count()
+        prev = s11.orderBy("doc_id").collect()
+          .map(_.getString(1)).toIndexedSeq
+        gated.unpersist(); cleaned.unpersist(); s14.unpersist()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val rowsIn = batches.toLong * rate
+      def arr(sel: Int) = stageCounts.map(_(sel)).mkString("[", ",", "]")
+      println(s"""{"scenario":"chain_j13_j12_j14_j11","rows_per_batch":$rate,""" +
+        s""""batches":$batches,"rows_in":$rowsIn,"wall_s":${f"$secs%.2f"},""" +
+        s""""rows_per_s":${(rowsIn / secs).toLong},""" +
+        s""""in":${arr(0)},"after_quality":${arr(1)},"after_bloom":${arr(2)},""" +
+        s""""after_substr":${arr(3)},"after_band":${arr(4)},""" +
+        s""""idx14_rows":${idxTraj14.mkString("[", ",", "]")},""" +
+        s""""idx11_rows":${idxTraj11.mkString("[", ",", "]")}}""")
+    }
+    spark.stop()
+  }
+}

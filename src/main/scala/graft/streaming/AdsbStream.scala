@@ -460,6 +460,25 @@ object AdsbStream {
       .filter(col("score") > 0)
   }
 
+  /** Streaming Gopher+C4 rule gate (J15 — the streaming face of H17):
+    * apply the published composite rule battery
+    * ([[graft.operators.QualityRules.withRuleColumns]]) to each
+    * arriving document and keep only docs passing the requested rule
+    * set. Stateless row-local HOF/regex work inside the microbatch's
+    * scan stage — no explode-groupBy, no watermark, composes in
+    * front of the screening loops like [[qualityGateStream]] (the
+    * learned gate) but with the CITED rule semantics a curation team
+    * publishes. `requireC4 = false` gates on the Gopher family only.
+    */
+  def gopherGateStream(docs: DataFrame, idCol: String, textCol: String,
+                       requireC4: Boolean = true): DataFrame = {
+    val ruled = graft.operators.QualityRules
+      .withRuleColumns(docs.select(col(idCol), col(textCol)), textCol)
+    val gate = if (requireC4) col("pass") else col("gopher_pass")
+    ruled.filter(gate)
+      .select(col(idCol), col(textCol), col("n_words"), col("first_fail"))
+  }
+
   /** One step of the streaming EXACT-SUBSTRING screen loop (J14 —
     * the streaming closure of F14, the way [[screenAndIndexBatch]]
     * closes F9): the microbatch (1) emits its stride-1 k-token

@@ -351,4 +351,40 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "BroadcastNestedLoopJoin") <= 2, p.take(400))
     assert(count(p, "BroadcastHashJoin") >= 3, p.take(400))
   }
+
+  test("h17 gopher rules: row-local single-scan battery — no join, no shuffle before the output sort") {
+    val p = executedPlan("h17_gopher_rules")
+    assert(count(p, "Join") == 0, p.take(400))
+    assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))
+  }
+
+  test("p12b gated funnel: stage aggregates hash-based, never cartesian") {
+    val p = executedPlan("p12b_curation_funnel_gated")
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
+  test("p23 snapshot diff: keyed full-outer join only, hash aggregates, never cartesian") {
+    val p = executedPlan("p23_snapshot_diff")
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    assert(count(p, "BroadcastNestedLoopJoin") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+    assert(count(p, "FullOuter") >= 1, p.take(400))
+  }
+
+  test("g15 JL serving: query side broadcast, projection row-local, corpus never sort-merge joins") {
+    val p = executedPlan("g15_ann_jl")
+    assert(count(p, "BroadcastNestedLoopJoin") + count(p, "BroadcastHashJoin") >= 1)
+    assert(count(p, "SortMergeJoin") == 0, p.take(400))
+  }
+
+  test("f12 agreement: both candidate pair frames persisted — each pipeline executes once") {
+    val p = executedPlan("f12_dedup_agreement")
+    // text pairs feed (count + intersection), emb pairs feed (count +
+    // intersection): 4 cache reads; a drop back to re-executed
+    // subplans is the round-8 double-execution defect
+    assert(count(p, "InMemoryTableScan") >= 4, p.take(400))
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+  }
 }

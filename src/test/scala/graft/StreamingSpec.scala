@@ -463,4 +463,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.nonEmpty && got.size < docs.size,
       "gate must pass some docs and reject some")
   }
+
+  test("streaming Gopher gate verdicts equal the batch h17 battery (J15)") {
+    import graft.streaming.AdsbStream.StreamDoc
+    val docs = graft.operators.QualityRules.BatteryDocs
+      .map { case (id, text) => StreamDoc(id, text) }
+    val input = MemoryStream[StreamDoc](spark)
+    val gated = AdsbStream.gopherGateStream(input.toDF(), "doc_id", "text")
+    val q = gated.writeStream.format("memory").queryName("j15_out")
+      .outputMode("append").start()
+    input.addData(docs.take(5)); q.processAllAvailable()
+    input.addData(docs.drop(5)); q.processAllAvailable(); q.stop()
+    val got = spark.table("j15_out").select("doc_id")
+      .as[Long].collect().toSet
+    // only the golden doc passes all 10 rules
+    assert(got == Set(900000L))
+    // gopher-only mode additionally passes the c4-failing docs
+    val input2 = MemoryStream[StreamDoc](spark)
+    val gated2 = AdsbStream.gopherGateStream(input2.toDF(), "doc_id", "text",
+      requireC4 = false)
+    val q2 = gated2.writeStream.format("memory").queryName("j15b_out")
+      .outputMode("append").start()
+    input2.addData(docs); q2.processAllAvailable(); q2.stop()
+    val got2 = spark.table("j15b_out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(got2 == Set(900000L, 900008L, 900009L, 900010L))
+  }
 }

@@ -259,6 +259,109 @@ object HashUtil {
     * (spans shorter than the dedup threshold are doc-level dedup's
     * job, not substring dedup's — per the paper's ≥50-token rule).
     */
+  /** All nine Gopher-repetition n-gram statistics in ONE compiled
+    * pass (K26 — the h18 kernel): tokenize once, hash and measure
+    * each token once, then per n ∈ 2..10 roll the F14 double
+    * Rabin–Karp window hash and count occurrences in an
+    * open-addressing long map. Returns long[9]:
+    * indices 0..2 = top-{2,3,4}-gram char mass (max over distinct
+    * grams of count·charlen), 3..8 = dup-{5..10}-gram char mass
+    * (Σ count·charlen over grams occurring ≥ 2). Gram char length =
+    * Σ token lens + (n−1) separators — the length of the
+    * single-space-joined gram string, from a token-length prefix
+    * array. Gram identity is the ~60-bit window hash (a collision
+    * would fail the string-counting oracle, same contract as F14).
+    * Replaces 9 interpreted O(words²) HOF count passes per row —
+    * measured 35.7 s → sub-second per 5k docs at sf0.1.
+    */
+  def gramRepStats(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks0 = Whitespace.split(s.toLowerCase.toString)
+    var nt = 0
+    val toks = new Array[String](toks0.length)
+    var i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) { toks(nt) = toks0(i); nt += 1 }
+      i += 1
+    }
+    val out = new Array[Long](9)
+    if (nt >= 2) {
+      val P1 = HashUtil.P
+      val P2 = RollP2
+      val B = RollB
+      val t1 = new Array[Long](nt)
+      val t2 = new Array[Long](nt)
+      val plen = new Array[Long](nt + 1)
+      i = 0
+      while (i < nt) {
+        val h = md5Prefix64(UTF8String.fromString(toks(i)))
+        t1(i) = h % P1
+        t2(i) = h % P2
+        plen(i + 1) = plen(i) + toks(i).length
+        i += 1
+      }
+      var n = 2
+      while (n <= 10 && n <= nt) {
+        val m = nt - n + 1
+        // rolling double hash over windows of n tokens
+        val wh = new Array[Long](m)
+        var bk1 = 1L; var bk2 = 1L; var t = 0
+        while (t < n - 1) { bk1 = (bk1 * B) % P1; bk2 = (bk2 * B) % P2; t += 1 }
+        var h1 = 0L; var h2 = 0L
+        i = 0
+        while (i < n) { h1 = (h1 * B + t1(i)) % P1; h2 = (h2 * B + t2(i)) % P2; i += 1 }
+        wh(0) = h1 * P2 + h2
+        var j = 1
+        while (j < m) {
+          h1 = ((h1 - t1(j - 1) * bk1) % P1 + P1) % P1
+          h1 = (h1 * B + t1(j + n - 1)) % P1
+          h2 = ((h2 - t2(j - 1) * bk2) % P2 + P2) % P2
+          h2 = (h2 * B + t2(j + n - 1)) % P2
+          wh(j) = h1 * P2 + h2
+          j += 1
+        }
+        // open-addressing count map (keys are ≥ 0; -1 = empty slot)
+        var cap = 4
+        while (cap < 2 * m) cap <<= 1
+        val keys = new Array[Long](cap)
+        java.util.Arrays.fill(keys, -1L)
+        val cnts = new Array[Long](cap)
+        val lens = new Array[Long](cap)
+        j = 0
+        while (j < m) {
+          val key = wh(j)
+          var slot = (java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & (cap - 1))
+          while (keys(slot) != -1L && keys(slot) != key) slot = (slot + 1) & (cap - 1)
+          if (keys(slot) == -1L) {
+            keys(slot) = key
+            lens(slot) = plen(j + n) - plen(j) + (n - 1)
+          }
+          cnts(slot) += 1L
+          j += 1
+        }
+        var stat = 0L
+        var sl = 0
+        if (n <= 4) {
+          while (sl < cap) {
+            if (keys(sl) != -1L) {
+              val v = cnts(sl) * lens(sl)
+              if (v > stat) stat = v
+            }
+            sl += 1
+          }
+          out(n - 2) = stat
+        } else {
+          while (sl < cap) {
+            if (keys(sl) != -1L && cnts(sl) >= 2L) stat += cnts(sl) * lens(sl)
+            sl += 1
+          }
+          out(n - 5 + 3) = stat
+        }
+        n += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   def tokenWindowHashes(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks0 = Whitespace.split(s.toLowerCase.toString)
     var nt = 0
@@ -692,6 +795,23 @@ case class RollingGramHashes64(child: Expression, k: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** The nine Gopher-repetition n-gram statistics as one compiled pass
+  * (K26) — see [[HashUtil.gramRepStats]].
+  */
+case class GramRepStats64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.gramRepStats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.gramRepStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramRepStats64 =
+    copy(child = newChild)
+}
+
 /** Positioned stride-1 token-window hashes (double Rabin–Karp) — the
   * exact-substring-dedup fingerprint stage; see
   * [[HashUtil.tokenWindowHashes]].
@@ -782,6 +902,12 @@ object HashFunctions {
     */
   def tokenWindowHashes64(c: Column, k: Int): Column =
     ColumnBridge.column(TokenWindowHashes64(ColumnBridge.expression(c), k))
+
+  /** All nine Gopher-repetition n-gram stats in one compiled pass
+    * (native, codegen'd) — see [[GramRepStats64]].
+    */
+  def gramRepStats(c: Column): Column =
+    ColumnBridge.column(GramRepStats64(ColumnBridge.expression(c)))
 
   /** Fused multi-pattern count-and-redact (native, codegen'd) — see
     * [[RegexRedactStats]].

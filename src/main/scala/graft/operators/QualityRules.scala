@@ -109,6 +109,162 @@ object QualityRules {
       .drop("has_brace", "has_lorem")
   }
 
+  // ---- Gopher Table A1 repetition rules (the battery's other half) --
+
+  /** Repetition rule names in first-fail order (threshold as integer
+    * percent): the published Gopher repetition filters.
+    */
+  val RepRuleOrder: Seq[(String, String, Int)] = Seq(
+    ("rr_dup_line_frac", "rep_dup_line_frac", 30),
+    ("rr_dup_para_frac", "rep_dup_para_frac", 30),
+    ("rr_dup_line_char", "rep_dup_line_char_frac", 20),
+    ("rr_dup_para_char", "rep_dup_para_char_frac", 20),
+    ("rr_top_2gram", "rep_top_2gram_char_frac", 20),
+    ("rr_top_3gram", "rep_top_3gram_char_frac", 18),
+    ("rr_top_4gram", "rep_top_4gram_char_frac", 16),
+    ("rr_dup_5gram", "rep_dup_5gram_char_frac", 15),
+    ("rr_dup_6gram", "rep_dup_6gram_char_frac", 14),
+    ("rr_dup_7gram", "rep_dup_7gram_char_frac", 13),
+    ("rr_dup_8gram", "rep_dup_8gram_char_frac", 12),
+    ("rr_dup_9gram", "rep_dup_9gram_char_frac", 11),
+    ("rr_dup_10gram", "rep_dup_10gram_char_frac", 10))
+
+  private def sumLen(arr: Column): Column =
+    aggregate(arr, lit(0L), (a, x) => a + length(x))
+
+  /** Adds Gopher's REPETITION filters (Rae et al. 2021 Table A1,
+    * bottom half): duplicate line / paragraph fractions (count and
+    * character mass), top-{2,3,4}-gram character fraction, duplicate
+    * {5..10}-gram character fraction — 13 per-rule booleans,
+    * `rep_pass`, and `rep_first_fail`. Definitions (documented, both
+    * engines identical):
+    *  - lines split on \n, paragraphs on \n\n, empties removed;
+    *    "duplicate" = occurrences beyond the first of an identical
+    *    string; char mass over the line/para characters.
+    *  - word n-grams over the lowercased whitespace tokens; top-n =
+    *    max over distinct grams of count·len(gram); dup-n = char mass
+    *    of ALL occurrences of grams occurring ≥ 2 (overlaps counted —
+    *    a documented deviation from position-marking
+    *    implementations, chosen because it is exactly replayable).
+    *  - every threshold is an integer cross-multiplication
+    *    (100·mass ≤ pct·denominator) — no float in any verdict.
+    *
+    * Counting is O(words²) per doc via codegen'd HOFs (distinct ×
+    * filter) — right for page-sized docs; a 100 TB corpus of long
+    * docs would swap in a one-pass counting kernel (the K24 shape)
+    * without changing any verdict.
+    */
+  def withRepetitionColumns(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    var sig = df
+      .withColumn("__ws", TextOps.tokens(t))
+      .withColumn("__lines", filter(split(t, "\n"), l => l =!= ""))
+      .withColumn("__paras", filter(split(t, "\n\n"), p => p =!= ""))
+      .withColumn("tchars", length(t).cast("long"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_paras", size(col("__paras")).cast("long"))
+      .withColumn("dup_lines",
+        (size(col("__lines")) - size(array_distinct(col("__lines")))).cast("long"))
+      .withColumn("dup_paras",
+        (size(col("__paras")) - size(array_distinct(col("__paras")))).cast("long"))
+      .withColumn("line_chars", sumLen(col("__lines")))
+      .withColumn("para_chars", sumLen(col("__paras")))
+      .withColumn("dup_line_chars",
+        sumLen(col("__lines")) - sumLen(array_distinct(col("__lines"))))
+      .withColumn("dup_para_chars",
+        sumLen(col("__paras")) - sumLen(array_distinct(col("__paras"))))
+    // all nine n-gram statistics come from ONE compiled pass over the
+    // text (GramRepStats64, K26): tokenize/hash/measure each token
+    // once, roll the F14 double Rabin–Karp window hash per n, count
+    // in an open-addressing map. Gram identity is the ~60-bit window
+    // hash (a collision would fail the string-counting oracle — the
+    // F14 contract); the interpreted HOF spelling this replaces ran
+    // 9 O(words²) string-comparison passes per row (35.7 s at sf0.1
+    // vs sub-second for the kernel, identical counts).
+    sig = sig.withColumn("__grs",
+      graft.functions.HashFunctions.gramRepStats(t))
+    for (n <- 2 to 4)
+      sig = sig.withColumn(s"top${n}_chars", element_at(col("__grs"), n - 1))
+    for (n <- 5 to 10)
+      sig = sig.withColumn(s"dup${n}_chars", element_at(col("__grs"), n - 1))
+    sig = sig.drop("__grs")
+    val ruled = sig
+      .withColumn("rr_dup_line_frac",
+        lit(100L) * col("dup_lines") <= lit(30L) * col("n_lines"))
+      .withColumn("rr_dup_para_frac",
+        lit(100L) * col("dup_paras") <= lit(30L) * col("n_paras"))
+      .withColumn("rr_dup_line_char",
+        lit(100L) * col("dup_line_chars") <= lit(20L) * col("line_chars"))
+      .withColumn("rr_dup_para_char",
+        lit(100L) * col("dup_para_chars") <= lit(20L) * col("para_chars"))
+      .withColumn("rr_top_2gram",
+        lit(100L) * col("top2_chars") <= lit(20L) * col("tchars"))
+      .withColumn("rr_top_3gram",
+        lit(100L) * col("top3_chars") <= lit(18L) * col("tchars"))
+      .withColumn("rr_top_4gram",
+        lit(100L) * col("top4_chars") <= lit(16L) * col("tchars"))
+      .withColumn("rr_dup_5gram",
+        lit(100L) * col("dup5_chars") <= lit(15L) * col("tchars"))
+      .withColumn("rr_dup_6gram",
+        lit(100L) * col("dup6_chars") <= lit(14L) * col("tchars"))
+      .withColumn("rr_dup_7gram",
+        lit(100L) * col("dup7_chars") <= lit(13L) * col("tchars"))
+      .withColumn("rr_dup_8gram",
+        lit(100L) * col("dup8_chars") <= lit(12L) * col("tchars"))
+      .withColumn("rr_dup_9gram",
+        lit(100L) * col("dup9_chars") <= lit(11L) * col("tchars"))
+      .withColumn("rr_dup_10gram",
+        lit(100L) * col("dup10_chars") <= lit(10L) * col("tchars"))
+    val firstFail = RepRuleOrder.foldRight(lit(null).cast("string"): Column) {
+      case ((ruleCol, name, _), rest) => when(!col(ruleCol), name).otherwise(rest)
+    }
+    ruled
+      .withColumn("rep_pass", RepRuleOrder.map(r => col(r._1)).reduce(_ && _))
+      .withColumn("rep_first_fail", firstFail)
+      .drop("__ws", "__lines", "__paras")
+  }
+
+  private def wtok(prefix: String, n: Int): Seq[String] =
+    (0 until n).map(i => f"$prefix$i%02d")
+
+  /** Repetition-battery literals (ids ≥ 910000): a golden doc and one
+    * engineered first-fail per REACHABLE rule. (dup-para-char and
+    * dup-{6..10}-gram can never fire first: identical paragraphs
+    * imply identical lines, and a duplicated n-gram implies ~3× the
+    * 5-gram dup mass at a 1.5× looser threshold — the battery
+    * documents this instead of pretending.)
+    */
+  val RepBatteryDocs: Seq[(Long, String)] = Seq(
+    // 60 distinct words, one line: passes all 13
+    910000L -> wtok("g", 60).mkString(" "),
+    // 10 lines, 5 identical: dup_line_frac 4/10 > 0.30
+    910001L -> (Seq.fill(5)("alpha beta gamma") ++
+      wtok("u", 5).map(u => s"$u line unique $u")).mkString("\n"),
+    // 11 paras: 5 identical 1-liners + 6 unique 6-line paras —
+    // para frac 4/11 > 0.30 while line frac 4/41 passes
+    910002L -> (Seq.fill(5)("repeated paragraph line") ++
+      (0 until 6).map(k =>
+        (0 until 6).map(j => s"para$k line$j word").mkString("\n")))
+      .mkString("\n\n"),
+    // 10 lines, one LONG line ×3: line frac 2/10 passes, dup line
+    // char mass 2·239/780 > 0.20
+    910003L -> (Seq.fill(3)(wtok("dup", 40).mkString(" ")) ++
+      wtok("s", 7).map(s => s"$s short")).mkString("\n"),
+    // one bigram repeated 30×: top-2-gram mass 240/269 > 0.20
+    910004L -> Seq.fill(30)("spam ham").mkString(" "),
+    // a 10-word phrase ×2 among 40 unique words: dup-5-gram mass
+    // 228/239 > 0.15 while top-{2,3,4} pass (2·15 = 30 ≤ 0.16·239)
+    910005L -> (wtok("p", 10) ++ wtok("u", 40) ++ wtok("p", 10)).mkString(" "),
+    // a trigram ×5 spread among unique fillers: top-3 fails
+    // (5·11 > 0.18·239), top-2 passes (5·7 ≤ 0.20·239)
+    910006L -> (0 until 5).flatMap(k =>
+      Seq("aa1", "bb2", "cc3") ++
+        "abcdefghi".map(c => s"x$k$c")).mkString(" "),
+    // a 4-gram ×3: top-4 fails (3·15 > 0.16·239), top-3 passes
+    910007L -> (0 until 3).flatMap(k =>
+      Seq("aa1", "bb2", "cc3", "dd4") ++
+        "abcdefghijklmnop".map(c => s"x$k$c")).mkString(" "))
+
   // ---- the rule-exercise battery -----------------------------------
   // The synthetic corpus is punctuation-free word salad, so several
   // rules would be vacuous on it alone. These literal docs (ids ≥
@@ -148,13 +304,19 @@ object QualityRules {
     // periods stripped, 0 sentences → c4_min_sentences
     900010L -> GoldenDoc.replace(".", ""))
 
-  /** The battery as SQL VALUES rows (newlines spliced as chr(10)) —
-    * the oracle-side twin of [[BatteryDocs]].
+  /** Literal docs as SQL VALUES rows (newlines spliced as chr(10)) —
+    * the oracle-side twin of a battery constant.
     */
-  def batterySqlValues: String =
-    BatteryDocs.map { case (id, text) =>
+  def sqlValues(docs: Seq[(Long, String)]): String =
+    docs.map { case (id, text) =>
       val lit = text.split("\n", -1)
         .map(p => "'" + p + "'").mkString(" || chr(10) || ")
       s"($id, $lit)"
     }.mkString(", ")
+
+  /** [[sqlValues]] over [[BatteryDocs]]. */
+  def batterySqlValues: String = sqlValues(BatteryDocs)
+
+  /** [[sqlValues]] over [[RepBatteryDocs]]. */
+  def repBatterySqlValues: String = sqlValues(RepBatteryDocs)
 }

@@ -2892,6 +2892,116 @@ object PipelineQueries {
           gopher_pass, c4_pass, pass, first_fail
         FROM gvp ORDER BY doc_id""")),
 
+    // H18: Gopher Table A1's REPETITION filters — the other half of
+    // the published battery H17 started: duplicate line/paragraph
+    // fractions (count + char mass), top-{2,3,4}-gram char fraction,
+    // duplicate-{5..10}-gram char fraction, 13 rules with the
+    // published thresholds as integer cross-multiplications and a
+    // first-failing-rule verdict. Corpus ∪ an 8-doc literal battery
+    // (ids ≥ 910000) exercising every REACHABLE first-fail (see
+    // QualityRules.RepBatteryDocs for why dup-para-char and
+    // dup-{6..10}-gram can never fire first). Row-local single-scan;
+    // counting is O(words²) codegen'd HOFs — right for page-sized
+    // docs, kernel-swappable for long-doc corpora.
+    QueryDef("h18_gopher_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val battery = graft.operators.QualityRules.RepBatteryDocs
+          .toDF("doc_id", "text")
+        val corpus = Tables.documents(s, dir).select("doc_id", "text")
+          .unionByName(battery)
+        val outCols = Seq("doc_id", "tchars", "n_lines", "n_paras",
+          "dup_lines", "dup_paras", "line_chars", "para_chars",
+          "dup_line_chars", "dup_para_chars",
+          "top2_chars", "top3_chars", "top4_chars",
+          "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars",
+          "dup9_chars", "dup10_chars") ++
+          graft.operators.QualityRules.RepRuleOrder.map(_._1) ++
+          Seq("rep_pass", "rep_first_fail")
+        graft.operators.QualityRules.withRepetitionColumns(corpus, "text")
+          .select(outCols.map(col): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        def sl(l: String) =
+          s"coalesce(list_aggregate(list_transform($l, x -> length(x)), 'sum'), 0)"
+        def grams(n: Int) =
+          s"""list_transform(range(1, greatest(len(ws) - ${n - 1}, 1) + 1),
+              i -> array_to_string(ws[i:i+${n - 1}], ' '))"""
+        val gramCols = (2 to 10).map(n => s"${grams(n)} AS g$n").mkString(",\n          ")
+        val topCols = (2 to 4).map { n =>
+          s"""CASE WHEN len(ws) >= $n THEN CAST(coalesce(list_max(
+              list_transform(list_distinct(g$n),
+                g -> len(list_filter(g$n, x -> x = g)) * length(g))), 0) AS BIGINT)
+            ELSE 0 END AS top${n}_chars"""
+        }.mkString(",\n          ")
+        val dupCols = (5 to 10).map { n =>
+          s"""CASE WHEN len(ws) >= $n THEN CAST(${sl(s"g$n")} -
+              ${sl(s"list_filter(g$n, g -> len(list_filter(g$n, x -> x = g)) = 1)")} AS BIGINT)
+            ELSE 0 END AS dup${n}_chars"""
+        }.mkString(",\n          ")
+        val rules = graft.operators.QualityRules.RepRuleOrder
+        val boolCols = Seq(
+          "100 * dup_lines <= 30 * n_lines AS rr_dup_line_frac",
+          "100 * dup_paras <= 30 * n_paras AS rr_dup_para_frac",
+          "100 * dup_line_chars <= 20 * line_chars AS rr_dup_line_char",
+          "100 * dup_para_chars <= 20 * para_chars AS rr_dup_para_char",
+          "100 * top2_chars <= 20 * tchars AS rr_top_2gram",
+          "100 * top3_chars <= 18 * tchars AS rr_top_3gram",
+          "100 * top4_chars <= 16 * tchars AS rr_top_4gram",
+          "100 * dup5_chars <= 15 * tchars AS rr_dup_5gram",
+          "100 * dup6_chars <= 14 * tchars AS rr_dup_6gram",
+          "100 * dup7_chars <= 13 * tchars AS rr_dup_7gram",
+          "100 * dup8_chars <= 12 * tchars AS rr_dup_8gram",
+          "100 * dup9_chars <= 11 * tchars AS rr_dup_9gram",
+          "100 * dup10_chars <= 10 * tchars AS rr_dup_10gram").mkString(",\n          ")
+        val firstFail = rules.map { case (rc, name, _) =>
+          s"WHEN NOT $rc THEN '$name'"
+        }.mkString("CASE ", " ", " ELSE NULL END AS rep_first_fail")
+        val repPass = rules.map(_._1).mkString("(", " AND ", ") AS rep_pass")
+        s"""WITH repcorpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text FROM (VALUES ${graft.operators.QualityRules.repBatterySqlValues}) AS t(doc_id, text)),
+        rf AS (
+          SELECT doc_id, text,
+            list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws,
+            list_filter(string_split(text, chr(10)), l -> l != '') AS lns,
+            list_filter(string_split(text, chr(10) || chr(10)), p -> p != '') AS prs
+          FROM repcorpus),
+        rg AS (SELECT *,
+          $gramCols
+          FROM rf),
+        rsig AS (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS tchars,
+            CAST(len(lns) AS BIGINT) AS n_lines,
+            CAST(len(prs) AS BIGINT) AS n_paras,
+            CAST(len(lns) - len(list_distinct(lns)) AS BIGINT) AS dup_lines,
+            CAST(len(prs) - len(list_distinct(prs)) AS BIGINT) AS dup_paras,
+            CAST(${sl("lns")} AS BIGINT) AS line_chars,
+            CAST(${sl("prs")} AS BIGINT) AS para_chars,
+            CAST(${sl("lns")} - ${sl("list_distinct(lns)")} AS BIGINT) AS dup_line_chars,
+            CAST(${sl("prs")} - ${sl("list_distinct(prs)")} AS BIGINT) AS dup_para_chars,
+            $topCols,
+            $dupCols
+          FROM rg),
+        rr AS (SELECT *,
+          $boolCols
+          FROM rsig)
+        SELECT doc_id, tchars, n_lines, n_paras, dup_lines, dup_paras,
+          line_chars, para_chars, dup_line_chars, dup_para_chars,
+          top2_chars, top3_chars, top4_chars,
+          dup5_chars, dup6_chars, dup7_chars, dup8_chars, dup9_chars, dup10_chars,
+          rr_dup_line_frac, rr_dup_para_frac, rr_dup_line_char, rr_dup_para_char,
+          rr_top_2gram, rr_top_3gram, rr_top_4gram,
+          rr_dup_5gram, rr_dup_6gram, rr_dup_7gram, rr_dup_8gram,
+          rr_dup_9gram, rr_dup_10gram,
+          $repPass,
+          $firstFail
+        FROM rr ORDER BY doc_id"""
+      }),
+
     // P18: curriculum phases — order the corpus by a difficulty
     // signal (h7's unigram NLL: low = predictable/easy text) and cut
     // it into 4 equal phases (ntile), reporting the source mix per

@@ -90,6 +90,69 @@ class QualityRulesSpec extends SparkSpecBase {
     assert(row.getLong(9) === 5L)
   }
 
+  test("repetition battery docs fail with exactly their targeted first rule") {
+    val got = QualityRules
+      .withRepetitionColumns(
+        QualityRules.RepBatteryDocs.toDF("doc_id", "text"), "text")
+      .select("doc_id", "rep_pass", "rep_first_fail")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) null else r.getString(2))))
+      .toMap
+    assert(got(910000L) === ((true, null)))
+    val expected = Map(
+      910001L -> "rep_dup_line_frac",
+      910002L -> "rep_dup_para_frac",
+      910003L -> "rep_dup_line_char_frac",
+      910004L -> "rep_top_2gram_char_frac",
+      910005L -> "rep_dup_5gram_char_frac",
+      910006L -> "rep_top_3gram_char_frac",
+      910007L -> "rep_top_4gram_char_frac")
+    expected.foreach { case (id, rule) =>
+      assert(!got(id)._1, s"doc $id should fail")
+      assert(got(id)._2 === rule, s"doc $id first_fail")
+    }
+  }
+
+  /** Reference string-gram counting: the definition the kernel's
+    * hash-based counting must reproduce exactly.
+    */
+  private def refRepStats(text: String): Seq[Long] = {
+    val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(n: Int): Seq[String] =
+      if (ws.length < n) Seq.empty
+      else (0 to ws.length - n).map(i => ws.slice(i, i + n).mkString(" "))
+    val top = (2 to 4).map { n =>
+      val g = grams(n)
+      if (g.isEmpty) 0L
+      else g.groupBy(identity).values
+        .map(occ => occ.size.toLong * occ.head.length).max
+    }
+    val dup = (5 to 10).map { n =>
+      grams(n).groupBy(identity).values.filter(_.size >= 2)
+        .map(occ => occ.size.toLong * occ.head.length).sum
+    }
+    top ++ dup
+  }
+
+  test("K26 kernel counts equal string-gram counting on battery + corpus docs") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(40)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val docs = QualityRules.RepBatteryDocs ++ corpus
+    val statCols = (2 to 4).map(n => s"top${n}_chars") ++
+      (5 to 10).map(n => s"dup${n}_chars")
+    val got = QualityRules
+      .withRepetitionColumns(docs.toDF("doc_id", "text"), "text")
+      .select((Seq("doc_id") ++ statCols).map(col): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 9).map(r.getLong).toSeq)
+      .toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === refRepStats(text), s"doc $id")
+    }
+  }
+
   test("sentence count counts every terminal-punctuation char") {
     val row = QualityRules
       .withRuleColumns(Seq(1L -> "a. b! c? d... e").toDF("doc_id", "text"), "text")

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{GramHashes64, KmvDistinct, Md5Prefix64, RollingGramHashes64, SimHash32, SimHash64, SlidingMinDistinct64, TokenShingleHashes64, TokenWindowHashes64}
+import graft.functions.{GramHashes64, GramRepStats64, KmvDistinct, Md5Prefix64, RollingGramHashes64, SimHash32, SimHash64, SlidingMinDistinct64, TokenShingleHashes64, TokenWindowHashes64}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -87,6 +87,10 @@ object GraftFunctions {
           case other => throw new IllegalArgumentException(
             s"kmvdistinct64 k must be an integer literal, got $other")
         }),
+      (FunctionIdentifier("gramrepstats64"),
+        info("gramrepstats64",
+          "gramrepstats64(str) - all nine Gopher-repetition n-gram statistics in one pass: long[9] = top-{2,3,4}-gram char mass, dup-{5..10}-gram char mass."),
+        (args: Seq[Expression]) => GramRepStats64(args.head)),
       (FunctionIdentifier("countmin64"),
         info("countmin64",
           "countmin64(h, depth, width) - AGGREGATE: serialized Count-Min sketch over LONG keys (deterministic; estimate via graft.functions.CmsFunctions.cmsEstimate); depth/width must be literals, width a power of two."),

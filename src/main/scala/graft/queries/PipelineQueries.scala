@@ -2243,6 +2243,43 @@ object PipelineQueries {
           UNION ALL SELECT * FROM ctot) u
         ORDER BY row_order""")),
 
+    // P24: tokenizer FERTILITY report — the per-source table a
+    // tokenizer choice is made from (fertility = subword tokens per
+    // whitespace word; chars per token): high-fertility sources cost
+    // disproportionate sequence length, the standard multilingual /
+    // code-corpus diagnostic. Uses h1's BPE-ish regex segmentation as
+    // the tokenizer proxy (h12b's trained tokenizer swaps in without
+    // changing the report shape). One map-side-combined
+    // groupBy(source); ratios are IEEE divisions of exact integer
+    // sums — deterministic across engines.
+    QueryDef("p24_tokenizer_fertility",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("ws"),
+          TextOps.bpeTokenCount(col("text")).cast("long").as("bpe"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+          sum("bpe").as("bpe_tokens"), sum("chars").as("n_chars"))
+        .withColumn("fertility",
+          col("bpe_tokens").cast("double") / col("ws_tokens"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("bpe_tokens"))
+        .orderBy("source"),
+      Some("""WITH f AS (
+          SELECT source,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+            CAST(length(text) AS BIGINT) AS chars
+          FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+          CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+          CAST(SUM(chars) AS BIGINT) AS n_chars,
+          CAST(CAST(SUM(bpe) AS BIGINT) AS DOUBLE) / CAST(SUM(ws) AS BIGINT) AS fertility,
+          CAST(CAST(SUM(chars) AS BIGINT) AS DOUBLE) / CAST(SUM(bpe) AS BIGINT) AS chars_per_token
+        FROM f GROUP BY source ORDER BY source""")),
+
     // I4: media near-dup pairs — stub pHash (the documented codec
     // seam: exact-sensitive md5 recompose standing in for a DCT
     // pHash) + the GENERIC 4x16-bit banded Hamming join shared with

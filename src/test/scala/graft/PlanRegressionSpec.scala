@@ -379,6 +379,13 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "SortMergeJoin") == 0, p.take(400))
   }
 
+  test("h18 repetition battery: K26 kernel in the scan — no join, no shuffle before the output sort") {
+    val p = executedPlan("h18_gopher_repetition")
+    assert(count(p, "Join") == 0, p.take(400))
+    assert(count(p, "Exchange hashpartitioning") == 0, p.take(400))
+    assert(count(p, "gramrepstats") >= 1, p.take(400))
+  }
+
   test("f12 agreement: both candidate pair frames persisted — each pipeline executes once") {
     val p = executedPlan("f12_dedup_agreement")
     // text pairs feed (count + intersection), emb pairs feed (count +

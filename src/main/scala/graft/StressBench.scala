@@ -17,6 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (diameter 63 — min-label's worst case, one round per hop).
   *  - `components_star`:  the same two on 400k size-8 stars
   *    (diameter 2 — the near-dup shape min-label is the default for).
+  *  - `media_pipeline`: real-codec throughput — PNG encode+decode+
+  *    DCT-pHash per asset, GIF 8-frame keyframe detection, WAV
+  *    Goertzel tone recovery; asserts every decode/cut/tone lands.
   *
   * All inputs are deterministic range transforms (no rand), so runs
   * are reproducible; each scenario prints one JSON line and asserts
@@ -131,6 +134,43 @@ object StressBench {
         require(nMin == stars && nStar == stars,
           s"component drift: $nMin / $nStar vs $stars")
         println(s"""{"metric":"components_star","stars":$stars,"minlabel_sec":${fmt(tMin)},"star_sec":${fmt(tStar)}}""")
+
+      case "media_pipeline" =>
+        // Real-codec throughput (I5/I7/I8 shapes): per-partition
+        // batched synth→encode→decode→feature over n assets. The
+        // invariant assertions make a skipped decode path visible
+        // (every image decodes, every planted cut/tone recovered).
+        import spark.implicits._
+        val n = if (args.length > 1) args(1).toLong else 20000L
+        val ids = spark.range(n).select(col("id")).as[Long].repartition(cpus.toInt)
+        val (imgOk, tImg) = timed {
+          ids.mapPartitions(_.map { id =>
+            val png = graft.operators.MediaCodec.synthImagePng(id, 96, 96)
+            val h = graft.operators.MediaCodec.phash64(png)
+            if (h.isDefined) 1L else 0L
+          }).reduce(_ + _)
+        }
+        require(imgOk == n, s"image decode drift: $imgOk vs $n")
+        val (gifOk, tGif) = timed {
+          ids.filter(col("id") < n / 10).as[Long].mapPartitions(_.map { id =>
+            val cutAt = 2 + (id % 5).toInt
+            val gif = graft.operators.MediaCodec.synthGifAnimated(id, 96, 96, 8, cutAt)
+            val cuts = graft.operators.MediaCodec.sceneCuts(
+              graft.operators.MediaCodec.gifFramePHashes(gif).get)
+            if (cuts.length == 1 && cuts(0) == cutAt) 1L else 0L
+          }).reduce(_ + _)
+        }
+        require(gifOk == n / 10, s"keyframe drift: $gifOk vs ${n / 10}")
+        val (wavOk, tWav) = timed {
+          ids.mapPartitions(_.map { id =>
+            val wav = graft.operators.MediaCodec.synthWav(id, 8000, 100)
+            val planted = 220 + math.floorMod(id, 660L).toInt
+            val dom = graft.operators.MediaCodec.dominantFreq(wav, 100, 1000, 5).get
+            if (math.abs(dom - planted) <= 3) 1L else 0L
+          }).reduce(_ + _)
+        }
+        require(wavOk == n, s"tone drift: $wavOk vs $n")
+        println(s"""{"metric":"media_pipeline","n":$n,"img_decode_phash_sec":${fmt(tImg)},"gif_keyframe_sec":${fmt(tGif)},"gif_n":${n / 10},"wav_dsp_sec":${fmt(tWav)}}""")
 
       case other =>
         System.err.println(s"unknown scenario: $other")

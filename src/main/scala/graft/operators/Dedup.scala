@@ -855,6 +855,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming", "n_bands")
   }
+
+  /** Generalized banded Hamming join — multi-index hashing (Norouzi,
+    * Punjani & Fleet, CVPR 2012): split the 64-bit print into
+    * `nBands` equal substrings; by pigeonhole any pair within Hamming
+    * radius `nBands - 1` agrees exactly on ≥ 1 band, so a per-band
+    * equi-join is LOSSLESS at that radius. Wider radius ⇒ more,
+    * narrower bands ⇒ larger buckets (candidates grow as Σ bucket²
+    * per band) — the caller picks the radius/selectivity point. The
+    * 8-band default is the real-pHash operating point (lossless to
+    * radius 7, which covers lossy re-encode + 2× resize drift), with
+    * 8-bit buckets that stay selective on DCT-sign prints.
+    */
+  def hammingBandPairsWide(prints: DataFrame, idCol: String, printCol: String,
+                           maxHamming: Int, nBands: Int = 8): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(maxHamming <= nBands - 1,
+      s"$nBands bands are only lossless for Hamming radius <= ${nBands - 1}")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sim = persistTracked(prints)
+    val banded = sim.select(col(idCol), col(printCol),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col(printCol), b * width).bitwiseAND(lit(mask)).as("bv"))
+        }: _*)).as("bb"))
+      .select(col(idCol), col(printCol),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val l = banded.select(col(idCol).as("a"), col(printCol).as("sa"),
+      col("band"), col("bv"))
+    val r = banded.select(col(idCol).as("b"), col(printCol).as("sb"),
+      col("band"), col("bv"))
+    l.join(r, Seq("band", "bv")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming", "n_bands")
+  }
 }
 
 /** Algorithm selector for [[Dedup.components]] and its consumers. */

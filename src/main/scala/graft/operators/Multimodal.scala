@@ -12,12 +12,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * batched Python `mapInPandas` stage: one iterator per partition, no
   * per-row task overhead, memory bounded by the partition.
   *
-  * The actual codec is STUBBED (this container has no image/audio
-  * libraries): [[StubCodec]] derives deterministic pseudo-features
-  * from the payload bytes. The Spark-side plumbing — schema, typed
-  * Encoders, partition-batched execution, parameter plumbing — is the
-  * real, tested part; swap [[StubCodec]] for a real codec at the one
-  * marked seam.
+  * The codec itself is REAL for the formats the JDK ships codecs for
+  * (PNG/JPEG/BMP/GIF via `javax.imageio`, PCM WAV via a direct RIFF
+  * parse — see [[MediaCodec]]): decode, luma sharpness, DCT
+  * perceptual hash and area-average resize all operate on genuine
+  * pixels/samples. Payloads the JDK cannot decode (video, webp,
+  * non-media bytes) fall back to the deterministic [[StubCodec]],
+  * flagged `decoded = false`, so mixed corpora keep flowing with an
+  * honest per-record provenance bit.
   */
 object Multimodal {
 
@@ -26,7 +28,8 @@ object Multimodal {
 
   case class MediaFeatures(doc_id: Long, media_type: String,
                            n_bytes: Int, width: Int, height: Int,
-                           channels: Int, sharpness: Double)
+                           channels: Int, sharpness: Double,
+                           decoded: Boolean)
 
   case class ResizeParams(maxWidth: Int, maxHeight: Int)
 
@@ -58,18 +61,65 @@ object Multimodal {
       lit("image").as("media_type"),
       lit("jpeg").as("declared_format"))
 
-  /** Batched per-partition feature extraction (I2). */
+  /** Batched per-partition feature extraction (I2): real JDK decode
+    * first ([[MediaCodec.imageMeta]]), deterministic stub fallback
+    * for undecodable payloads, with `decoded` recording which path
+    * produced each row.
+    */
   def extractFeatures(spark: SparkSession, records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import spark.implicits._
     records.mapPartitions { it =>
       // One-time per-partition codec setup would go here (the batch
-      // shape real codecs need); the stub needs none.
+      // shape real codecs need); ImageIO readers are instantiated
+      // per-call and the stub needs none.
       it.map { r =>
-        val (w, h, ch, sharp) = StubCodec.decode(r.payload)
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, ch, sharp)
+        MediaCodec.imageMeta(r.payload) match {
+          case Some(m) =>
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length,
+              m.width, m.height, m.channels, m.sharpness, decoded = true)
+          case None =>
+            val (w, h, ch, sharp) = StubCodec.decode(r.payload)
+            MediaFeatures(r.doc_id, r.media_type, r.payload.length, w, h, ch, sharp,
+              decoded = false)
+        }
       }
     }
   }
+
+  case class MediaHash(doc_id: Long, phash: Long, decoded: Boolean)
+
+  /** Real perceptual hashes (I4 on genuine pixels): JDK decode → DCT
+    * pHash per partition batch; undecodable payloads fall back to the
+    * exact-sensitive stub hash so every record still lands in the
+    * banded index.
+    */
+  def realPHashes(spark: SparkSession, records: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        MediaCodec.phash64(r.payload) match {
+          case Some(h) => MediaHash(r.doc_id, h, decoded = true)
+          case None =>
+            var h = 1125899906842597L
+            var i = 0
+            while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+            MediaHash(r.doc_id, h, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Media near-dup pairs over REAL pHashes: decode + DCT hash per
+    * partition, then the 8×8-bit multi-index banded Hamming join
+    * ([[Dedup.hammingBandPairsWide]], lossless to radius 7 — wide
+    * enough for lossy re-encode + resize drift) — re-encoded copies
+    * of the same asset collapse without any O(N²) comparison.
+    */
+  def mediaNearDupPairsReal(spark: SparkSession, records: Dataset[MediaRecord],
+                            maxHamming: Int = 7): DataFrame =
+    Dedup.hammingBandPairsWide(
+      realPHashes(spark, records).toDF().select(col("doc_id"), col("phash")),
+      "doc_id", "phash", maxHamming, nBands = 8)
 
   /** Resize parameter plumbing (I3): pure-metadata transform computing
     * target dims with aspect preserved. Works on any frame with

@@ -1889,10 +1889,13 @@ object PipelineQueries {
           CASE b % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format
         FROM m ORDER BY doc_id""")),
 
-    // I2: batched per-partition feature extraction. The codec is the
-    // deterministic stub (no image libs in this container) and its
-    // byte-polynomial hash has no SQL spelling → rows-only check; the
-    // mapPartitions plumbing and schema are what this entry exercises.
+    // I2: batched per-partition feature extraction over OPAQUE
+    // payloads (here: utf-8 text bytes, which ImageIO rightly rejects
+    // → every row exercises the flagged deterministic-stub fallback;
+    // decodable payloads take the REAL ImageIO path, proven by i5 and
+    // MediaCodecSpec). The stub's byte-polynomial hash has no SQL
+    // spelling → rows-only check; the mapPartitions plumbing, schema
+    // and fallback provenance bit are what this entry exercises.
     QueryDef("i2_media_features",
       (s, dir) => {
         import s.implicits._
@@ -1903,7 +1906,7 @@ object PipelineQueries {
         graft.operators.Multimodal.extractFeatures(s, recs)
           .toDF()
           .select("doc_id", "media_type", "n_bytes", "width", "height",
-            "channels", "sharpness")
+            "channels", "sharpness", "decoded")
           .orderBy("doc_id")
       },
       None),
@@ -2321,6 +2324,146 @@ object PipelineQueries {
           GROUP BY 1, 2, 3, 4)
         SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming, n_bands
         FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""")),
+
+    // I5: REAL image pipeline end-to-end (rows-only: no SQL engine
+    // decodes PNG, so the roundtrip is instead pinned exactly by
+    // MediaCodecSpec): per doc, synthesize a genuine seeded PNG
+    // (real ImageIO encode), decode it back via ImageIO, and extract
+    // pixel features (BT.601 luma sharpness) per partition batch.
+    // Every row returns decoded = true with the synth dimensions —
+    // the codec seam i2 documents, now closed with the JDK codec.
+    // Corpus bounded to 5000 docs: the per-doc property is what the
+    // entry proves, and synthesizing media for EVERY sf1 doc benches
+    // payload generation, not analytics (throughput at volume is
+    // StressBench media_pipeline's job).
+    QueryDef("i5_real_media_features",
+      (s, dir) => {
+        import s.implicits._
+        val recs = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 5000).as[Long]
+          .mapPartitions(it => it.map { id =>
+            graft.operators.Multimodal.MediaRecord(
+              id, graft.operators.MediaCodec.synthImagePng(id, 48, 32), "image", "png")
+          })
+        graft.operators.Multimodal.extractFeatures(s, recs).toDF()
+          .select("doc_id", "n_bytes", "width", "height", "channels",
+            "sharpness", "decoded")
+          .orderBy("doc_id")
+      },
+      None),
+
+    // I5b: perceptual near-dup on REAL pixels (rows-only): docs 0..9
+    // re-encoded as lossy JPEG copies (id + 100000) of their seeded
+    // PNGs; DCT pHash per partition batch + the 8×8-bit multi-index
+    // banded Hamming join (lossless to radius 7 — Norouzi et al.
+    // 2012) pairs every copy with its original. Corpus bounded to
+    // 2000 docs: the scale path of banded Hamming joins is measured
+    // on the generic machinery (f4b/i4); this entry proves the REAL
+    // decode→DCT→band pipeline end-to-end.
+    QueryDef("i5b_real_media_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 2000).as[Long]
+        val recs = ids.mapPartitions(it => it.flatMap { id =>
+          // 96x96: below ~3x the 32x32 pHash grid, JPEG block noise
+          // dominates the area-average and drift exceeds the band
+          // radius (measured: max 30 bits at 48x32, max 6 at 96x96)
+          val png = graft.operators.MediaCodec.synthImagePng(id, 96, 96)
+          val orig = graft.operators.Multimodal.MediaRecord(id, png, "image", "png")
+          if (id < 10)
+            Iterator(orig, graft.operators.Multimodal.MediaRecord(
+              id + 100000,
+              graft.operators.MediaCodec.reencodeJpeg(png).get, "image", "jpeg"))
+          else Iterator(orig)
+        })
+        graft.operators.Multimodal.mediaNearDupPairsReal(s, recs, maxHamming = 7)
+          .orderBy("a", "b")
+      },
+      None),
+
+    // I6: WAV/RIFF audio parse on genuine synthesized PCM bytes
+    // (rows-only: the exact rate/frames/duration/RMS roundtrip is
+    // pinned by MediaCodecSpec): seeded 16-bit sine WAVs parsed back
+    // by the direct RIFF chunk reader — real audio metadata
+    // extraction with zero external libraries.
+    QueryDef("i6_wav_meta",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 10000).as[Long]
+          .mapPartitions(it => it.map { id =>
+            val wav = graft.operators.MediaCodec.synthWav(id, 8000, 40)
+            val m = graft.operators.MediaCodec.parseWav(wav).get
+            (id, wav.length, m.sampleRate, m.channels, m.nFrames,
+              m.durationMs, m.rmsMilli)
+          })
+          .toDF("doc_id", "n_bytes", "sample_rate", "channels", "n_frames",
+            "duration_ms", "rms_milli")
+          .orderBy("doc_id")
+      },
+      None),
+
+    // I7: REAL multi-frame pipeline — keyframe selection over
+    // animated GIFs (the container's genuine video-like format;
+    // ImageIO reads AND writes frame sequences): per doc, synthesize
+    // an 8-frame 96×96 GIF with a planted scene change at frame
+    // 2 + id%5 (scene 2 = photometric inverse of the panning field —
+    // every decisive DCT sign flips, so cross-cut Hamming ≥ 48 BY
+    // CONSTRUCTION while within-scene codec + 1-px-pan drift
+    // measured ≤ 16 over 2000 seeds), decode every frame, per-frame
+    // DCT pHash, detect shot boundaries (consecutive Hamming > 16),
+    // emit keyframes (frame 0 + each cut) and the uniform
+    // 4-of-8 sampling grid. Rows-only (no SQL engine decodes GIF);
+    // MediaCodecSpec pins detected cut == planted cut. Corpus
+    // bounded to 1000 docs: per-doc cost is the 8-frame
+    // encode+decode, and the detection property is per-doc, not
+    // corpus-scale; the banded-join scale path for the RESULTING
+    // keyframe prints is i5b's machinery.
+    QueryDef("i7_gif_keyframes",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 1000).as[Long]
+          .mapPartitions(it => it.map { id =>
+            val cutAt = 2 + (id % 5).toInt
+            val gif = graft.operators.MediaCodec.synthGifAnimated(id, 96, 96, 8, cutAt)
+            val hs = graft.operators.MediaCodec.gifFramePHashes(gif).get
+            val cuts = graft.operators.MediaCodec.sceneCuts(hs)
+            (id, gif.length, hs.length, cuts.length,
+              if (cuts.nonEmpty) cuts(0) else -1,
+              (0 +: cuts.toSeq).toArray,
+              graft.operators.MediaCodec.uniformFrameIdx(hs.length, 4))
+          })
+          .toDF("doc_id", "n_bytes", "n_frames", "n_cuts", "first_cut",
+            "keyframes", "sampled")
+          .orderBy("doc_id")
+      },
+      None),
+
+    // I8: REAL audio feature gate — zero-crossing rate + dominant
+    // frequency by argmax Goertzel single-bin power over a 5 Hz probe
+    // grid (the tonality/hum/speech-band signals an audio curation
+    // pass computes), all directly over 16-bit PCM samples. Rows-only
+    // (no SQL engine parses WAV); MediaCodecSpec pins dominant == the
+    // planted 220 + id%660 Hz to the nearest grid point and
+    // ZCR ≈ 2·f·duration.
+    QueryDef("i8_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 2000).as[Long]
+          .mapPartitions(it => it.map { id =>
+            val wav = graft.operators.MediaCodec.synthWav(id, 8000, 100)
+            val m = graft.operators.MediaCodec.parseWav(wav).get
+            (id, m.rmsMilli,
+              graft.operators.MediaCodec.zeroCrossings(wav).get,
+              graft.operators.MediaCodec.dominantFreq(wav, 100, 1000, 5).get)
+          })
+          .toDF("doc_id", "rms_milli", "zero_crossings", "dominant_hz")
+          .orderBy("doc_id")
+      },
+      None),
 
     // F11: shingle document-frequency report — the instrument that
     // SIZES F2/F3's df-cap (currently 100) instead of trusting it:
@@ -2888,6 +3031,82 @@ object PipelineQueries {
           ${QueryDefs.sqlQ6(
             s"CAST(SUM(CAST(${QueryDefs.sqlQ6("-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))")} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")} AS avg_nll
         FROM bg2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN voc
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // H19: interpolated Kneser–Ney bigram NLL — the published
+    // smoothing that KenLM implements and CCNet's perplexity filter
+    // runs (Kneser & Ney 1995; Chen & Goodman 1998; Heafield 2011):
+    // p(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1)·p_cont(w2), with
+    // p_cont(w2) = N1+(·w2)/N1+(··) and absolute discount D = 0.75.
+    // h16's add-1 sibling flattens probability mass onto the whole
+    // vocabulary; KN backs off by CONTINUATION counts (how many
+    // contexts a word completes), the distinction that made it the
+    // production choice. Scale shape: bigram explode row-local; all
+    // four count frames (c12, c1, N1+(w1·), N1+(·w2)) are map-side-
+    // combined Zipf-bounded aggregations; the type total is one
+    // broadcast scalar. Probabilities are identical-order double
+    // arithmetic in both engines; each −ln is q6 tie-stable, the
+    // per-doc sum exact decimal, the mean q6 — h7/h16's portability
+    // discipline. KneserNeySpec pins Σ_w2 p(w2|w1) = 1 per context
+    // (the property that catches any mis-derived count).
+    QueryDef("h19_kneser_ney_nll",
+      (s, dir) => {
+        val big = graft.operators.TrackedCache.persist(
+          Tables.documents(s, dir)
+            .withColumn("__ws", TextOps.tokens(col("text")))
+            .filter(size(col("__ws")) >= 2)
+            .select(col("doc_id"), explode(expr(
+              """transform(sequence(0, size(__ws) - 2),
+                 i -> named_struct('w1', element_at(__ws, i + 1),
+                                   'w2', element_at(__ws, i + 2)))""")).as("bg"))
+            .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+        val c12 = graft.operators.TrackedCache.persist(
+          big.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val n1pFollow = c12.groupBy("w1").agg(count(lit(1)).as("n1p"))
+        val nCont = c12.groupBy("w2").agg(count(lit(1)).as("nc"))
+        val nTypes = c12.agg(count(lit(1)).as("nt"))
+        val p = (col("c12").cast("double") - 0.75) / col("c1") +
+          (lit(0.75) * col("n1p") / col("c1")) *
+            (col("nc").cast("double") / col("nt"))
+        // assemble the model at bigram-TYPE level (all four count
+        // frames are Zipf-bounded — vocab² at worst, ~1 row per
+        // distinct observed bigram) so the corpus-sized fact table
+        // joins ONCE and each −ln evaluates once per type, not once
+        // per occurrence. At 100 TB this is the difference between
+        // one fact-side shuffle and four.
+        val typeNll = c12.join(c1, Seq("w1")).join(n1pFollow, Seq("w1"))
+          .join(nCont, Seq("w2")).crossJoin(broadcast(nTypes))
+          .select(col("w1"), col("w2"), QueryDefs.q6(-log(p)).as("nll"))
+        big.join(typeNll, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            QueryDefs.q6(sum(col("nll").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+              .as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH words AS (
+          SELECT doc_id, list_filter(
+            regexp_split_to_array(lower(text), '\\s+'), w -> w != '') AS ws
+          FROM documents),
+        big AS (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 1),
+            i -> {'w1': ws[CAST(i + 1 AS INT)], 'w2': ws[CAST(i + 2 AS INT)]})) AS bg
+          FROM words WHERE len(ws) >= 2),
+        bg2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg2 GROUP BY w1, w2),
+        c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg2 GROUP BY w1),
+        n1p AS (SELECT w1, COUNT(*) AS n1p FROM c12 GROUP BY w1),
+        nc AS (SELECT w2, COUNT(*) AS nc FROM c12 GROUP BY w2),
+        nt AS (SELECT COUNT(*) AS nt FROM c12),
+        probs AS (SELECT w1, w2,
+            ${QueryDefs.sqlQ6(
+              "-ln((CAST(c12 AS DOUBLE) - 0.75) / c1 + (0.75 * CAST(n1p AS DOUBLE) / c1) * (CAST(nc AS DOUBLE) / nt))")} AS nll
+          FROM c12 JOIN c1 USING (w1) JOIN n1p USING (w1)
+            JOIN nc USING (w2) CROSS JOIN nt)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          ${QueryDefs.sqlQ6(
+            "CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)")} AS avg_nll
+        FROM bg2 JOIN probs USING (w1, w2)
         GROUP BY doc_id ORDER BY doc_id""")),
 
     // H17: the PUBLISHED composite quality-rule battery — Gopher

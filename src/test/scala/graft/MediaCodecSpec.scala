@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{MediaCodec, Multimodal}
+import graft.operators.Multimodal.MediaRecord
+import org.apache.spark.sql.functions._
+
+/** Real-codec specs (I5/I6): genuine PNG/JPEG bytes produced and
+  * decoded via the JDK's ImageIO, genuine RIFF/WAV bytes parsed
+  * directly — no stub anywhere in these paths. The roundtrip
+  * assertions (synthesize with known parameters → encode → decode →
+  * recover the parameters) are strictly stronger than a SQL oracle
+  * could be, since no SQL engine decodes media.
+  */
+class MediaCodecSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("PNG synth → ImageIO decode recovers true dimensions and channels (I5)") {
+    val png = MediaCodec.synthImagePng(seed = 42L, w = 97, h = 61)
+    // magic bytes prove this is a real PNG container, not a stub blob
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val meta = MediaCodec.imageMeta(png).get
+    assert(meta.width == 97 && meta.height == 61)
+    assert(meta.channels == 3)
+    assert(meta.sharpness > 0.0 && meta.sharpness < 1.0)
+    // deterministic: same seed → byte-identical PNG and identical meta
+    assert(java.util.Arrays.equals(png, MediaCodec.synthImagePng(42L, 97, 61)))
+  }
+
+  test("JPEG re-encode decodes with identical dimensions (I5)") {
+    val png = MediaCodec.synthImagePng(7L, 64, 48)
+    val jpg = MediaCodec.reencodeJpeg(png).get
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // JFIF SOI marker
+    val meta = MediaCodec.imageMeta(jpg).get
+    assert(meta.width == 64 && meta.height == 48)
+  }
+
+  test("pHash is stable under lossy re-encode and resize, far for distinct images (I5)") {
+    val a = MediaCodec.synthImagePng(1L, 96, 96)
+    val aJpg = MediaCodec.reencodeJpeg(a).get
+    val aSmall = MediaCodec.resizePng(a, 48, 48).get
+    val b = MediaCodec.synthImagePng(987654L, 96, 96)
+    val ha = MediaCodec.phash64(a).get
+    assert(hamming(ha, MediaCodec.phash64(aJpg).get) <= 7,
+      s"jpeg re-encode drifted ${hamming(ha, MediaCodec.phash64(aJpg).get)} bits")
+    assert(hamming(ha, MediaCodec.phash64(aSmall).get) <= 7,
+      s"2x downscale drifted ${hamming(ha, MediaCodec.phash64(aSmall).get)} bits")
+    assert(hamming(ha, MediaCodec.phash64(b).get) >= 12,
+      s"distinct seeds only ${hamming(ha, MediaCodec.phash64(b).get)} bits apart")
+  }
+
+  test("resizePng preserves aspect, never upscales, matches the planResize integer spelling (I5)") {
+    val png = MediaCodec.synthImagePng(3L, 200, 100)
+    val out = MediaCodec.resizePng(png, 64, 64).get
+    val meta = MediaCodec.imageMeta(out).get
+    // scale = min(64000/200, 64000/100, 1000) = 320 per-mille → 64×32
+    assert(meta.width == 64 && meta.height == 32)
+    // no upscale branch
+    val same = MediaCodec.imageMeta(MediaCodec.resizePng(png, 4096, 4096).get).get
+    assert(same.width == 200 && same.height == 100)
+  }
+
+  test("WAV roundtrip: RIFF parse recovers rate/frames/duration and sine RMS (I6)") {
+    val wav = MediaCodec.synthWav(seed = 5L, sampleRate = 8000, ms = 250)
+    val m = MediaCodec.parseWav(wav).get
+    assert(m.sampleRate == 8000 && m.channels == 1 && m.bitsPerSample == 16)
+    assert(m.nFrames == 2000 && m.durationMs == 250)
+    // sine amplitude 8000 → RMS ≈ 8000/√2 = 5657 → milli-FS ≈ 172
+    assert(m.rmsMilli >= 165 && m.rmsMilli <= 176, s"rmsMilli = ${m.rmsMilli}")
+  }
+
+  test("undecodable payloads return None and extractFeatures falls back flagged (I2)") {
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    assert(MediaCodec.imageMeta(garbage).isEmpty)
+    assert(MediaCodec.phash64(garbage).isEmpty)
+    assert(MediaCodec.parseWav(garbage).isEmpty)
+    // truncated PNG: magic intact, body cut — reader must not throw
+    val png = MediaCodec.synthImagePng(1L, 32, 32)
+    assert(MediaCodec.imageMeta(png.take(20)).isEmpty)
+
+    val recs = Seq(
+      MediaRecord(1L, png, "image", "png"),
+      MediaRecord(2L, garbage, "image", "jpeg")).toDS()
+    val feats = Multimodal.extractFeatures(spark, recs).collect().sortBy(_.doc_id)
+    assert(feats(0).decoded && feats(0).width == 32 && feats(0).height == 32)
+    assert(!feats(1).decoded) // stub fallback, still a row
+  }
+
+  test("animated GIF roundtrip: frame count, planted scene cut detected, keyframes/sampling (I7)") {
+    for (seed <- Seq(0L, 5L, 17L, 123L, 4567L)) {
+      val cutAt = 2 + (seed % 5).toInt
+      val gif = MediaCodec.synthGifAnimated(seed, 96, 96, nFrames = 8, cutAt = cutAt)
+      assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F') // real GIF container
+      val frames = MediaCodec.gifFrames(gif).get
+      assert(frames.length == 8)
+      assert(frames.forall(f => f.getWidth == 96 && f.getHeight == 96))
+      val hs = MediaCodec.gifFramePHashes(gif).get
+      val cuts = MediaCodec.sceneCuts(hs)
+      assert(cuts.toSeq == Seq(cutAt), s"seed $seed: cuts ${cuts.toSeq}, planted $cutAt")
+    }
+    assert(MediaCodec.uniformFrameIdx(8, 4).toSeq == Seq(0, 2, 4, 6))
+    assert(MediaCodec.uniformFrameIdx(5, 8).toSeq == Seq(0, 1, 2, 3, 4)) // k capped at n
+    assert(MediaCodec.gifFrames("not a gif".getBytes("UTF-8")).isEmpty)
+    // PNG bytes decode as images but are NOT a GIF sequence
+    assert(MediaCodec.gifFrames(MediaCodec.synthImagePng(1L, 16, 16)).isEmpty)
+  }
+
+  test("audio DSP: Goertzel dominant frequency recovers the planted tone, ZCR matches (I8)") {
+    for (seed <- Seq(0L, 3L, 100L, 659L)) {
+      val planted = 220 + math.floorMod(seed, 660L).toInt
+      val wav = MediaCodec.synthWav(seed, sampleRate = 8000, ms = 250)
+      val dom = MediaCodec.dominantFreq(wav, 100, 1000, 5).get
+      assert(math.abs(dom - planted) <= 3, s"planted $planted, dominant $dom") // half the 5 Hz grid
+      val zc = MediaCodec.zeroCrossings(wav).get
+      val expected = 2L * planted * 250 / 1000
+      assert(math.abs(zc - expected) <= 2, s"planted $planted: zc $zc vs ~$expected")
+    }
+    assert(MediaCodec.dominantFreq("junk".getBytes("UTF-8"), 100, 1000, 5).isEmpty)
+  }
+
+  test("mediaNearDupPairsReal pairs re-encoded copies, not distinct assets (I4-real)") {
+    // 3 assets, each present as PNG + lossy JPEG copy, plus one garbage payload
+    val recs = (1L to 3L).flatMap { s =>
+      val png = MediaCodec.synthImagePng(s * 1000003L, 96, 96)
+      Seq(MediaRecord(s * 10, png, "image", "png"),
+        MediaRecord(s * 10 + 1, MediaCodec.reencodeJpeg(png).get, "image", "jpeg"))
+    } :+ MediaRecord(99L, "junk-bytes".getBytes("UTF-8"), "image", "png")
+    val pairs = Multimodal.mediaNearDupPairsReal(spark, recs.toDS(), maxHamming = 7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L), (20L, 21L), (30L, 31L)), s"got $pairs")
+  }
+}

@@ -394,4 +394,20 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "InMemoryTableScan") >= 4, p.take(400))
     assert(count(p, "CartesianProduct") == 0, p.take(400))
   }
+
+  test("h19 Kneser-Ney: model assembled at type level — type total broadcast, no cartesian, hash aggs only") {
+    val p = executedPlan("h19_kneser_ney_nll")
+    // the 1-row type-count total joins via broadcast nested loop, and
+    // every count/doc aggregation is hash-based (map-side combined);
+    // the regression this pins against is the round-9 first spelling
+    // that joined the corpus-sized bigram frame four times and made
+    // the sf1 oracle spill >80 GB
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p.take(400))
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "SortAggregate") == 0)
+    // fact-side joins: bigram occurrences touch exactly ONE join with
+    // the assembled type frame; the type-level assembly contributes
+    // the rest — bounded by distinct-bigram cardinality, not corpus
+    assert(count(p, "InMemoryTableScan") >= 2, p.take(400))
+  }
 }

@@ -114,6 +114,16 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Big-SF runs (sf1 KN-style bigram joins) can spill tens of GB;
+    # keep DuckDB's temp on the big filesystem and bounded so a heavy
+    # oracle degrades to slow instead of ENOSPC-failing the gate.
+    tmp = os.environ.get("DUCKDB_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+    lim = os.environ.get("DUCKDB_MEM")
+    if lim:
+        con.execute(f"SET memory_limit='{lim}'")
     for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
         # partial datasets (e.g. the documents-only sf10 stretch) are fine:
         # a view over a missing file only matters if a checked query uses it

@@ -2339,13 +2339,20 @@ object PipelineQueries {
     QueryDef("i5_real_media_features",
       (s, dir) => {
         import s.implicits._
+        // repartition BEFORE the codec stage: a small id-range filter
+        // collapses the parquet scan to one partition, which would
+        // serialize all decode work — the media family's scale rule
+        // is "spread the ids first, the codec is the expensive part"
         val recs = Tables.documents(s, dir).select(col("doc_id"))
-          .filter(col("doc_id") < 5000).as[Long]
+          .filter(col("doc_id") < 5000).repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(it => it.map { id =>
             graft.operators.Multimodal.MediaRecord(
               id, graft.operators.MediaCodec.synthImagePng(id, 48, 32), "image", "png")
           })
-        graft.operators.Multimodal.extractFeatures(s, recs).toDF()
+        // persist: orderBy's range-partition sampling would otherwise
+        // execute the codec subtree twice
+        graft.operators.TrackedCache.persist(
+            graft.operators.Multimodal.extractFeatures(s, recs).toDF())
           .select("doc_id", "n_bytes", "width", "height", "channels",
             "sharpness", "decoded")
           .orderBy("doc_id")
@@ -2364,7 +2371,7 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         val ids = Tables.documents(s, dir).select(col("doc_id"))
-          .filter(col("doc_id") < 2000).as[Long]
+          .filter(col("doc_id") < 2000).repartition(s.sparkContext.defaultParallelism).as[Long]
         val recs = ids.mapPartitions(it => it.flatMap { id =>
           // 96x96: below ~3x the 32x32 pHash grid, JPEG block noise
           // dominates the area-average and drift exceeds the band
@@ -2391,7 +2398,7 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         Tables.documents(s, dir).select(col("doc_id"))
-          .filter(col("doc_id") < 10000).as[Long]
+          .filter(col("doc_id") < 10000).repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(it => it.map { id =>
             val wav = graft.operators.MediaCodec.synthWav(id, 8000, 40)
             val m = graft.operators.MediaCodec.parseWav(wav).get
@@ -2423,8 +2430,12 @@ object PipelineQueries {
     QueryDef("i7_gif_keyframes",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir).select(col("doc_id"))
-          .filter(col("doc_id") < 1000).as[Long]
+        // GIF encode (palette quantization) is the costliest codec in
+        // the family (~130 ms/clip single-threaded): spread ids FIRST
+        // (the filtered scan is one partition) and persist before the
+        // sort so range-partition sampling doesn't re-encode
+        val frames = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 1000).repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(it => it.map { id =>
             val cutAt = 2 + (id % 5).toInt
             val gif = graft.operators.MediaCodec.synthGifAnimated(id, 96, 96, 8, cutAt)
@@ -2437,7 +2448,7 @@ object PipelineQueries {
           })
           .toDF("doc_id", "n_bytes", "n_frames", "n_cuts", "first_cut",
             "keyframes", "sampled")
-          .orderBy("doc_id")
+        graft.operators.TrackedCache.persist(frames).orderBy("doc_id")
       },
       None),
 
@@ -2452,7 +2463,7 @@ object PipelineQueries {
       (s, dir) => {
         import s.implicits._
         Tables.documents(s, dir).select(col("doc_id"))
-          .filter(col("doc_id") < 2000).as[Long]
+          .filter(col("doc_id") < 2000).repartition(s.sparkContext.defaultParallelism).as[Long]
           .mapPartitions(it => it.map { id =>
             val wav = graft.operators.MediaCodec.synthWav(id, 8000, 100)
             val m = graft.operators.MediaCodec.parseWav(wav).get

@@ -559,6 +559,94 @@ object AdsbStream {
       }
       .start()
 
+  /** One step of the streaming PERCEPTUAL media screen loop (J16 —
+    * the streaming closure of I5b, the way J14 closes F14): the
+    * microbatch of opaque media payloads (1) decodes and DCT-pHashes
+    * per partition (REAL JDK codec, [[graft.operators.MediaCodec]];
+    * undecodable payloads take the deterministic stub-hash fallback
+    * so every record still flows — the I2 provenance contract),
+    * (2) finds history CANDIDATES by 8×8-bit multi-index band
+    * equality (lossless to Hamming radius 7 — Norouzi et al. 2012),
+    * (3) CONFIRMS each candidate by exact Hamming on the stored full
+    * print before dropping — the step the MinHash screen doesn't
+    * need but a perceptual screen does: an 8-bit band matches by
+    * CHANCE 1/256 per comparison, so at a 100k-asset history the
+    * unconfirmed screen would false-drop ~3 % of genuinely new
+    * assets, while the confirmed screen drops only true
+    * radius-≤ maxHamming near-dups — and (4) appends the survivors'
+    * (band, bv, phash) rows under `batch_id=<id>` with dynamic
+    * partition overwrite (J10 replay idempotency). Survivor-only
+    * indexing, same-batch twins reconciled by the batch i5b pass —
+    * J11/J14's declared approximations. Shuffle carries 16 bytes per
+    * asset-band, never pixels.
+    */
+  def mediaScreenBatch(batch: DataFrame, batchId: Long, idCol: String,
+                       payloadCol: String, indexPath: String,
+                       survivorsPath: String, maxHamming: Int = 7): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val prints = batch.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val h = graft.operators.MediaCodec.phash64(bytes).getOrElse {
+          var hh = 1125899906842597L
+          var i = 0
+          while (i < bytes.length) { hh = 31 * hh + (bytes(i) & 0xff); i += 1 }
+          hh
+        }
+        (id, h)
+      }).toDF(idCol, "phash")
+    val bands = prints.select(col(idCol), col("phash"),
+        explode(array((0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * 8).bitwiseAND(lit(0xffL)).as("bv"))
+        }: _*)).as("bb"))
+      .select(col(idCol), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val prior =
+      try spark.read.parquet(indexPath)
+        .filter(col("batch_id") =!= batchId)
+        .select(col("band"), col("bv"), col("phash").as("phash_hist"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(Int, Long, Long)].toDF("band", "bv", "phash_hist")
+      }
+    // J14's materialization discipline: decode/hash the batch ONCE,
+    // and keep the index write from lazily re-reading its own path
+    val bandsP = bands.persist()
+    val dupIds = bandsP.join(prior, Seq("band", "bv"))
+      .filter(expr(s"bit_count(phash ^ phash_hist) <= $maxHamming"))
+      .select(col(idCol)).distinct().persist()
+    dupIds.count()
+    try {
+      batch.join(dupIds, Seq(idCol), "left_anti")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(survivorsPath)
+      bandsP.join(dupIds, Seq(idCol), "left_anti")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(indexPath)
+    } finally {
+      dupIds.unpersist()
+      bandsP.unpersist()
+    }
+  }
+
+  /** The J16 sink: the perceptual media screen running continuously. */
+  def startMediaScreenSink(media: DataFrame, idCol: String, payloadCol: String,
+                           indexPath: String, survivorsPath: String,
+                           checkpoint: String, maxHamming: Int = 7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mediaScreenBatch(batch, batchId, idCol, payloadCol,
+          indexPath, survivorsPath, maxHamming)
+      }
+      .start()
+
   /** The J11 sink: every microbatch screens against all prior
     * batches' band index and appends its own bands — the streaming
     * daily-batch dedup loop running continuously.

@@ -489,4 +489,53 @@ class StreamingSpec extends SparkSpecBase {
       .as[Long].collect().toSet
     assert(got2 == Set(900000L, 900008L, 900009L, 900010L))
   }
+
+  test("J16 media screen: re-encoded copies confirmed and screened, new assets pass, replay idempotent") {
+    import graft.operators.{MediaCodec, Multimodal}
+    import Multimodal.MediaRecord
+    val dir = java.nio.file.Files.createTempDirectory("graft_j16").toString
+    val (idx, out) = (s"$dir/index", s"$dir/survivors")
+    val png1 = MediaCodec.synthImagePng(1L, 96, 96)
+    val png2 = MediaCodec.synthImagePng(987654L, 96, 96)
+    val junk = "opaque undecodable payload".getBytes("UTF-8")
+    val b0 = Seq(
+      MediaRecord(1L, png1, "image", "png"),
+      MediaRecord(2L, png2, "image", "png"),
+      MediaRecord(99L, junk, "binary", "unknown")).toDF()
+    val b1 = Seq(
+      // lossy JPEG copy of asset 1 — a true perceptual near-dup
+      MediaRecord(3L, MediaCodec.reencodeJpeg(png1).get, "image", "jpeg"),
+      // genuinely new asset
+      MediaRecord(4L, MediaCodec.synthImagePng(42L, 96, 96), "image", "png"),
+      // byte-identical undecodable twin: the stub-hash fallback path
+      // must still screen exact re-ingests (Hamming 0)
+      MediaRecord(98L, junk, "binary", "unknown")).toDF()
+    AdsbStream.mediaScreenBatch(b0, 0L, "doc_id", "payload", idx, out)
+    AdsbStream.mediaScreenBatch(b1, 1L, "doc_id", "payload", idx, out)
+    def survivorIds: Set[Long] = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivorIds == Set(1L, 2L, 99L, 4L),
+      s"jpeg copy (3) and undecodable twin (98) must screen; got $survivorIds")
+    // survivor-only index: 4 surviving assets × 8 bands
+    val idxRows = spark.read.parquet(idx).count()
+    assert(idxRows == 32, s"expected 32 survivor band rows, got $idxRows")
+    // failure replay of batch 1: nothing grows, survivors unchanged
+    AdsbStream.mediaScreenBatch(b1, 1L, "doc_id", "payload", idx, out)
+    assert(spark.read.parquet(idx).count() == idxRows)
+    assert(survivorIds == Set(1L, 2L, 99L, 4L))
+    // the same loop through the streaming sink
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_j16s").toString
+    val input = MemoryStream[MediaRecord](spark)
+    val q = AdsbStream.startMediaScreenSink(input.toDF(), "doc_id", "payload",
+      s"$dir2/index", s"$dir2/survivors", s"$dir2/ckpt")
+    input.addData(MediaRecord(1L, png1, "image", "png"))
+    q.processAllAvailable()
+    input.addData(
+      MediaRecord(2L, MediaCodec.resizePng(png1, 48, 48).get, "image", "png"), // 2x downscale of asset 1
+      MediaRecord(3L, png2, "image", "png"))
+    q.processAllAvailable(); q.stop()
+    val s2 = spark.read.parquet(s"$dir2/survivors")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 == Set(1L, 3L), "streamed downscaled copy of asset 1 must be screened")
+  }
 }

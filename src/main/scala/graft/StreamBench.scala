@@ -37,6 +37,11 @@ object StreamBench {
     }
 
   def main(args: Array[String]): Unit = {
+    // optional scenario filter: `runMain graft.StreamBench j16` runs
+    // only scenarios whose tag starts with the arg
+    val only: String => Boolean =
+      args.headOption.map(p => (s: String) => s.startsWith(p))
+        .getOrElse(_ => true)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,7 +66,7 @@ object StreamBench {
 
     // ---- J3: latest-state with TTL (flatMapGroupsWithState) --------
     // state must plateau at the FLEET size whatever the input rate
-    for (rate <- rates) {
+    if (only("j3_latest_state_ttl")) for (rate <- rates) {
       val fleet = 5000
       val input = MemoryStream[CurrentPosition](spark)
       val q = AdsbStream.latestStateWithTtl(spark, input.toDF(),
@@ -86,7 +91,7 @@ object StreamBench {
     // batch ~3 on the watermark EXPIRES whole earlier batches: the
     // trajectory must rise for ~3 batches then PLATEAU — dedup state
     // is the unique rows inside the window, not the stream's history.
-    for (rate <- rates) {
+    if (only("j5_dedup_watermark")) for (rate <- rates) {
       val fleet = 5000
       val input = MemoryStream[CurrentPosition](spark)
       val q = AdsbStream.dedupStream(input.toDF(), "10 seconds",
@@ -113,7 +118,7 @@ object StreamBench {
     // screened); every other doc is globally unique (tokens carry
     // the doc's identity). The on-disk band index must grow linearly
     // in unique SURVIVORS (~90% of feed rows), never in raw rows.
-    for (rate <- rates) {
+    if (only("j11_screen_append")) for (rate <- rates) {
       val (index, surv) = (s"$tmp/j11_$rate/index", s"$tmp/j11_$rate/surv")
       def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
         val dup = b > 0 && i < rate / 10
@@ -138,7 +143,7 @@ object StreamBench {
     // SURVIVOR at offset 3 — no doc-level exact dup, no aligned
     // chunk, only the stride-1 window family can see it. The on-disk
     // window index must grow linearly in SURVIVOR windows.
-    for (rate <- rates) {
+    if (only("j14_substring_screen")) for (rate <- rates) {
       val (index, surv) = (s"$tmp/j14_$rate/index", s"$tmp/j14_$rate/surv")
       def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
         val dup = b > 0 && i < rate / 10
@@ -168,7 +173,7 @@ object StreamBench {
     // literal probed map-side; only the might-contain sliver (true
     // hits + FPP) pays the stream-static join. state_rows stays 0 at
     // any rate — the throughput ceiling is the scan, not state.
-    for (rate <- rates) {
+    if (only("j12_bloom_screen")) for (rate <- rates) {
       import graft.functions.HashFunctions
       import org.apache.spark.sql.functions.col
       val banned = (0 until 5000).map(j => s"banned_$j")
@@ -211,7 +216,7 @@ object StreamBench {
     // no state): state_rows stays 0 at any rate; throughput is
     // tokenize + 64-bucket hash + weight fold per doc — the cost a
     // crawl-ingest gate pays per document.
-    for (rate <- rates) {
+    if (only("j13_quality_gate")) for (rate <- rates) {
       import org.apache.spark.sql.functions.col
       def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
         StreamDoc(b.toLong * rate + i,
@@ -237,6 +242,45 @@ object StreamBench {
         graft.queries.PipelineQueries.classifierWeights).count()
       emit("j13_quality_gate", rate, batches.toLong * rate, secs, traj,
         s""","kept_per_batch":$kept""")
+    }
+
+    // ---- J16: perceptual media screen loop -------------------------
+    // 10% of each batch is a lossy JPEG RE-ENCODE of a previous
+    // batch's SURVIVOR asset (genuine near-dup, Hamming ≤ 7); the
+    // rest are new seeded 96×96 PNGs. Payload synthesis runs
+    // DISTRIBUTED inside the batch (mapPartitions), so the measured
+    // rate is the codec+screen pipeline, not driver-side generation.
+    // The (band,bv,phash) index must grow linearly in unique
+    // SURVIVORS (8 rows each), never in raw assets. Rates are
+    // media-scale: the ceiling is the DECODE, not the screen joins.
+    if (only("j16_media_screen")) for (rate <- Seq(1000, 3000)) {
+      val (index, surv) = (s"$tmp/j16_$rate/index", s"$tmp/j16_$rate/surv")
+      def mediaBatch(b: Int): org.apache.spark.sql.DataFrame =
+        (0 until rate).map { i =>
+          val dup = b > 0 && i < rate / 10
+          val seed = if (dup) (b - 1).toLong * rate + rate / 10 + i
+                     else b.toLong * rate + i
+          (b.toLong * rate + i, seed, dup)
+        }.toDF("doc_id", "seed", "dup")
+          .repartition(cpus.toInt)
+          .as[(Long, Long, Boolean)]
+          .mapPartitions(_.map { case (id, seed, dup) =>
+            val png = graft.operators.MediaCodec.synthImagePng(seed, 96, 96)
+            val payload =
+              if (dup) graft.operators.MediaCodec.reencodeJpeg(png).get else png
+            graft.operators.Multimodal.MediaRecord(
+              id, payload, "image", if (dup) "jpeg" else "png")
+          }).toDF()
+      val t0 = System.nanoTime()
+      val traj = (0 until batches).map { b =>
+        AdsbStream.mediaScreenBatch(mediaBatch(b), b, "doc_id", "payload",
+          index, surv)
+        spark.read.parquet(index).count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val survivors = spark.read.parquet(surv).count()
+      emit("j16_media_screen", rate, batches.toLong * rate, secs, traj,
+        s""","survivors":$survivors""")
     }
 
     spark.stop()

@@ -172,6 +172,50 @@ object StressBench {
         require(wavOk == n, s"tone drift: $wavOk vs $n")
         println(s"""{"metric":"media_pipeline","n":$n,"img_decode_phash_sec":${fmt(tImg)},"gif_keyframe_sec":${fmt(tGif)},"gif_n":${n / 10},"wav_dsp_sec":${fmt(tWav)}}""")
 
+      case "media_band_join" =>
+        // Where does radius-7 multi-index banding stop being
+        // selective? 64-bit prints give 8-bit bands at radius 7:
+        // 256 buckets per band, so candidates grow ~ 8·N²/256 —
+        // quadratic with a small constant. The radius-3 variant
+        // (4×16-bit bands, 65536 buckets) keeps the same N² term
+        // 2048× smaller. Planted near-dups (2 flipped bits) must be
+        // found by BOTH; the candidate volumes and walls quantify
+        // the radius/selectivity trade the operators document.
+        import spark.implicits._
+        val n = if (args.length > 1) args(1).toLong else 100000L
+        val base = spark.range(n).select(col("id"),
+          expr("xxhash64(id)").as("phash"))
+        val planted = spark.range(n / 20).select(
+          (col("id") + n).as("id"),
+          // copy of asset id*17 mod n with bits (id%60) and (id%60)+2 flipped
+          expr(s"xxhash64((id * 17) % $n) ^ shiftleft(5L, CAST(id % 60 AS INT))")
+            .as("phash"))
+        val prints = base.unionByName(planted)
+        def candidates(nBands: Int): Long = {
+          val width = 64 / nBands
+          val mask = if (width == 64) -1L else (1L << width) - 1
+          prints.select(explode(array((0 until nBands).map { b =>
+              struct(lit(b).as("band"),
+                shiftright(col("phash"), b * width).bitwiseAND(lit(mask)).as("bv"))
+            }: _*)).as("bb"))
+            .groupBy("bb.band", "bb.bv").agg(count(lit(1)).as("c"))
+            .agg(sum(expr("c * (c - 1) DIV 2"))).head().getLong(0)
+        }
+        def planted_found(df: org.apache.spark.sql.DataFrame): Long =
+          df.filter((col("a") < n && col("b") >= n) ||
+            (col("b") < n && col("a") >= n)).count()
+        val cand7 = candidates(8)
+        val (found7, t7) = timed(planted_found(
+          Dedup.hammingBandPairsWide(prints, "id", "phash", maxHamming = 7)))
+        val cand3 = candidates(4)
+        val (found3, t3) = timed(planted_found(
+          Dedup.hammingBandPairs(prints, "id", "phash", maxHamming = 3)))
+        require(found7 >= n / 20 && found3 >= n / 20,
+          s"planted pairs missed: r7 $found7, r3 $found3, planted ${n / 20}")
+        println(s"""{"metric":"media_band_join","n":$n,"planted":${n / 20},""" +
+          s""""r7_candidates":$cand7,"r7_sec":${fmt(t7)},"r7_planted_found":$found7,""" +
+          s""""r3_candidates":$cand3,"r3_sec":${fmt(t3)},"r3_planted_found":$found3}""")
+
       case other =>
         System.err.println(s"unknown scenario: $other")
         sys.exit(1)

@@ -864,8 +864,14 @@ object Dedup {
     * narrower bands ⇒ larger buckets (candidates grow as Σ bucket²
     * per band) — the caller picks the radius/selectivity point. The
     * 8-band default is the real-pHash operating point (lossless to
-    * radius 7, which covers lossy re-encode + 2× resize drift), with
-    * 8-bit buckets that stay selective on DCT-sign prints.
+    * radius 7, which covers lossy re-encode + 2× resize drift).
+    * Measured trade (SCALE_r09 §9): at 300k prints the 8-bit buckets
+    * generate ~500× the candidates of [[hammingBandPairs]]'s 16-bit
+    * buckets (1.55G vs 3.1M, both ∝ N²) — so radius 7 on 64-bit
+    * prints is the MICROBATCH/bounded-pool operating point (J16's
+    * batch-vs-index screen, i5b's bounded corpus); corpus-scale
+    * all-pairs should narrow to radius 3 or lengthen the code
+    * (256-bit prints → 16-bit bands at radius 15).
     */
   def hammingBandPairsWide(prints: DataFrame, idCol: String, printCol: String,
                            maxHamming: Int, nBands: Int = 8): DataFrame = {

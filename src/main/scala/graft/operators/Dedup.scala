@@ -870,8 +870,10 @@ object Dedup {
     * buckets (1.55G vs 3.1M, both ∝ N²) — so radius 7 on 64-bit
     * prints is the MICROBATCH/bounded-pool operating point (J16's
     * batch-vs-index screen, i5b's bounded corpus); corpus-scale
-    * all-pairs should narrow to radius 3 or lengthen the code
-    * (256-bit prints → 16-bit bands at radius 15).
+    * all-pairs should narrow to radius 3. (Lengthening the code does
+    * NOT relax this: 256-bit fine-DCT bits drift 23 % under
+    * re-encode vs 11 % for the low 64 — [[MediaCodec.phash256]] is a
+    * confirm metric, not a banding key.)
     */
   def hammingBandPairsWide(prints: DataFrame, idCol: String, printCol: String,
                            maxHamming: Int, nBands: Int = 8): DataFrame = {

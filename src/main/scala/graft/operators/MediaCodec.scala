@@ -386,6 +386,70 @@ object MediaCodec {
     img
   }
 
+  /** 256-bit perceptual hash: the 16×16 low-frequency DCT block
+    * (same blurred 32×32 luma pipeline as [[phash64]]), sign vs the
+    * median of the 255 AC coefficients, packed row-major into 4
+    * longs.
+    *
+    * MEASURED ROLE (500-seed probe, MediaCodecSpec): the finer DCT
+    * cells are NOISY under re-encode — drift reaches 58/256 bits
+    * (23 %, vs 7/64 = 11 % for the low-frequency 64-bit hash), so
+    * multi-index banding the long code is NOT the scale path the
+    * width suggests (16-bit bands are lossless only to radius 15 ≪
+    * 58). What the width buys is CONFIRMATION precision: the
+    * dup-vs-distinct gap widens from ≤ 7 / ≥ 12 at 64 bits (tight —
+    * J16 measured ~0.4 % chance confirms) to ≤ 58 / ≥ 94 at 256
+    * bits. Operating guidance: CANDIDATE on the stable 64-bit hash's
+    * bands, CONFIRM on this code with a mid-gap threshold (~75).
+    */
+  def phash256(bytes: Array[Byte]): Option[Array[Long]] =
+    decodeImage(bytes).map { img =>
+      val small = boxBlur3(areaAvg(lumaGrid(img), DctN))
+      val rows = Array.ofDim[Double](16, DctN)
+      var u = 0
+      while (u < 16) {
+        var y = 0
+        while (y < DctN) {
+          var s = 0.0; var x = 0
+          while (x < DctN) { s += small(y)(x) * cosTable(u)(x); x += 1 }
+          rows(u)(y) = s; y += 1
+        }
+        u += 1
+      }
+      val block = Array.ofDim[Double](16, 16)
+      u = 0
+      while (u < 16) {
+        var v = 0
+        while (v < 16) {
+          var s = 0.0; var y = 0
+          while (y < DctN) { s += rows(u)(y) * cosTable(v)(y); y += 1 }
+          block(v)(u) = s; v += 1
+        }
+        u += 1
+      }
+      val ac = new Array[Double](255)
+      var i = 0; var r = 0
+      while (r < 16) {
+        var c = 0
+        while (c < 16) { if (r != 0 || c != 0) { ac(i) = block(r)(c); i += 1 }; c += 1 }
+        r += 1
+      }
+      java.util.Arrays.sort(ac)
+      val median = ac(127)
+      val out = new Array[Long](4)
+      var bit = 0
+      r = 0
+      while (r < 16) {
+        var c = 0
+        while (c < 16) {
+          if (block(r)(c) > median) out(bit >> 6) |= (1L << (bit & 63))
+          bit += 1; c += 1
+        }
+        r += 1
+      }
+      out
+    }
+
   // ------------------------------------------------------------------
   // Animated GIF — the container's "video" path. ImageIO's GIF
   // plugin reads AND writes multi-frame sequences, so frame

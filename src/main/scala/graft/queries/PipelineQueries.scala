@@ -266,6 +266,95 @@ object PipelineQueries {
           min(doc_id) AS keep_id, COUNT(*) AS n_dups
         FROM documents GROUP BY 1 ORDER BY h""")),
 
+    // F15: CCNet paragraph dedup-cut (Wenzek et al. 2020 §3.1) — the
+    // pipeline's FIRST stage before the p14 perplexity buckets it
+    // feeds: split docs into paragraphs, normalize per the paper
+    // (lowercase, digits→0, punctuation stripped), drop every repeat
+    // of a paragraph CORPUS-WIDE (keeper = first occurrence by
+    // (doc_id, para_idx)), reconstruct each doc from its surviving
+    // paragraphs, and drop docs with no non-empty survivor. This is
+    // the published boilerplate-killer (shared headers/footers
+    // collapse to one global copy) — distinct from F8's token-chunk
+    // spans (paragraph boundaries, normalization) and from F1's
+    // whole-doc hash. Corpus ∪ a 5-doc literal battery: corpus docs
+    // are single-paragraph so the corpus-wide rule degenerates to
+    // exact-doc dedup there (designed dup groups collapse, keeper
+    // survives); the battery exercises shared header/footer cuts,
+    // digit/punct/case variants collapsing under normalization, a
+    // doc dropped entirely, and an empty paragraph passing through.
+    // Scale shape: one groupBy on the 8-byte md5 prefix of the
+    // normalized paragraph (shuffle carries (key, okey) pairs), one
+    // join back, one per-doc aggregation — F1b's exact-dedup shape
+    // at paragraph granularity.
+    QueryDef("f15_paragraph_dedup_cut",
+      (s, dir) => {
+        import s.implicits._
+        val battery = Seq(
+          (920000L, "SHARED HEADER: welcome to the site!\nunique content for doc 920000 here\nshared footer (c) 2020"),
+          (920001L, "SHARED HEADER: welcome to the site!\nanother unique middle paragraph\nshared footer (c) 2021"),
+          (920002L, "SHARED HEADER: welcome to the site!\nshared footer (c) 2022"),
+          (920003L, "totally unique paragraph one\n\ntotally unique paragraph two"),
+          (920004L, "Shared Header: WELCOME to the site\nunique tail for doc 920004"))
+          .toDF("doc_id", "text")
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+          .unionByName(battery)
+        val paras = docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("para_idx", "para")))
+        val nrm = regexp_replace(
+          regexp_replace(lower(col("para")), "[0-9]", "0"), "[^a-z0-9 ]", "")
+        val keyed = paras
+          .withColumn("k", HashFunctions.md5prefix64(nrm))
+          .withColumn("okey", col("doc_id") * 1000000L + col("para_idx"))
+          .withColumn("empty", length(trim(nrm)) === 0)
+        val keepers = keyed.filter(!col("empty"))
+          .groupBy("k").agg(min(col("okey")).as("keep_okey"))
+        keyed.join(keepers, Seq("k"), "left")
+          .withColumn("kept", col("empty") || col("okey") === col("keep_okey"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_paras"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("kept"), length(col("para"))).otherwise(0L))
+              .as("chars_removed"),
+            collect_list(when(col("kept"),
+              struct(col("para_idx"), col("para")))).as("kl"),
+            sum(when(col("kept") && !col("empty"), 1L).otherwise(0L))
+              .as("n_kept_nonempty"))
+          .filter(col("n_kept_nonempty") > 0)
+          .select(col("doc_id"), col("n_paras"), col("n_kept"), col("chars_removed"),
+            concat_ws("\n",
+              expr("transform(array_sort(kl), x -> x.para)")).as("text_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH battery(doc_id, text) AS (VALUES
+          (920000, 'SHARED HEADER: welcome to the site!' || chr(10) || 'unique content for doc 920000 here' || chr(10) || 'shared footer (c) 2020'),
+          (920001, 'SHARED HEADER: welcome to the site!' || chr(10) || 'another unique middle paragraph' || chr(10) || 'shared footer (c) 2021'),
+          (920002, 'SHARED HEADER: welcome to the site!' || chr(10) || 'shared footer (c) 2022'),
+          (920003, 'totally unique paragraph one' || chr(10) || chr(10) || 'totally unique paragraph two'),
+          (920004, 'Shared Header: WELCOME to the site' || chr(10) || 'unique tail for doc 920004')),
+        all_docs AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM battery),
+        p0 AS (SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1),
+            i -> {'idx': i - 1, 'para': ps[CAST(i AS INT)]})) AS u
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM all_docs)),
+        paras AS (SELECT doc_id, CAST(u.idx AS BIGINT) AS para_idx, u.para AS para FROM p0),
+        keyed AS (SELECT *,
+            regexp_replace(regexp_replace(lower(para), '[0-9]', '0', 'g'), '[^a-z0-9 ]', '', 'g') AS nrm,
+            doc_id * 1000000 + para_idx AS okey
+          FROM paras),
+        k2 AS (SELECT *, ('0x' || substr(md5(nrm), 1, 15))::BIGINT AS k,
+            len(trim(nrm)) = 0 AS empty FROM keyed),
+        keepers AS (SELECT k, min(okey) AS keep_okey FROM k2
+          WHERE NOT empty GROUP BY k),
+        kept AS (SELECT k2.*, (empty OR okey = keep_okey) AS kept
+          FROM k2 LEFT JOIN keepers USING (k))
+        SELECT doc_id, COUNT(*) AS n_paras,
+          CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(SUM(CASE WHEN NOT kept THEN len(para) ELSE 0 END) AS BIGINT) AS chars_removed,
+          COALESCE(string_agg(CASE WHEN kept THEN para END, chr(10) ORDER BY para_idx), '') AS text_kept
+        FROM kept GROUP BY doc_id
+        HAVING CAST(SUM(CASE WHEN kept AND NOT empty THEN 1 ELSE 0 END) AS BIGINT) > 0
+        ORDER BY doc_id""")),
+
     // F2: n-gram Jaccard near-dup candidates, top-20 by similarity.
     QueryDef("f2_dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),

@@ -2534,7 +2534,8 @@ object PipelineQueries {
     // every decisive DCT sign flips, so cross-cut Hamming ≥ 48 BY
     // CONSTRUCTION while within-scene codec + 1-px-pan drift
     // measured ≤ 16 over 2000 seeds), decode every frame, per-frame
-    // DCT pHash, detect shot boundaries (consecutive Hamming > 16),
+    // DCT pHash, detect shot boundaries (consecutive Hamming > 28 —
+    // MID-GAP between measured within-scene drift ≤ 16 and cross ≥ 48),
     // emit keyframes (frame 0 + each cut) and the uniform
     // 4-of-8 sampling grid. Rows-only (no SQL engine decodes GIF);
     // MediaCodecSpec pins detected cut == planted cut. Corpus

@@ -302,13 +302,16 @@ object PipelineQueries {
           posexplode(split(col("text"), "\n")).as(Seq("para_idx", "para")))
         val nrm = regexp_replace(
           regexp_replace(lower(col("para")), "[0-9]", "0"), "[^a-z0-9 ]", "")
-        val keyed = paras
+        // persist: the normalize+hash pass feeds BOTH the keeper
+        // election and the cut join — without it the two regex passes
+        // and the md5 run twice over the full corpus (measured 2×)
+        val keyed = graft.operators.TrackedCache.persist(paras
           .withColumn("k", HashFunctions.md5prefix64(nrm))
           .withColumn("okey", col("doc_id") * 1000000L + col("para_idx"))
-          .withColumn("empty", length(trim(nrm)) === 0)
+          .withColumn("empty", length(trim(nrm)) === 0))
         val keepers = keyed.filter(!col("empty"))
           .groupBy("k").agg(min(col("okey")).as("keep_okey"))
-        keyed.join(keepers, Seq("k"), "left")
+        val cut = keyed.join(keepers, Seq("k"), "left")
           .withColumn("kept", col("empty") || col("okey") === col("keep_okey"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_paras"),
@@ -323,7 +326,9 @@ object PipelineQueries {
           .select(col("doc_id"), col("n_paras"), col("n_kept"), col("chars_removed"),
             concat_ws("\n",
               expr("transform(array_sort(kl), x -> x.para)")).as("text_kept"))
-          .orderBy("doc_id")
+        // persist before the sort: range-partition sampling would
+        // otherwise execute the whole cut+reassembly a second time
+        graft.operators.TrackedCache.persist(cut).orderBy("doc_id")
       },
       Some("""WITH battery(doc_id, text) AS (VALUES
           (920000, 'SHARED HEADER: welcome to the site!' || chr(10) || 'unique content for doc 920000 here' || chr(10) || 'shared footer (c) 2020'),

@@ -395,6 +395,16 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "CartesianProduct") == 0, p.take(400))
   }
 
+  test("f15 paragraph dedup-cut: normalize/hash pass persisted for both consumers, no cartesian") {
+    val p = executedPlan("f15_paragraph_dedup_cut")
+    // keyed feeds the keeper election AND the cut join, and the
+    // pre-sort result is persisted against the sampler re-execution:
+    // the regression this pins is the 2.7x-waste first spelling
+    // (67 s -> 24.5 s at sf10)
+    assert(count(p, "InMemoryTableScan") >= 3, p.take(400))
+    assert(count(p, "CartesianProduct") == 0)
+  }
+
   test("h19 Kneser-Ney: model assembled at type level — type total broadcast, no cartesian, hash aggs only") {
     val p = executedPlan("h19_kneser_ney_nll")
     // the 1-row type-count total joins via broadcast nested loop, and

@@ -135,6 +135,33 @@ object StressBench {
           s"component drift: $nMin / $nStar vs $stars")
         println(s"""{"metric":"components_star","stars":$stars,"minlabel_sec":${fmt(tMin)},"star_sec":${fmt(tStar)}}""")
 
+      case "components_auto" =>
+        // the Auto policy vs best-of-both on BOTH canonical shapes:
+        // done = auto ≈ winner on each (star → MinLabel's time,
+        // chain → Star's time + the capped MinLabel prefix)
+        val stars = 400000L
+        val starEdges = spark.range(stars * 7)
+          .select(expr("(id DIV 7) * 8").as("a"),
+            expr("(id DIV 7) * 8 + id % 7 + 1").as("b"))
+        val chains = 50000L
+        val len = 64L
+        val chainEdges = spark.range(chains * len)
+          .filter(col("id") % len =!= (len - 1))
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        def comps(edges: org.apache.spark.sql.DataFrame,
+                  algo: ComponentsAlgo): Long =
+          Dedup.components(edges, "a", "b", algo, maxIter = 100)
+            .select("component").distinct().count()
+        val (nAs, tAutoStar) = timed(comps(starEdges, ComponentsAlgo.Auto))
+        val (nMs, tMinStar) = timed(comps(starEdges, ComponentsAlgo.MinLabel))
+        val (nAc, tAutoChain) = timed(comps(chainEdges, ComponentsAlgo.Auto))
+        val (nSc, tStarChain) = timed(comps(chainEdges, ComponentsAlgo.Star))
+        require(nAs == stars && nMs == stars && nAc == chains && nSc == chains,
+          s"component drift: star $nAs/$nMs vs $stars, chain $nAc/$nSc vs $chains")
+        println(s"""{"metric":"components_auto","stars":$stars,"chains":$chains,"chain_diameter":${len - 1},""" +
+          s""""auto_star_sec":${fmt(tAutoStar)},"minlabel_star_sec":${fmt(tMinStar)},""" +
+          s""""auto_chain_sec":${fmt(tAutoChain)},"star_chain_sec":${fmt(tStarChain)}}""")
+
       case "media_pipeline" =>
         // Real-codec throughput (I5/I7/I8 shapes): per-partition
         // batched synth→encode→decode→feature over n assets. The

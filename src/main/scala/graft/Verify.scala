@@ -18,11 +18,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val oracled = SparkEntry.oracleSql.keySet
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // rows-only entries (no oracle SQL) go through the driver's
+        // pandas row sort, which cannot factorize array/struct/map/
+        // binary cells (r9: i7 recorded err, not even a row count).
+        // Fail fast HERE so a hostile column never reaches the driver.
+        if (!oracled.contains(name)) {
+          val bad = df.schema.fields.filter(f => f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType  => true
+            case _: org.apache.spark.sql.types.MapType    => true
+            case _: org.apache.spark.sql.types.StructType => true
+            case org.apache.spark.sql.types.BinaryType    => true
+            case _ => false
+          })
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"rows-only query emits harness-hostile columns: " +
+              bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ") +
+              " — present them as deterministic strings")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -362,6 +362,75 @@ object HashUtil {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Per-document DISTINCT bigram counts in ONE compiled pass (K27 —
+    * the h16/h19 kernel): tokenize once (UTF8String lowercase, \s+
+    * split, empties dropped — the suite's tokenizer contract), count
+    * adjacent token pairs in an open-addressing map, emit
+    * struct(w1, w2, c) per distinct bigram in first-occurrence
+    * order. Replaces the transform(sequence)+explode spelling that
+    * materialized one row PER OCCURRENCE: downstream shuffles (the
+    * c12/c1 model aggregations, the per-doc NLL join) now run at
+    * (doc, distinct bigram) grain with a count column — on
+    * boilerplate-heavy corpora the occurrence/distinct ratio is the
+    * shuffle-volume saving. Identity is EXACT (probes compare the
+    * token strings after the cheap slot hash, so a hash collision
+    * costs a probe, never a merged count) — no collision caveat,
+    * unlike the ~60-bit fingerprint kernels. A doc with < 2 tokens
+    * emits an empty array.
+    */
+  def bigramCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks0 = Whitespace.split(s.toLowerCase.toString)
+    var nt = 0
+    val toks = new Array[String](toks0.length)
+    var i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) { toks(nt) = toks0(i); nt += 1 }
+      i += 1
+    }
+    val m = nt - 1
+    if (m < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val th = new Array[Int](nt)
+    i = 0
+    while (i < nt) { th(i) = toks(i).hashCode; i += 1 }
+    var cap = 4
+    while (cap < 2 * m) cap <<= 1
+    val mask = cap - 1
+    val slotPos = new Array[Int](cap) // bigram start index of first occurrence
+    java.util.Arrays.fill(slotPos, -1)
+    val slotCnt = new Array[Long](cap)
+    val order = new Array[Int](cap)   // slots in first-occurrence order
+    var nSlots = 0
+    var j = 0
+    while (j < m) {
+      val h = th(j) * 0x9e3779b97f4a7c15L + th(j + 1)
+      var k = (java.lang.Long.hashCode(h * 0x9e3779b97f4a7c15L)) & mask
+      var placed = false
+      while (!placed) {
+        val p = slotPos(k)
+        if (p < 0) {
+          slotPos(k) = j; slotCnt(k) = 1L
+          order(nSlots) = k; nSlots += 1; placed = true
+        } else if (toks(p) == toks(j) && toks(p + 1) == toks(j + 1)) {
+          slotCnt(k) += 1L; placed = true
+        } else k = (k + 1) & mask
+      }
+      j += 1
+    }
+    val rows = new Array[Any](nSlots)
+    i = 0
+    while (i < nSlots) {
+      val k = order(i)
+      val p = slotPos(k)
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(toks(p)),
+          UTF8String.fromString(toks(p + 1)), slotCnt(k)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   def tokenWindowHashes(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks0 = Whitespace.split(s.toLowerCase.toString)
     var nt = 0
@@ -812,6 +881,28 @@ case class GramRepStats64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document distinct bigram counts, one compiled pass (K27) —
+  * see [[HashUtil.bigramCounts]].
+  */
+case class BigramCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = {
+    import org.apache.spark.sql.types._
+    ArrayType(StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.bigramCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.bigramCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramCounts =
+    copy(child = newChild)
+}
+
 /** Positioned stride-1 token-window hashes (double Rabin–Karp) — the
   * exact-substring-dedup fingerprint stage; see
   * [[HashUtil.tokenWindowHashes]].
@@ -908,6 +999,12 @@ object HashFunctions {
     */
   def gramRepStats(c: Column): Column =
     ColumnBridge.column(GramRepStats64(ColumnBridge.expression(c)))
+
+  /** Per-doc distinct bigram counts in one compiled pass (native,
+    * codegen'd) — see [[BigramCounts]].
+    */
+  def bigramCounts(c: Column): Column =
+    ColumnBridge.column(BigramCounts(ColumnBridge.expression(c)))
 
   /** Fused multi-pattern count-and-redact (native, codegen'd) — see
     * [[RegexRedactStats]].

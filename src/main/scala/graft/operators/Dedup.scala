@@ -420,7 +420,22 @@ object Dedup {
       connectedComponents(edges, aCol, bCol, maxIter)
     case ComponentsAlgo.Star =>
       connectedComponentsStar(edges, aCol, bCol, math.max(maxIter, 30))
+    case ComponentsAlgo.Auto =>
+      // the measured-crossover policy: MinLabel capped past every
+      // observed near-dup convergence; a tripped cap means the graph
+      // is chain-like (the regime Star wins 2.9×) — rerun with Star.
+      val (labels, converged) = minLabelRounds(edges, aCol, bCol, AutoRoundCap)
+      if (converged) labels
+      else connectedComponentsStar(edges, aCol, bCol, 30)
   }
+
+  /** MinLabel round cap for [[ComponentsAlgo.Auto]]: near-dup graphs
+    * converge in 2–4 rounds (measured, SCALE_r09 §2); 5 is past every
+    * observed convergence yet cheap enough that paying it before the
+    * Star fallback costs less than ONE extra MinLabel diameter-round
+    * regime on a chain graph.
+    */
+  val AutoRoundCap = 5
 
   /** Connected components over an undirected edge list — the step
     * that turns near-dup PAIRS into dedup GROUPS (keep one doc per
@@ -440,7 +455,16 @@ object Dedup {
     * large-star/small-star (Kiveris et al.); the API is the same.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20): DataFrame =
+    minLabelRounds(edges, aCol, bCol, maxIter)._1
+
+  /** The min-label loop with its convergence verdict: `(labels,
+    * converged)` — `converged = false` means the round cap tripped
+    * with labels still changing (chain-like graph), the signal
+    * [[ComponentsAlgo.Auto]] falls over to Star on.
+    */
+  private def minLabelRounds(edges: DataFrame, aCol: String, bCol: String,
+                             maxIter: Int): (DataFrame, Boolean) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionByName(edges.select(col(bCol).as("x"), col(aCol).as("y")))
@@ -485,7 +509,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels
+    (labels, changed == 0L)
   }
 
   /** Connected components by alternating large-star/small-star
@@ -915,4 +939,12 @@ object ComponentsAlgo {
     * long-chain fallback.
     */
   case object Star extends ComponentsAlgo
+  /** The measured crossover as a POLICY (SCALE_r09 §2: MinLabel wins
+    * on near-dup shapes, Star wins 2.9× at diameter 63): run
+    * MinLabel capped at [[Dedup.AutoRoundCap]] rounds — past every
+    * measured near-dup convergence (2–4) — and fall over to Star
+    * when the cap trips. Worst case pays the capped rounds twice;
+    * best case (the common shape) is exactly MinLabel.
+    */
+  case object Auto extends ComponentsAlgo
 }

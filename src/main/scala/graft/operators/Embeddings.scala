@@ -666,11 +666,63 @@ object Embeddings {
       .select(col("cluster"), col("a"), col("b"), col("cos"))
   }
 
+  /** Memo for [[semanticDedup]] results, keyed by the canonicalized
+    * assignment plan + parameters. The components stage runs an
+    * iterative loop through localCheckpoint (plan-cache-OPAQUE RDD
+    * scans — each invocation mints fresh RDDs), so unlike the
+    * declarative shared frames (Dedup.sharedShingleSet, the h7/h8/p7
+    * token frame) Spark's CacheManager can never dedup repeated
+    * semanticDedup invocations by plan match. This memo restores the
+    * sharing a declarative plan would get: equal (corpus, init,
+    * iters, tau, algo) in one JVM compute once; the returned frame is
+    * persisted so re-executions are cache reads. Entries are bounded
+    * by distinct parameterizations per session and dropped with the
+    * session's TrackedCache release epoch.
+    */
+  private val semanticDedupMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+       Double, ComponentsAlgo), DataFrame]
+
+  private val memoEvictorInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def semanticDedup(df: DataFrame, init: DataFrame, idCol: String,
                     vecCol: String, iters: Int, tau: Double,
                     algo: ComponentsAlgo = ComponentsAlgo.MinLabel): DataFrame = {
-    val a = TrackedCache.persist(
-      kmeansAssignments(df, init, idCol, vecCol, iters))
+    val appId = df.sparkSession.sparkContext.applicationId
+    if (memoEvictorInstalled.add(appId)) {
+      // memo entries hold session-backed plans + localCheckpoint RDDs;
+      // evict per application so multi-session processes (test
+      // suites, notebook hosts) don't retain them past the app
+      df.sparkSession.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            semanticDedupMemo.keySet.removeIf(_._1 == appId)
+            memoEvictorInstalled.remove(appId)
+          }
+        })
+    }
+    val assignFrame = kmeansAssignments(df, init, idCol, vecCol, iters)
+    val key = (appId, assignFrame.queryExecution.analyzed.canonicalized,
+      tau, algo)
+    val memoed = semanticDedupMemo.computeIfAbsent(key, _ =>
+      TrackedCache.persist(
+        semanticDedupCompute(assignFrame, idCol, vecCol, tau, algo)))
+    // a TrackedCache.release between invocations unpersists the frame
+    // but leaves the memo entry valid (its plan recomputes from the
+    // checkpointed label RDDs); re-register so the cached-read
+    // contract holds for every caller, not just the first epoch
+    if (memoed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      TrackedCache.persist(memoed)
+    memoed
+  }
+
+  private def semanticDedupCompute(assignFrame: DataFrame, idCol: String,
+                                   vecCol: String, tau: Double,
+                                   algo: ComponentsAlgo): DataFrame = {
+    val a = TrackedCache.persist(assignFrame)
     val edges = semanticPairs(a, idCol, vecCol)
       .filter(col("cos") >= tau)
       .select("a", "b")

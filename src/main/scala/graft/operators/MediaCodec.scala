@@ -290,7 +290,9 @@ object MediaCodec {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val sz = le32(bytes, off + 4)
-      if (sz < 0 || off + 8 + sz > bytes.length) return None
+      // Long arithmetic: a crafted chunk size near Int.MaxValue would
+      // overflow `off + 8 + sz` to negative and slip past an Int check
+      if (sz < 0 || off.toLong + 8L + sz > bytes.length) return None
       id match {
         case "fmt " =>
           if (sz < 16) return None
@@ -404,7 +406,15 @@ object MediaCodec {
     */
   def phash256(bytes: Array[Byte]): Option[Array[Long]] =
     decodeImage(bytes).map { img =>
-      val small = boxBlur3(areaAvg(lumaGrid(img), DctN))
+      dctSignHash256(boxBlur3(areaAvg(lumaGrid(img), DctN)))
+    }
+
+  /** 256-bit DCT sign hash from an ALREADY-computed blurred 32×32
+    * luma grid — the single-decode companion to [[dctSignHash]]:
+    * callers that need both codes (Multimodal.realPHashes2) decode
+    * and blur ONCE and derive both hashes from the same grid.
+    */
+  private[operators] def dctSignHash256(small: Array[Array[Int]]): Array[Long] = {
       val rows = Array.ofDim[Double](16, DctN)
       var u = 0
       while (u < 16) {
@@ -465,20 +475,29 @@ object MediaCodec {
     * sequences, which is what the synthesizer and any sane keyframe
     * pipeline re-encode to).
     */
-  def gifFrames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+  def gifFrames(bytes: Array[Byte]): Option[IndexedSeq[BufferedImage]] = {
+    // dispose/close on EVERY path (early None, decode exception):
+    // per-row decoding at i7 scale would otherwise accumulate
+    // undisposed readers and open streams
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
     try {
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       val readers = ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return None
-      val reader = readers.next()
+      reader = readers.next()
       if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
       reader.setInput(iis)
       val n = reader.getNumImages(true)
       if (n <= 0) return None
-      val frames = (0 until n).map(reader.read)
-      reader.dispose(); iis.close()
-      Some(frames)
-    } catch { case _: Exception => None }
+      Some((0 until n).map(reader.read))
+    } catch {
+      case _: Exception => None
+    } finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) try iis.close() catch { case _: Exception => () }
+    }
+  }
 
   /** Per-frame DCT pHashes of a GIF sequence. */
   def gifFramePHashes(bytes: Array[Byte]): Option[Array[Long]] =
@@ -553,8 +572,14 @@ object MediaCodec {
       while (off + 8 <= bytes.length && dataOff < 0) {
         val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val sz = le32(bytes, off + 4)
-        if (id == "data") { dataOff = off + 8; dataLen = sz }
-        off += 8 + sz + (sz & 1)
+        // parseWav already rejected malformed chunks, but mirror its
+        // Long-safe bound so this loop can never walk off negative
+        if (sz < 0 || off.toLong + 8L + sz > bytes.length) {
+          off = bytes.length
+        } else {
+          if (id == "data") { dataOff = off + 8; dataLen = sz }
+          off += 8 + sz + (sz & 1)
+        }
       }
       val n = dataLen / 2
       val s = new Array[Int](n)

@@ -139,7 +139,7 @@ object Multimodal {
           // both codes from the SAME blurred grid: one decode, one DCT
           // input; phash256's 16×16 block contains phash64's 8×8
           MediaHash2(r.doc_id, MediaCodec.dctSignHash(small),
-            MediaCodec.phash256(r.payload).get, decoded = true)
+            MediaCodec.dctSignHash256(small), decoded = true)
         case None =>
           var h = 1125899906842597L
           var i = 0

@@ -686,7 +686,207 @@ object AdsbQueries {
           FROM boxed
           WHERE ($cross) % 2 = 1
           ORDER BY event_id"""
-      })
+      }),
+
+    // D19–D22: the DASHBOARD-PARITY PACK — the reference's four
+    // user-facing Grafana dashboards (dashboards/examples/
+    // Current_Positions_{Global_Opensky,Global_Stream,Regional,
+    // Local}.json) as ONE composed oracled query each, emitting the
+    // panel's exact column set, rather than operator-by-operator.
+    // The synthetic positions MV maps events → positions with the
+    // repo's established derivations (lat/lon from d4, icao24 =
+    // user_id, scrape_time = ts as epoch-us per the d2 precedent).
+    // Composition order is the scale-right one everywhere: latest
+    // FIRST (one key shuffle over raw events, rank-pruned), display
+    // columns row-locally AFTER (over ~|aircraft| rows, not |events|),
+    // dimension enrichment LAST as broadcast left joins.
+
+    // D19: Current_Positions_Global_Opensky — latest per aircraft,
+    // moving filter (gs > 0), the 10-column opensky panel including
+    // origin_country (a dimension lookup: nation broadcast-joined).
+    QueryDef("d19_dashboard_global_opensky",
+      (s, dir) => {
+        val latest = CurrentState.latestBy(ev(s, dir),
+            Seq("user_id"), "ts", "event_id")
+          .filter(col("value") > 0)
+        val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        latest.withColumn("nk", col("user_id") % 25)
+          .join(broadcast(nat), col("nk") === col("n_nationkey"), "left")
+          .select(col("user_id").as("icao24"),
+            QueryDefs.q6((col("value") % 90.0) - 45.0).as("lat"),
+            QueryDefs.q6((col("value") * 2.0 % 360.0) - 180.0).as("lon"),
+            unix_micros(col("ts")).as("scrape_time_us"),
+            col("event_type").as("callsign"),
+            floor(col("value") * 100).cast("int").as("alt_baro"),
+            (col("event_id") % 360).cast("int").as("track"),
+            col("value").as("ground_speed"),
+            ((col("event_id") % 4001).cast("int") - 2000).as("vertical_rate"),
+            coalesce(col("n_name"), lit("")).as("origin_country"))
+          .orderBy("alt_baro", "icao24")
+      },
+      Some(s"""WITH latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+          WHERE rn = 1 AND value > 0)
+        SELECT l.user_id AS icao24,
+          ${QueryDefs.sqlQ6("(value % 90.0) - 45.0")} AS lat,
+          ${QueryDefs.sqlQ6("(value * 2.0 % 360.0) - 180.0")} AS lon,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS scrape_time_us,
+          event_type AS callsign,
+          CAST(floor(value * 100) AS INT) AS alt_baro,
+          CAST(event_id % 360 AS INT) AS track,
+          value AS ground_speed,
+          CAST(event_id % 4001 AS INT) - 2000 AS vertical_rate,
+          COALESCE(n.n_name, '') AS origin_country
+        FROM latest l LEFT JOIN nation n ON n.n_nationkey = l.user_id % 25
+        ORDER BY alt_baro, icao24""")),
+
+    // D20: Current_Positions_Global_Stream — the stream dashboard
+    // reads the union-ingested table: distributedUnion of the two
+    // source slices → latest → moving filter → the 8-column panel.
+    QueryDef("d20_dashboard_global_stream",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val txn = e.filter(col("event_type").isin("purchase", "signup"))
+        val web = e.filter(col("event_type").isin("click", "view"))
+        CurrentState.latestBy(
+            CurrentState.distributedUnion(Seq(txn, web)),
+            Seq("user_id"), "ts", "event_id")
+          .filter(col("value") > 0)
+          .select(col("user_id").as("icao24"),
+            QueryDefs.q6((col("value") % 90.0) - 45.0).as("lat"),
+            QueryDefs.q6((col("value") * 2.0 % 360.0) - 180.0).as("lon"),
+            unix_micros(col("ts")).as("scrape_time_us"),
+            col("event_type").as("callsign"),
+            floor(col("value") * 100).cast("int").as("alt_baro"),
+            (col("event_id") % 360).cast("int").as("track"),
+            col("value").as("ground_speed"))
+          .orderBy("alt_baro", "icao24")
+      },
+      Some(s"""WITH unioned AS (
+          SELECT * FROM events WHERE event_type IN ('purchase', 'signup')
+          UNION ALL
+          SELECT * FROM events WHERE event_type IN ('click', 'view')),
+        latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM unioned) t
+          WHERE rn = 1 AND value > 0)
+        SELECT user_id AS icao24,
+          ${QueryDefs.sqlQ6("(value % 90.0) - 45.0")} AS lat,
+          ${QueryDefs.sqlQ6("(value * 2.0 % 360.0) - 180.0")} AS lon,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS scrape_time_us,
+          event_type AS callsign,
+          CAST(floor(value * 100) AS INT) AS alt_baro,
+          CAST(event_id % 360 AS INT) AS track,
+          value AS ground_speed
+        FROM latest
+        ORDER BY alt_baro, icao24""")),
+
+    // D21: Current_Positions_Regional — latest + moving filter + the
+    // feed metadata columns (registration/aircraft_type/description,
+    // ifNull → '' per schema-regional.sql:181-183) enriched via a
+    // broadcast dimension left join.
+    QueryDef("d21_dashboard_regional",
+      (s, dir) => {
+        val latest = CurrentState.latestBy(ev(s, dir),
+            Seq("user_id"), "ts", "event_id")
+          .filter(col("value") > 0)
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        latest.withColumn("ck", col("user_id") % 150 + 1)
+          .join(broadcast(dim), col("ck") === col("c_custkey"), "left")
+          .select(col("user_id").as("icao24"),
+            QueryDefs.q6((col("value") % 90.0) - 45.0).as("lat"),
+            QueryDefs.q6((col("value") * 2.0 % 360.0) - 180.0).as("lon"),
+            unix_micros(col("ts")).as("scrape_time_us"),
+            col("event_type").as("callsign"),
+            floor(col("value") * 100).cast("int").as("alt_baro"),
+            (col("event_id") % 360).cast("int").as("track"),
+            col("value").as("ground_speed"),
+            coalesce(col("c_name"), lit("")).as("registration"),
+            coalesce(col("c_mktsegment"), lit("")).as("aircraft_type"),
+            coalesce(concat(col("c_name"), lit(" "), col("c_mktsegment")), lit(""))
+              .as("description"))
+          .orderBy("alt_baro", "icao24")
+      },
+      Some(s"""WITH latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+          WHERE rn = 1 AND value > 0)
+        SELECT l.user_id AS icao24,
+          ${QueryDefs.sqlQ6("(value % 90.0) - 45.0")} AS lat,
+          ${QueryDefs.sqlQ6("(value * 2.0 % 360.0) - 180.0")} AS lon,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS scrape_time_us,
+          event_type AS callsign,
+          CAST(floor(value * 100) AS INT) AS alt_baro,
+          CAST(event_id % 360 AS INT) AS track,
+          value AS ground_speed,
+          COALESCE(c.c_name, '') AS registration,
+          COALESCE(c.c_mktsegment, '') AS aircraft_type,
+          COALESCE(c.c_name || ' ' || c.c_mktsegment, '') AS description
+        FROM latest l LEFT JOIN customer c ON c.c_custkey = l.user_id % 150 + 1
+        ORDER BY alt_baro, icao24""")),
+
+    // D22: Current_Positions_Local's nearest-aircraft table — latest
+    // (NO moving filter, per the panel) with the receiver-relative
+    // columns: Distance (haversine km from the fixed receiver) and
+    // Direction (bearing), ordered nearest-first, emitting the
+    // panel's exact capitalized aliases.
+    QueryDef("d22_dashboard_local_nearest",
+      (s, dir) => {
+        val latest = CurrentState.latestBy(ev(s, dir),
+            Seq("user_id"), "ts", "event_id")
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        val lat = (col("value") % 90.0) - 45.0
+        val lon = (col("value") * 2.0 % 360.0) - 180.0
+        latest.withColumn("ck", col("user_id") % 150 + 1)
+          .join(broadcast(dim), col("ck") === col("c_custkey"), "left")
+          .select(
+            QueryDefs.q6(graft.functions.GeoFunctions
+              .haversineKm(lit(40.0), lit(-75.0), lat, lon)).as("Distance"),
+            QueryDefs.q6(graft.functions.GeoFunctions
+              .bearingDeg(lit(40.0), lit(-75.0), lat, lon)).as("Direction"),
+            col("event_type").as("Callsign"),
+            floor(col("value") * 100).cast("int").as("Altitude"),
+            col("value").as("Knots"),
+            (col("event_id") % 360).cast("int").as("Heading"),
+            coalesce(col("c_name"), lit("")).as("Registration"),
+            coalesce(col("c_mktsegment"), lit("")).as("Type"),
+            coalesce(concat(col("c_name"), lit(" "), col("c_mktsegment")), lit(""))
+              .as("Description"))
+          .orderBy("Distance", "Callsign")
+      },
+      Some(s"""WITH latest AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+          WHERE rn = 1),
+        pos AS (
+          SELECT *, (value % 90.0) - 45.0 AS lat, (value * 2.0 % 360.0) - 180.0 AS lon
+          FROM latest)
+        SELECT
+          ${QueryDefs.sqlQ6("""2.0 * 6371.0088 * asin(least(1.0, sqrt(
+            pow(sin(radians(lat - 40.0) / 2.0), 2.0) +
+            cos(radians(40.0)) * cos(radians(lat)) *
+            pow(sin(radians(lon - (-75.0)) / 2.0), 2.0))))""")} AS Distance,
+          ${QueryDefs.sqlQ6("""(degrees(atan2(
+              sin(radians(lon - (-75.0))) * cos(radians(lat)),
+              cos(radians(40.0)) * sin(radians(lat)) -
+              sin(radians(40.0)) * cos(radians(lat)) * cos(radians(lon - (-75.0)))
+            )) + 360.0) % 360.0""")} AS Direction,
+          event_type AS Callsign,
+          CAST(floor(value * 100) AS INT) AS Altitude,
+          value AS Knots,
+          CAST(event_id % 360 AS INT) AS Heading,
+          COALESCE(c.c_name, '') AS Registration,
+          COALESCE(c.c_mktsegment, '') AS Type,
+          COALESCE(c.c_name || ' ' || c.c_mktsegment, '') AS Description
+        FROM pos p LEFT JOIN customer c ON c.c_custkey = p.user_id % 150 + 1
+        ORDER BY Distance, Callsign"""))
   )
 }
 

@@ -217,6 +217,25 @@ object PipelineQueries {
         .repartition(col("doc_id"))
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w")))
 
+  /** The h16/h19 bigram fact frame: (doc_id, w1, w2, c) at DISTINCT-
+    * bigram grain from the K27 one-pass kernel — tokenize + pair +
+    * count per doc in one compiled loop, so no per-occurrence row
+    * expansion ever exists and both NLL queries read ONE shared cache
+    * (TrackedCache dedups the identical plan). explode_outer + isNotNull
+    * instead of explode: InferFiltersFromGenerate would otherwise wrap
+    * the kernel in a size()>0 filter and evaluate it twice per row
+    * (the Dedup.hashedShingleSet lesson).
+    */
+  private def sharedBigramCounts(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode_outer(graft.functions.HashFunctions.bigramCounts(col("text")))
+          .as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"),
+        col("bg.c").as("c"))
+
   // Memo entries hold session-backed plans and localCheckpoint RDDs;
   // without eviction they outlive the application in multi-session
   // processes (test suites, notebook hosts). One listener per
@@ -283,7 +302,7 @@ object PipelineQueries {
     // digit/punct/case variants collapsing under normalization, a
     // doc dropped entirely, and an empty paragraph passing through.
     // Scale shape: one groupBy on the 8-byte md5 prefix of the
-    // normalized paragraph (shuffle carries (key, okey) pairs), one
+    // normalized paragraph (shuffle carries (key, doc, idx) rows), one
     // join back, one per-doc aggregation — F1b's exact-dedup shape
     // at paragraph granularity.
     QueryDef("f15_paragraph_dedup_cut",
@@ -307,12 +326,17 @@ object PipelineQueries {
         // and the md5 run twice over the full corpus (measured 2×)
         val keyed = graft.operators.TrackedCache.persist(paras
           .withColumn("k", HashFunctions.md5prefix64(nrm))
-          .withColumn("okey", col("doc_id") * 1000000L + col("para_idx"))
           .withColumn("empty", length(trim(nrm)) === 0))
+        // keeper = lexicographic min(doc_id, para_idx) as a STRUCT —
+        // not an encoded doc_id*1e6+para_idx scalar, which silently
+        // collides across documents past 1M paragraphs/doc
         val keepers = keyed.filter(!col("empty"))
-          .groupBy("k").agg(min(col("okey")).as("keep_okey"))
+          .groupBy("k").agg(min(struct(col("doc_id"), col("para_idx")))
+            .as("keep_key"))
         val cut = keyed.join(keepers, Seq("k"), "left")
-          .withColumn("kept", col("empty") || col("okey") === col("keep_okey"))
+          .withColumn("kept", col("empty") ||
+            (col("doc_id") === col("keep_key.doc_id") &&
+             col("para_idx") === col("keep_key.para_idx")))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_paras"),
             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -343,15 +367,19 @@ object PipelineQueries {
           FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM all_docs)),
         paras AS (SELECT doc_id, CAST(u.idx AS BIGINT) AS para_idx, u.para AS para FROM p0),
         keyed AS (SELECT *,
-            regexp_replace(regexp_replace(lower(para), '[0-9]', '0', 'g'), '[^a-z0-9 ]', '', 'g') AS nrm,
-            doc_id * 1000000 + para_idx AS okey
+            regexp_replace(regexp_replace(lower(para), '[0-9]', '0', 'g'), '[^a-z0-9 ]', '', 'g') AS nrm
           FROM paras),
         k2 AS (SELECT *, ('0x' || substr(md5(nrm), 1, 15))::BIGINT AS k,
             len(trim(nrm)) = 0 AS empty FROM keyed),
-        keepers AS (SELECT k, min(okey) AS keep_okey FROM k2
+        keepers AS (SELECT k, min(doc_id) AS keep_doc FROM k2
           WHERE NOT empty GROUP BY k),
-        kept AS (SELECT k2.*, (empty OR okey = keep_okey) AS kept
-          FROM k2 LEFT JOIN keepers USING (k))
+        keepers2 AS (SELECT k2.k AS k, keep_doc,
+            min(para_idx) AS keep_idx
+          FROM k2 JOIN keepers ON k2.k = keepers.k AND k2.doc_id = keepers.keep_doc
+          WHERE NOT empty GROUP BY k2.k, keep_doc),
+        kept AS (SELECT k2.*,
+            (empty OR (doc_id = keep_doc AND para_idx = keep_idx)) AS kept
+          FROM k2 LEFT JOIN keepers2 USING (k))
         SELECT doc_id, COUNT(*) AS n_paras,
           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
           CAST(SUM(CASE WHEN NOT kept THEN len(para) ELSE 0 END) AS BIGINT) AS chars_removed,
@@ -2469,7 +2497,10 @@ object PipelineQueries {
         val recs = ids.mapPartitions(it => it.flatMap { id =>
           // 96x96: below ~3x the 32x32 pHash grid, JPEG block noise
           // dominates the area-average and drift exceeds the band
-          // radius (measured: max 30 bits at 48x32, max 6 at 96x96)
+          // radius (measured: max 30 bits at 48x32; at 96x96 max 6
+          // over these 10 pairs — i5d's 500-seed report puts the
+          // population tail at 8, i.e. radius-7 banding carries a
+          // measured 2-in-500 candidate miss)
           val png = graft.operators.MediaCodec.synthImagePng(id, 96, 96)
           val orig = graft.operators.Multimodal.MediaRecord(id, png, "image", "png")
           if (id < 10)
@@ -2506,6 +2537,73 @@ object PipelineQueries {
         })
         graft.operators.Multimodal.mediaNearDupPairsPrecise(s, recs)
           .orderBy("a", "b")
+      },
+      None),
+
+    // I5d: the confirm-threshold OPERATING REPORT — the F10/G8
+    // treatment applied to i5c's Hamming-75 choice, so the last
+    // eyeballed threshold in the repo becomes a queryable instrument:
+    // two labeled pair populations over ONE hash pass (planted dups =
+    // id ↔ its JPEG re-encode; distinct probes = adjacent seeds
+    // id ↔ id+1), 256-bit distance per pair, then per (population,
+    // candidate threshold 50..100) the confirmed counts plus the
+    // population's distance extrema plus the CANDIDATE-stage recall
+    // (n_cand64 = pairs the 64-bit radius-7 banding would surface).
+    // MEASURED at 500 seeds: dup h256 ∈ [10, 54], distinct ∈
+    // [94, 160] — a 40-bit gap, so every threshold in 60..90 confirms
+    // all dups and zero distincts and 75 sits MID-GAP; and the
+    // candidate stage itself misses a 2-in-500 tail (two dup pairs
+    // drift to 64-bit Hamming 8 > radius 7 — 99.6 % candidate
+    // recall, the honest cost of the banded operating point that
+    // i5b's 10-pair corpus was too small to expose). Rows-only (no
+    // SQL engine decodes PNG); MediaCodecSpec pins the gap rows.
+    // Scale: the report is per-corpus-sample (500 seeds), not
+    // per-corpus-row; the hash frame is persisted and both
+    // populations + all thresholds read it — one decode pass, 11
+    // broadcast threshold rows.
+    QueryDef("i5d_media_confirm_operating_report",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 500)
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
+        val recs = ids.mapPartitions(it => it.flatMap { id =>
+          val png = graft.operators.MediaCodec.synthImagePng(id, 96, 96)
+          Iterator(
+            graft.operators.Multimodal.MediaRecord(id, png, "image", "png"),
+            graft.operators.Multimodal.MediaRecord(id + 100000L,
+              graft.operators.MediaCodec.reencodeJpeg(png).get, "image", "jpeg"))
+        })
+        val hashes = graft.operators.TrackedCache.persist(
+          graft.operators.Multimodal.realPHashes2(s, recs).toDF()
+            .select("doc_id", "phash", "phash256"))
+        val base = ids.toDF("a")
+        val pairs = base
+          .select(col("a"), (col("a") + 100000L).as("b"), lit("dup").as("pop"))
+          .unionByName(base.filter(col("a") < 499)
+            .select(col("a"), (col("a") + 1L).as("b"), lit("distinct").as("pop")))
+        val ha = hashes.select(col("doc_id").as("a"),
+          col("phash").as("pa64"), col("phash256").as("pa"))
+        val hb = hashes.select(col("doc_id").as("b"),
+          col("phash").as("pb64"), col("phash256").as("pb"))
+        val dists = graft.operators.TrackedCache.persist(
+          pairs.join(ha, Seq("a")).join(hb, Seq("b"))
+            .withColumn("h64", expr("CAST(bit_count(pa64 ^ pb64) AS INT)"))
+            .withColumn("h256", expr(
+              """aggregate(zip_with(pa, pb, (x, y) -> bit_count(x ^ y)),
+                 0, (acc, v) -> acc + v)"""))
+            .select("pop", "h64", "h256"))
+        val thresholds = (50 to 100 by 5).toDF("threshold")
+        dists.crossJoin(broadcast(thresholds))
+          .groupBy("pop", "threshold")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("h256") <= col("threshold"), 1L).otherwise(0L))
+              .as("n_confirmed"),
+            min(col("h256")).as("min_h256"),
+            max(col("h256")).as("max_h256"),
+            max(col("h64")).as("max_h64"),
+            sum(when(col("h64") <= 7, 1L).otherwise(0L)).as("n_cand64"))
+          .orderBy("pop", "threshold")
       },
       None),
 
@@ -2562,10 +2660,14 @@ object PipelineQueries {
             val gif = graft.operators.MediaCodec.synthGifAnimated(id, 96, 96, 8, cutAt)
             val hs = graft.operators.MediaCodec.gifFramePHashes(gif).get
             val cuts = graft.operators.MediaCodec.sceneCuts(hs)
+            // frame-index lists presented as comma strings: the
+            // driver's rows-only harness sorts through pandas, which
+            // cannot factorize ndarray cells (r9's only driver err);
+            // the typed Array[Int] API stays on MediaCodec + its spec
             (id, gif.length, hs.length, cuts.length,
               if (cuts.nonEmpty) cuts(0) else -1,
-              (0 +: cuts.toSeq).toArray,
-              graft.operators.MediaCodec.uniformFrameIdx(hs.length, 4))
+              (0 +: cuts.toSeq).mkString(","),
+              graft.operators.MediaCodec.uniformFrameIdx(hs.length, 4).mkString(","))
           })
           .toDF("doc_id", "n_bytes", "n_frames", "n_cuts", "first_cut",
             "keyframes", "sampled")
@@ -3115,33 +3217,29 @@ object PipelineQueries {
     // quality filters actually use; unigram NLL can't see scrambled
     // text). p(w2|w1) = (c12+1)/(c1+V) over MULTISET bigram counts
     // (the distinct shingle set would break LM counting), V = corpus
-    // vocabulary. Scale shape: the bigram explode is row-local; c12 /
-    // c1 are map-side-combined aggregations (one row per distinct
-    // bigram/prefix — Zipf-bounded, not corpus-bounded); V is one
-    // scalar broadcast. Portability: each −ln term is q6 tie-stable,
-    // the per-doc sum is exact decimal, the final mean is q6 — the
-    // full h7 discipline.
+    // vocabulary. Scale shape: bigram rows come from the K27 one-pass
+    // kernel at (doc, DISTINCT bigram, count) grain — tokenize + pair
+    // + count in one compiled loop, no per-occurrence row expansion;
+    // c12 / c1 are count-weighted map-side-combined aggregations (one
+    // row per distinct bigram/prefix — Zipf-bounded, not corpus-
+    // bounded); V is one scalar broadcast. Portability: each −ln term
+    // is q6 tie-stable, the per-doc sum is exact decimal (Σ c·nll over
+    // types ≡ Σ nll over occurrences, so the per-occurrence ORACLE is
+    // unchanged), the final mean is q6 — the full h7 discipline.
     QueryDef("h16_bigram_nll",
       (s, dir) => {
-        val big = graft.operators.TrackedCache.persist(
-          Tables.documents(s, dir)
-            .withColumn("__ws", TextOps.tokens(col("text")))
-            .filter(size(col("__ws")) >= 2)
-            .select(col("doc_id"), explode(expr(
-              """transform(sequence(0, size(__ws) - 2),
-                 i -> named_struct('w1', element_at(__ws, i + 1),
-                                   'w2', element_at(__ws, i + 2)))""")).as("bg"))
-            .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
-        val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val big = graft.operators.TrackedCache.persist(sharedBigramCounts(s, dir))
+        val c12 = big.groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
+        val c1 = big.groupBy("w1").agg(sum(col("c")).as("c1"))
         val voc = tokFrame(s, dir).agg(countDistinct(col("w")).as("v"))
         val nll = QueryDefs.q6(
           -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
         big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
           .crossJoin(broadcast(voc))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            QueryDefs.q6(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .agg(sum(col("c")).as("n_bigrams"),
+            QueryDefs.q6((sum(nll.cast("decimal(18,6)") * col("c")).cast("double")
+              / sum(col("c"))))
               .as("avg_nll"))
           .orderBy("doc_id")
       },
@@ -3173,28 +3271,21 @@ object PipelineQueries {
     // h16's add-1 sibling flattens probability mass onto the whole
     // vocabulary; KN backs off by CONTINUATION counts (how many
     // contexts a word completes), the distinction that made it the
-    // production choice. Scale shape: bigram explode row-local; all
-    // four count frames (c12, c1, N1+(w1·), N1+(·w2)) are map-side-
-    // combined Zipf-bounded aggregations; the type total is one
-    // broadcast scalar. Probabilities are identical-order double
+    // production choice. Scale shape: the K27 one-pass kernel emits
+    // (doc, DISTINCT bigram, count) — shared cache with h16, no
+    // per-occurrence rows; all four count frames (c12, c1, N1+(w1·),
+    // N1+(·w2)) are count-weighted map-side-combined Zipf-bounded
+    // aggregations; the type total is one broadcast scalar. Probabilities are identical-order double
     // arithmetic in both engines; each −ln is q6 tie-stable, the
     // per-doc sum exact decimal, the mean q6 — h7/h16's portability
     // discipline. KneserNeySpec pins Σ_w2 p(w2|w1) = 1 per context
     // (the property that catches any mis-derived count).
     QueryDef("h19_kneser_ney_nll",
       (s, dir) => {
-        val big = graft.operators.TrackedCache.persist(
-          Tables.documents(s, dir)
-            .withColumn("__ws", TextOps.tokens(col("text")))
-            .filter(size(col("__ws")) >= 2)
-            .select(col("doc_id"), explode(expr(
-              """transform(sequence(0, size(__ws) - 2),
-                 i -> named_struct('w1', element_at(__ws, i + 1),
-                                   'w2', element_at(__ws, i + 2)))""")).as("bg"))
-            .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+        val big = graft.operators.TrackedCache.persist(sharedBigramCounts(s, dir))
         val c12 = graft.operators.TrackedCache.persist(
-          big.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
-        val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+          big.groupBy("w1", "w2").agg(sum(col("c")).as("c12")))
+        val c1 = big.groupBy("w1").agg(sum(col("c")).as("c1"))
         val n1pFollow = c12.groupBy("w1").agg(count(lit(1)).as("n1p"))
         val nCont = c12.groupBy("w2").agg(count(lit(1)).as("nc"))
         val nTypes = c12.agg(count(lit(1)).as("nt"))
@@ -3212,8 +3303,9 @@ object PipelineQueries {
           .select(col("w1"), col("w2"), QueryDefs.q6(-log(p)).as("nll"))
         big.join(typeNll, Seq("w1", "w2"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            QueryDefs.q6(sum(col("nll").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .agg(sum(col("c")).as("n_bigrams"),
+            QueryDefs.q6(sum(col("nll").cast("decimal(18,6)") * col("c"))
+              .cast("double") / sum(col("c")))
               .as("avg_nll"))
           .orderBy("doc_id")
       },

@@ -74,6 +74,26 @@ class ComponentsSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("Auto converges as MinLabel on star shapes and falls over to Star on chains") {
+    import graft.operators.ComponentsAlgo
+    // star-like (the near-dup shape): Auto = MinLabel's labeling,
+    // within the round cap — no fallback
+    val small = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L)).toDF("a", "b")
+    val auto = Dedup.components(small, "a", "b", ComponentsAlgo.Auto)
+      .as[(Long, Long)].collect().toMap
+    val ml = Dedup.components(small, "a", "b", ComponentsAlgo.MinLabel)
+      .as[(Long, Long)].collect().toMap
+    assert(auto == ml)
+    // a 200-node path: the AutoRoundCap trips (diameter 199 ≫ 5) and
+    // the Star fallback still yields the full min-label contract —
+    // the case where plain MinLabel at maxIter=20 would stop short
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val viaAuto = Dedup.components(chain, "a", "b", ComponentsAlgo.Auto)
+      .as[(Long, Long)].collect().toMap
+    assert(viaAuto.keySet == (1L to 200L).toSet)
+    assert(viaAuto.values.toSet == Set(1L))
+  }
+
   test("semanticDedup output is algo-invariant (MinLabel vs Star)") {
     import graft.operators.{ComponentsAlgo, Embeddings}
     // tiny deterministic corpus: 3 clusters of near-identical vectors

@@ -163,4 +163,27 @@ class MediaCodecSpec extends SparkSpecBase {
     assert(h2.forall { case (id, r) => r.phash == h1(id) })
     assert(!h2(99L).decoded && h2(99L).phash256.forall(_ == h2(99L).phash))
   }
+
+  test("i5d operating report pins the measured confirm gap as report rows (dup ≤ 58 / distinct ≥ 94)") {
+    val rows = SparkEntry.queries("i5d_media_confirm_operating_report")(spark, sf)
+      .collect()
+    val at75 = rows.filter(_.getAs[Int]("threshold") == 75)
+    val dup = at75.find(_.getAs[String]("pop") == "dup").get
+    val dist = at75.find(_.getAs[String]("pop") == "distinct").get
+    // the operating point i5c ships: every planted dup confirmed,
+    // zero distinct probes confirmed
+    assert(dup.getAs[Long]("n_confirmed") == dup.getAs[Long]("n_pairs"))
+    assert(dup.getAs[Long]("n_pairs") > 0)
+    assert(dist.getAs[Long]("n_confirmed") == 0L)
+    // the measured gap itself, as rows a user can query
+    assert(dup.getAs[Int]("max_h256") <= 58, dup.toString)
+    assert(dist.getAs[Int]("min_h256") >= 94, dist.toString)
+    // candidate-stage recall: the radius-7 banding surfaces 498 of
+    // the 500 planted dups (TWO pairs drift to 64-bit Hamming 8 —
+    // the measured 2-in-500 tail the report exists to expose) and
+    // zero distinct probes
+    assert(dup.getAs[Long]("n_cand64") == 498L, dup.toString)
+    assert(dup.getAs[Int]("max_h64") == 8, dup.toString)
+    assert(dist.getAs[Long]("n_cand64") == 0L, dist.toString)
+  }
 }

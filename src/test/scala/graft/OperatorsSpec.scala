@@ -30,6 +30,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("rows-only queries emit only scalar columns (driver pandas-sort constraint)") {
+    // the driver's rows-only harness sorts result rows through pandas,
+    // which cannot factorize array/struct/map/binary cells (r9: i7
+    // recorded err instead of a row count). Guard ALL no-oracle
+    // entries here, mirroring Verify's runtime check.
+    import org.apache.spark.sql.types._
+    val oracled = SparkEntry.oracleSql.keySet
+    SparkEntry.allDefs.filterNot(d => oracled.contains(d.name)).foreach { d =>
+      val bad = d.run(spark, sf).schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+        case _ => false
+      })
+      assert(bad.isEmpty,
+        s"${d.name} emits harness-hostile columns: " +
+          bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))
+    }
+  }
+
   test("latestBy keeps exactly one newest row per key") {
     val df = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
       .toDF("k", "v", "tag")

@@ -405,6 +405,70 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "CartesianProduct") == 0)
   }
 
+  test("h16/h19: bigram facts come from the K27 kernel at distinct grain, one Generate, shared cache") {
+    // the r9 spelling exploded one row PER OCCURRENCE from a
+    // transform(sequence(...), named_struct(...)) HOF; the pin is the
+    // kernel expression feeding the (single, cached) Generate and the
+    // HOF gone — note the plan STRING repeats the cache-build subtree
+    // under every InMemoryTableScan, so Generate counts are not 1
+    // even though the build is one logical pass
+    val p16 = executedPlan("h16_bigram_nll")
+    assert(p16.toLowerCase.contains("bigramcounts"), p16.take(400))
+    assert(!p16.contains("named_struct"), p16.take(400))
+    assert(!p16.contains("sequence("), p16.take(400))
+    val p19 = executedPlan("h19_kneser_ney_nll")
+    assert(p19.toLowerCase.contains("bigramcounts"), p19.take(400))
+    assert(!p19.contains("named_struct"), p19.take(400))
+    // h19 reads the shared bigram fact cache (also shared with h16 in
+    // one session) plus its own persisted c12
+    assert(count(p19, "InMemoryTableScan") >= 3, p19.take(400))
+    // and no size()>0 double-eval filter wraps the kernel
+    assert(!p16.contains("size(bigramcounts"), p16.take(400))
+  }
+
+  test("dashboard pack: latest rank-pruned via one key shuffle, dims broadcast AFTER latest") {
+    // the composition order that scales: latestBy prunes |events| →
+    // |aircraft| through ONE hash exchange + WindowGroupLimit, THEN
+    // the dimension joins broadcast over the small latest frame —
+    // a sort-merge join or a second hash exchange here means the
+    // enrichment happened on the raw event stream
+    for (q <- Seq("d19_dashboard_global_opensky", "d21_dashboard_regional",
+                  "d22_dashboard_local_nearest")) {
+      val p = executedPlan(q)
+      assert(count(p, "BroadcastHashJoin") == 1, s"$q: ${p.take(400)}")
+      assert(count(p, "SortMergeJoin") == 0, q)
+      assert(count(p, "WindowGroupLimit") >= 1, q)
+      assert(count(p, "Exchange hashpartitioning") == 1, q)
+    }
+    val p20 = executedPlan("d20_dashboard_global_stream")
+    assert(count(p20, "WindowGroupLimit") >= 1)
+    assert(count(p20, "Exchange hashpartitioning") == 1, p20.take(400))
+  }
+
+  test("p9 family: repeated semanticDedup invocations share ONE memoized computation") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Embeddings
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    // equal (corpus, init, iters, tau, algo) → the SAME frame object:
+    // the components loop's localCheckpoint scans are plan-cache-
+    // opaque, so without the memo p9b and the bench's p9@sized each
+    // re-ran the full training + label rounds (the r9 triple-bill)
+    val first = Embeddings.semanticDedup(emb,
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding", 2, 0.3)
+    val second = Embeddings.semanticDedup(emb,
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding", 2, 0.3)
+    assert(first eq second)
+    // and the shared frame is persisted: re-executions are cache reads
+    first.write.format("noop").mode("overwrite").save()
+    val p = first.queryExecution.withCachedData.toString
+    assert(p.contains("InMemoryRelation"), p.take(400))
+    // different parameterization (p9's k=8 vs p9b's sized k) does NOT
+    // collapse to the same computation
+    val other = Embeddings.semanticDedup(emb,
+      emb.filter(col("vec_id") < 9), "vec_id", "embedding", 2, 0.3)
+    assert(!(other eq first))
+  }
+
   test("h19 Kneser-Ney: model assembled at type level — type total broadcast, no cartesian, hash aggs only") {
     val p = executedPlan("h19_kneser_ney_nll")
     // the 1-row type-count total joins via broadcast nested loop, and

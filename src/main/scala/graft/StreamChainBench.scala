@@ -9,8 +9,15 @@ import org.apache.spark.sql.functions._
   * crawl-ingest pipeline runs its passes (STREAM_BENCH r8 claimed
   * it; this measures it):
   *
-  *   J13 quality gate → J12 bloom decontamination →
-  *   J14 substring screen → J11 band near-dup screen
+  *   J17 paragraph dedup-cut → J13 quality gate →
+  *   J12 bloom decontamination → J14 substring screen →
+  *   J11 band near-dup screen
+  *
+  * J17 runs FIRST (the CCNet order: paragraph boilerplate is cut
+  * before any quality/dedup pass sees the text): every doc carries
+  * one of three shared SITE FOOTER paragraphs — the first batch
+  * keeps exactly one copy of each (within-batch keeper election),
+  * every later occurrence is cut via the cumulative paragraph index.
   *
   * Each batch carries DESIGNED slices so every stage demonstrably
   * kills exactly its own family and nothing else:
@@ -47,46 +54,73 @@ object StreamChainBench {
     val tmp = java.nio.file.Files.createTempDirectory("streamchain").toString
     val batches = 6
     val rates = Seq(10000, 50000)
-    val banned = (0 until 5000).map(j => s"banned_$j")
+    // ALL generated tokens are letter-only: CCNet's digits->0
+    // normalization (J17) would otherwise collapse digit-ID tokens
+    // ("w0_17_3" and "w0_52_3" both normalize to "w0_00_0") and the
+    // paragraph screen would - correctly! - cut the "unique" bodies
+    // as corpus-wide repeats, starving every downstream stage
+    def alpha(n: Long): String = {
+      var x = n; val sb = new StringBuilder
+      do { sb.append(('a' + (x % 26).toInt).toChar); x /= 26 } while (x > 0)
+      sb.toString
+    }
+    val banned = (0 until 5000).map(j => s"banned${alpha(j)}")
     val blacklist = banned.toDF("tok")
       .select(HashFunctions.md5prefix64(col("tok")).as("fp"))
 
     for (rate <- rates) {
+      val idx17 = s"$tmp/c$rate/idx17"; val surv17 = s"$tmp/c$rate/surv17"
       val idx14 = s"$tmp/c$rate/idx14"; val surv14 = s"$tmp/c$rate/surv14"
       val idx11 = s"$tmp/c$rate/idx11"; val surv11 = s"$tmp/c$rate/surv11"
       val nBan = rate / 100; val nSub = rate / 10; val nNear = rate / 20
 
+      // three site footers (letter variants — digit variants would
+      // collapse under CCNet's digits->0 normalization by design)
+      val footers = Seq("site footer alpha rights reserved",
+        "site footer beta rights reserved", "site footer gamma rights reserved")
+
       def base(b: Int, i: Int): String =
-        (0 until 18).map(w => s"w${b}_${i}_$w").mkString(" ")
+        (0 until 18).map(w => s"w${alpha(b)}q${alpha(i)}q${alpha(w)}").mkString(" ")
 
       def mkBatch(b: Int, prev: IndexedSeq[String]): Seq[(Long, String)] =
         (0 until rate).map { i =>
           val id = b.toLong * rate + i
           val text =
-            if (i < nBan) s"banned_${i % banned.size} " + base(b, i).split(" ").drop(1).mkString(" ")
+            if (i < nBan) banned(i % banned.size) + " " + base(b, i).split(" ").drop(1).mkString(" ")
             else if (b > 0 && i < nBan + nSub) {
               val core = prev((i - nBan) % prev.size).split(" ")
-              ((0 until 3).map(w => s"p${b}_${i}_$w") ++ core.take(15)).mkString(" ")
+              ((0 until 3).map(w => s"p${alpha(b)}q${alpha(i)}q${alpha(w)}") ++ core.take(15)).mkString(" ")
             } else if (b > 0 && i < nBan + nSub + nNear) {
               // reference a DIFFERENT survivor region than the
               // substring slice and replace the middle token: longest
               // shared run 9 < k=10
               val src = prev((nSub + (i - nBan - nSub)) % prev.size).split(" ").toBuffer
-              src(9) = s"n${b}_${i}_x"
+              src(9) = s"n${alpha(b)}q${alpha(i)}qx"
               src.mkString(" ")
             } else base(b, i)
-          (id, text)
+          // every doc carries a shared footer paragraph -> J17 fodder
+          (id, text + "\n" + footers(i % footers.size))
         }
 
-      val stageCounts = Array.fill(batches, 5)(0L)
+      val stageCounts = Array.fill(batches, 6)(0L)
+      val footersKept = new Array[Long](batches)
+      val idxTraj17 = new Array[Long](batches)
       val idxTraj14 = new Array[Long](batches)
       val idxTraj11 = new Array[Long](batches)
       val t0 = System.nanoTime()
       var prev: IndexedSeq[String] = IndexedSeq.empty
       for (b <- 0 until batches) {
         val batch = mkBatch(b, prev).toDF("doc_id", "text")
+        // J17: paragraph dedup-cut FIRST (boilerplate gone before any
+        // downstream pass tokenizes the text)
+        AdsbStream.paragraphScreenBatch(batch, b, "doc_id", "text",
+          idx17, surv17)
+        val s17 = spark.read.parquet(surv17)
+          .filter(col("batch_id") === b)
+          .select(col("doc_id"), col("text_kept").as("text")).persist()
+        footersKept(b) = s17.filter(col("text").contains("site footer")).count()
         // J13: stateless classifier gate
-        val gated = AdsbStream.qualityGateStream(batch, "doc_id", "text",
+        val gated = AdsbStream.qualityGateStream(s17, "doc_id", "text",
             graft.queries.PipelineQueries.classifierWeights)
           .select("doc_id", "text").persist()
         // J12: bloom-screened decontamination on the doc's lead token
@@ -104,22 +138,27 @@ object StreamChainBench {
           idx11, surv11)
         val s11 = spark.read.parquet(surv11)
           .filter(col("batch_id") === b).select("doc_id", "text")
-        stageCounts(b) = Array(rate.toLong, gated.count(), cleaned.count(),
-          s14.count(), s11.count())
+        stageCounts(b) = Array(rate.toLong, s17.count(), gated.count(),
+          cleaned.count(), s14.count(), s11.count())
+        idxTraj17(b) = spark.read.parquet(idx17).count()
         idxTraj14(b) = spark.read.parquet(idx14).count()
         idxTraj11(b) = spark.read.parquet(idx11).count()
+        // dup slices reference the BODY line of prior survivors (the
+        // footer line, when a keeper kept it, is not part of the span)
         prev = s11.orderBy("doc_id").collect()
-          .map(_.getString(1)).toIndexedSeq
-        gated.unpersist(); cleaned.unpersist(); s14.unpersist()
+          .map(_.getString(1).split("\n")(0)).toIndexedSeq
+        s17.unpersist(); gated.unpersist(); cleaned.unpersist(); s14.unpersist()
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val rowsIn = batches.toLong * rate
       def arr(sel: Int) = stageCounts.map(_(sel)).mkString("[", ",", "]")
-      println(s"""{"scenario":"chain_j13_j12_j14_j11","rows_per_batch":$rate,""" +
+      println(s"""{"scenario":"chain_j17_j13_j12_j14_j11","rows_per_batch":$rate,""" +
         s""""batches":$batches,"rows_in":$rowsIn,"wall_s":${f"$secs%.2f"},""" +
         s""""rows_per_s":${(rowsIn / secs).toLong},""" +
-        s""""in":${arr(0)},"after_quality":${arr(1)},"after_bloom":${arr(2)},""" +
-        s""""after_substr":${arr(3)},"after_band":${arr(4)},""" +
+        s""""in":${arr(0)},"after_para":${arr(1)},"after_quality":${arr(2)},"after_bloom":${arr(3)},""" +
+        s""""after_substr":${arr(4)},"after_band":${arr(5)},""" +
+        s""""footers_kept":${footersKept.mkString("[", ",", "]")},""" +
+        s""""idx17_rows":${idxTraj17.mkString("[", ",", "]")},""" +
         s""""idx14_rows":${idxTraj14.mkString("[", ",", "]")},""" +
         s""""idx11_rows":${idxTraj11.mkString("[", ",", "]")}}""")
     }

@@ -559,6 +559,106 @@ object AdsbStream {
       }
       .start()
 
+  /** One step of the streaming CCNet PARAGRAPH-dedup screen (J17 —
+    * the streaming closure of F15, the way J14 closes F14): the
+    * microbatch's docs split into paragraphs, normalized per the
+    * paper (lowercase, digits→0, punctuation stripped — Wenzek et
+    * al. 2020 §3.1, the F15 spelling verbatim), and every paragraph
+    * whose 8-byte key is (a) in the cumulative index — seen in any
+    * PRIOR batch — or (b) a within-batch repeat (keeper = lexicographic
+    * min(struct(id, para_idx)), the F15 election) is CUT. Docs are
+    * reconstructed from surviving paragraphs (empty paragraphs pass
+    * through, preserving blank-line structure) and docs with no
+    * non-empty survivor are dropped — the shared-header/footer
+    * boilerplate of a re-crawled site collapses to the FIRST batch
+    * that carried it. The index append is the batch's new KEEPER
+    * keys only (every keeper's doc survives by construction — a doc
+    * with a kept non-empty paragraph is never dropped), so the index
+    * is survivor-linear: 8 bytes per distinct paragraph ever kept,
+    * never per occurrence. Replay-idempotent via the J10 discipline:
+    * prior state reads filter out this batch_id, writes
+    * dynamic-overwrite the batch_id partition.
+    */
+  def paragraphScreenBatch(batch: DataFrame, batchId: Long, idCol: String,
+                           textCol: String, indexPath: String,
+                           survivorsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val nrm = regexp_replace(
+      regexp_replace(lower(col("para")), "[0-9]", "0"), "[^a-z0-9 ]", "")
+    // persist: the normalize+hash pass feeds the keeper election AND
+    // the cut — the F15 shared-pass lesson (measured 2× unpersisted)
+    val keyed = batch
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("para_idx", "para")))
+      .withColumn("k", graft.functions.HashFunctions.md5prefix64(nrm))
+      .withColumn("empty", length(trim(nrm)) === 0)
+      .persist()
+    val prior =
+      try spark.read.parquet(indexPath)
+        .filter(col("batch_id") =!= batchId)
+        .select("k").distinct()
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        import spark.implicits._
+        Seq.empty[Long].toDF("k")
+      }
+    val keepers = keyed.filter(!col("empty"))
+      .groupBy("k")
+      .agg(min(struct(col(idCol), col("para_idx"))).as("kk"))
+    val marked = keyed
+      .join(keepers, Seq("k"), "left")
+      .join(prior.withColumn("__seen", lit(true)), Seq("k"), "left")
+      .withColumn("kept", col("empty") ||
+        (col("__seen").isNull &&
+          col(idCol) === col(s"kk.$idCol") &&
+          col("para_idx") === col("kk.para_idx")))
+      .persist()
+    marked.count() // materialize once for the two writes (J10/J14 lesson)
+    try {
+      val survivors = marked.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), length(col("para"))).otherwise(0L))
+            .as("chars_removed"),
+          collect_list(when(col("kept"),
+            struct(col("para_idx"), col("para")))).as("kl"),
+          sum(when(col("kept") && !col("empty"), 1L).otherwise(0L))
+            .as("n_kept_nonempty"))
+        .filter(col("n_kept_nonempty") > 0)
+        .select(col(idCol), col("n_paras"), col("n_kept"),
+          col("chars_removed"),
+          concat_ws("\n",
+            expr("transform(array_sort(kl), x -> x.para)")).as("text_kept"))
+      survivors.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(survivorsPath)
+      // new keeper keys only: kept, non-empty, unseen — one 8-byte
+      // row per distinct paragraph first kept in THIS batch
+      marked.filter(col("kept") && !col("empty") && col("__seen").isNull)
+        .select("k").distinct()
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(indexPath)
+    } finally {
+      marked.unpersist()
+      keyed.unpersist()
+    }
+  }
+
+  /** The J17 sink: the paragraph-screen loop running continuously. */
+  def startParagraphScreenSink(docs: DataFrame, idCol: String, textCol: String,
+                               indexPath: String, survivorsPath: String,
+                               checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        paragraphScreenBatch(batch, batchId, idCol, textCol,
+          indexPath, survivorsPath)
+      }
+      .start()
+
   /** One step of the streaming PERCEPTUAL media screen loop (J16 —
     * the streaming closure of I5b, the way J14 closes F14): the
     * microbatch of opaque media payloads (1) decodes and DCT-pHashes

@@ -391,6 +391,65 @@ class StreamingSpec extends SparkSpecBase {
     assert(s2 == Set(1L, 3L), "streamed doc 2 embeds doc 1's span and must be screened")
   }
 
+  test("J17 paragraph screen: cross-batch boilerplate cut, within-batch keeper election, replay idempotent") {
+    import graft.streaming.AdsbStream.StreamDoc
+    val dir = java.nio.file.Files.createTempDirectory("graft_j17").toString
+    val (idx, out) = (s"$dir/index", s"$dir/survivors")
+    val b0 = Seq(
+      // shared header across both docs: within-batch keeper = doc 1
+      // (min (id, para_idx)); doc 2 keeps only its unique body
+      StreamDoc(1L, "SHARED HEADER welcome\nunique body one"),
+      StreamDoc(2L, "SHARED HEADER welcome\nunique body two"),
+      // normalization collapse: digit/case/punct variant of doc 1's
+      // header — cut as a within-batch repeat despite differing text
+      StreamDoc(3L, "shared header WELCOME!!!\nunique body three")).toDF()
+    AdsbStream.paragraphScreenBatch(b0, 0L, "doc_id", "text", idx, out)
+    def surv = spark.read.parquet(out)
+      .select("doc_id", "text_kept", "n_kept").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(surv.keySet == Set(1L, 2L, 3L))
+    assert(surv(1L)._1 == "SHARED HEADER welcome\nunique body one")
+    assert(surv(2L)._1 == "unique body two")
+    assert(surv(3L)._1 == "unique body three")
+    // index = distinct keeper keys: header + three bodies
+    assert(spark.read.parquet(idx).count() == 4)
+    val b1 = Seq(
+      // re-crawl: the header again (cut via the INDEX now), a body
+      // repeat, and one genuinely new paragraph
+      StreamDoc(4L, "SHARED HEADER welcome\nunique body one\nbrand new paragraph"),
+      // all paragraphs already seen → doc dropped entirely
+      StreamDoc(5L, "SHARED HEADER welcome\nunique body two")).toDF()
+    AdsbStream.paragraphScreenBatch(b1, 1L, "doc_id", "text", idx, out)
+    assert(surv.keySet == Set(1L, 2L, 3L, 4L), "doc 5 must drop (no new paragraph)")
+    assert(surv(4L)._1 == "brand new paragraph")
+    // survivor-linear: exactly ONE new key (the new paragraph)
+    assert(spark.read.parquet(idx).count() == 5)
+    // failure replay of batch 1: nothing grows, outputs unchanged
+    AdsbStream.paragraphScreenBatch(b1, 1L, "doc_id", "text", idx, out)
+    assert(spark.read.parquet(idx).count() == 5)
+    assert(surv.keySet == Set(1L, 2L, 3L, 4L) && surv(4L)._1 == "brand new paragraph")
+    // empty paragraphs pass through, preserving blank-line structure
+    val b2 = Seq(StreamDoc(6L, "alpha unique six\n\nbeta unique six")).toDF()
+    AdsbStream.paragraphScreenBatch(b2, 2L, "doc_id", "text", idx, out)
+    assert(surv(6L)._1 == "alpha unique six\n\nbeta unique six")
+    assert(surv(6L)._2 == 3L) // 2 non-empty + 1 empty all kept
+    // the same loop through the streaming sink
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_j17s").toString
+    val input = MemoryStream[StreamDoc](spark)
+    val q = AdsbStream.startParagraphScreenSink(input.toDF(), "doc_id", "text",
+      s"$dir2/index", s"$dir2/survivors", s"$dir2/ckpt")
+    input.addData(StreamDoc(1L, "footer (c) 2024\nfirst real content"))
+    q.processAllAvailable()
+    input.addData(StreamDoc(2L, "Footer (C) 2025\nsecond real content"))
+    q.processAllAvailable(); q.stop()
+    val s2 = spark.read.parquet(s"$dir2/survivors")
+      .select("doc_id", "text_kept").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s2(1L) == "footer (c) 2024\nfirst real content")
+    assert(s2(2L) == "second real content",
+      "the year-variant footer normalizes to the indexed key and must be cut")
+  }
+
   test("J11 loop runs on the OPH fingerprint family (bandFn parameter)") {
     import graft.streaming.AdsbStream.StreamDoc
     val dir = java.nio.file.Files.createTempDirectory("graft_j11oph").toString

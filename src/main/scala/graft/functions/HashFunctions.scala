@@ -431,6 +431,63 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Per-document DISTINCT token counts in ONE compiled pass (K28 —
+    * [[bigramCounts]]'s unigram sibling, for the h7/h8/p7/p14 token
+    * frame): tokenize once, count tokens in an open-addressing map
+    * with EXACT string-confirmed identity, emit struct(w, c) per
+    * distinct token in first-occurrence order. Downstream frequency
+    * aggregations and per-doc scores run count-weighted at
+    * (doc, distinct token) grain — fact rows scale with per-doc
+    * VOCABULARY, not document length. Empty/whitespace-only docs
+    * emit an empty array.
+    */
+  def tokenCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks0 = Whitespace.split(s.toLowerCase.toString)
+    var nt = 0
+    val toks = new Array[String](toks0.length)
+    var i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) { toks(nt) = toks0(i); nt += 1 }
+      i += 1
+    }
+    if (nt == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    var cap = 4
+    while (cap < 2 * nt) cap <<= 1
+    val mask = cap - 1
+    val slotPos = new Array[Int](cap)
+    java.util.Arrays.fill(slotPos, -1)
+    val slotCnt = new Array[Long](cap)
+    val order = new Array[Int](cap)
+    var nSlots = 0
+    var j = 0
+    while (j < nt) {
+      var k = (java.lang.Long.hashCode(
+        toks(j).hashCode * 0x9e3779b97f4a7c15L)) & mask
+      var placed = false
+      while (!placed) {
+        val p = slotPos(k)
+        if (p < 0) {
+          slotPos(k) = j; slotCnt(k) = 1L
+          order(nSlots) = k; nSlots += 1; placed = true
+        } else if (toks(p) == toks(j)) {
+          slotCnt(k) += 1L; placed = true
+        } else k = (k + 1) & mask
+      }
+      j += 1
+    }
+    val rows = new Array[Any](nSlots)
+    i = 0
+    while (i < nSlots) {
+      val k = order(i)
+      rows(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(toks(slotPos(k))), slotCnt(k)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   def tokenWindowHashes(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks0 = Whitespace.split(s.toLowerCase.toString)
     var nt = 0
@@ -903,6 +960,27 @@ case class BigramCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document distinct token counts, one compiled pass (K28) —
+  * see [[HashUtil.tokenCounts]].
+  */
+case class TokenCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = {
+    import org.apache.spark.sql.types._
+    ArrayType(StructType(Seq(
+      StructField("w", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.tokenCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.tokenCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+}
+
 /** Positioned stride-1 token-window hashes (double Rabin–Karp) — the
   * exact-substring-dedup fingerprint stage; see
   * [[HashUtil.tokenWindowHashes]].
@@ -1005,6 +1083,12 @@ object HashFunctions {
     */
   def bigramCounts(c: Column): Column =
     ColumnBridge.column(BigramCounts(ColumnBridge.expression(c)))
+
+  /** Per-doc distinct token counts in one compiled pass (native,
+    * codegen'd) — see [[TokenCounts]].
+    */
+  def tokenCounts(c: Column): Column =
+    ColumnBridge.column(TokenCounts(ColumnBridge.expression(c)))
 
   /** Fused multi-pattern count-and-redact (native, codegen'd) — see
     * [[RegexRedactStats]].

@@ -217,6 +217,28 @@ object PipelineQueries {
         .repartition(col("doc_id"))
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w")))
 
+  /** The h7/h8/p7/p14 token fact frame: (doc_id, w, c) at DISTINCT-
+    * token grain from the K28 one-pass kernel — fact rows scale with
+    * per-doc VOCABULARY, not document length; frequency aggregations
+    * and per-doc scores run count-weighted (Σ c ≡ the occurrence
+    * counts, so every oracle stays per-occurrence SQL, unchanged).
+    * The occurrence-grain [[tokFrame]] remains for the consumers
+    * whose semantics genuinely need an occurrence STREAM (the
+    * e25b/e25c sketch aggregates insert once per occurrence; the BPE
+    * family iterates positions). Same explode_outer discipline as
+    * [[sharedBigramCounts]]; same doc_id pre-partitioning as
+    * tokFrame so per-doc aggregations reuse the partitioning.
+    */
+  private def sharedTokenCounts(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode_outer(graft.functions.HashFunctions.tokenCounts(col("text")))
+          .as("tc"))
+      .filter(col("tc").isNotNull)
+      .select(col("doc_id"), col("tc.w").as("w"), col("tc.c").as("c"))
+
   /** The h16/h19 bigram fact frame: (doc_id, w1, w2, c) at DISTINCT-
     * bigram grain from the K27 one-pass kernel — tokenize + pair +
     * count per doc in one compiled loop, so no per-occurrence row
@@ -1485,9 +1507,12 @@ object PipelineQueries {
     // decimal (fold-order portability), one final IEEE division.
     QueryDef("h7_unigram_logprob",
       (s, dir) => {
-        val tok = tokFrame(s, dir)
-        val totals = tok.agg(count(lit(1)).as("__n_total"))
-        val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
+        // K28 distinct-grain facts: Σ c replaces every COUNT(*), so
+        // the per-occurrence oracle is unchanged while fact rows
+        // scale with per-doc vocabulary, not document length
+        val tok = graft.operators.TrackedCache.persist(sharedTokenCounts(s, dir))
+        val totals = tok.agg(sum(col("c")).as("__n_total"))
+        val freq = tok.groupBy(col("w")).agg(sum(col("c")).as("__cnt"))
         // Quantize to 6 dp via floor(x·1e6 + 0.5)/1e6, NOT round(x, 6):
         // both engines then run the same four IEEE ops (multiply, add,
         // floor, divide) — bit-identical for ANY x. round() diverges at
@@ -1498,8 +1523,9 @@ object PipelineQueries {
         tok.join(freq, "w")
           .crossJoin(broadcast(totals))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_tokens"),
-            QueryDefs.q6(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .agg(sum(col("c")).as("n_tokens"),
+            QueryDefs.q6(sum(nll.cast("decimal(18,6)") * col("c")).cast("double")
+              / sum(col("c")))
               .as("avg_nll"))
           .orderBy("doc_id")
       },
@@ -1525,14 +1551,15 @@ object PipelineQueries {
     // broadcast back — the corpus never shuffles.
     QueryDef("p7_vocab_coverage",
       (s, dir) => {
-        val tok = tokFrame(s, dir)
-        val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        // K28 distinct-grain facts (count-weighted; oracle unchanged)
+        val tok = graft.operators.TrackedCache.persist(sharedTokenCounts(s, dir))
+        val vocab = tok.groupBy("w").agg(sum(col("c")).as("c"))
           .orderBy(col("c").desc, col("w")).limit(30)
           .select(col("w"), lit(1).as("__v"))
         tok.join(broadcast(vocab), Seq("w"), "left")
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            count(when(col("__v").isNull, 1)).as("n_oov"))
+          .agg(sum(col("c")).as("n_tokens"),
+            coalesce(sum(when(col("__v").isNull, col("c"))), lit(0L)).as("n_oov"))
           .withColumn("oov_rate",
             col("n_oov").cast("double") / col("n_tokens"))
           .orderBy("doc_id")
@@ -1561,12 +1588,15 @@ object PipelineQueries {
     QueryDef("h8_bm25",
       (s, dir) => {
         val terms = Seq("spark", "window", "hash")
-        val tok = tokFrame(s, dir)
-        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // K28 distinct-grain facts: dl = Σ c per doc; tf IS the fact
+        // row's count (the kernel already computed the per-doc term
+        // frequency — no aggregation needed); oracle unchanged
+        val tok = graft.operators.TrackedCache.persist(sharedTokenCounts(s, dir))
+        val dl = tok.groupBy("doc_id").agg(sum(col("c")).as("dl"))
         val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tt"))
           .select(col("n_docs"), (col("tt").cast("double") / col("n_docs")).as("avgdl"))
         val tf = tok.filter(col("w").isin(terms: _*))
-          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+          .select(col("doc_id"), col("w"), col("c").as("tf"))
         val dfT = tf.groupBy("w").agg(count(lit(1)).as("df"))
         val idf = QueryDefs.q6(log((col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)))
@@ -2920,9 +2950,10 @@ object PipelineQueries {
     // per-doc frame never reshuffles.
     QueryDef("p14_perplexity_buckets",
       (s, dir) => {
-        val tok = tokFrame(s, dir)
-        val totals = tok.agg(count(lit(1)).as("__n_total"))
-        val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
+        // K28 distinct-grain facts, count-weighted (h7's spelling)
+        val tok = graft.operators.TrackedCache.persist(sharedTokenCounts(s, dir))
+        val totals = tok.agg(sum(col("c")).as("__n_total"))
+        val freq = tok.groupBy(col("w")).agg(sum(col("c")).as("__cnt"))
         val nll = QueryDefs.q6(-log(col("__cnt").cast("double") / col("__n_total")))
         // the per-doc score frame feeds BOTH the histogram branch and
         // the final bucket assignment — persisted so the NLL
@@ -2930,7 +2961,8 @@ object PipelineQueries {
         val doc = graft.operators.TrackedCache.persist(tok.join(freq, "w")
           .crossJoin(broadcast(totals))
           .groupBy(col("doc_id"))
-          .agg(QueryDefs.q6(sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .agg(QueryDefs.q6(sum(nll.cast("decimal(18,6)") * col("c")).cast("double")
+            / sum(col("c")))
             .as("avg_nll"))
           .withColumn("hb", floor(col("avg_nll") * 100).cast("long")))
         val hist = doc.groupBy("hb").agg(count(lit(1)).as("c"))
@@ -3231,7 +3263,8 @@ object PipelineQueries {
         val big = graft.operators.TrackedCache.persist(sharedBigramCounts(s, dir))
         val c12 = big.groupBy("w1", "w2").agg(sum(col("c")).as("c12"))
         val c1 = big.groupBy("w1").agg(sum(col("c")).as("c1"))
-        val voc = tokFrame(s, dir).agg(countDistinct(col("w")).as("v"))
+        val voc = graft.operators.TrackedCache.persist(sharedTokenCounts(s, dir))
+          .agg(countDistinct(col("w")).as("v"))
         val nll = QueryDefs.q6(
           -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
         big.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))

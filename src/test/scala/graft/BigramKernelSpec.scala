@@ -71,6 +71,46 @@ class BigramKernelSpec extends SparkSpecBase {
       s"kernel ${a.length} rows vs HOF ${b.length}")
   }
 
+  private def kernelTokens(text: String): Seq[(String, Long)] = {
+    val arr = HashUtil.tokenCounts(UTF8String.fromString(text))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getLong(1))
+    }
+  }
+
+  test("K28 token counts equal the per-occurrence reference on edge cases") {
+    val cases = Seq(
+      "", " ", "one", "a b a", "a a a a",
+      "  leading and   trailing  ", "Mixed CASE mixed case MIXED",
+      "tab\tand\nnewline separated words")
+    for (t <- cases) {
+      val got = kernelTokens(t)
+      val ref = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      assert(got.toMap == ref, s"text: '$t'")
+      assert(got.map(_._1).distinct.size == got.size, s"text: '$t'")
+      assert(got.map(_._2).sum ==
+        t.toLowerCase.split("\\s+").count(_.nonEmpty), s"text: '$t'")
+    }
+  }
+
+  test("K28 token frame byte-equals the explode spelling over the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val viaKernel = docs
+      .select(col("doc_id"),
+        explode_outer(HashFunctions.tokenCounts(col("text"))).as("tc"))
+      .filter(col("tc").isNotNull)
+      .select(col("doc_id"), col("tc.w").as("w"), col("tc.c").as("c"))
+    val viaHof = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val a = viaKernel.as[(Long, String, Long)].collect().sorted
+    val b = viaHof.as[(Long, String, Long)].collect().sorted
+    assert(a.length == b.length && a.sameElements(b),
+      s"kernel ${a.length} rows vs HOF ${b.length}")
+  }
+
   test("first-occurrence output order is deterministic") {
     val t = "b c a b c a b"
     assert(kernelPairs(t) == kernelPairs(t))

@@ -2945,8 +2945,8 @@ object PipelineQueries {
     // edges are bit-portable; every doc inside one 2-dp cell lands
     // in the same bucket on both engines by construction. Keep
     // decisions are the P5 hash-threshold (deterministic, shuffle-
-    // free). Scale shape: H7's token shuffles (shared tokFrame
-    // cache) + one tiny histogram + broadcast thresholds — the
+    // free). Scale shape: H7's count-weighted token shuffles (shared
+    // K28 fact cache) + one tiny histogram + broadcast thresholds — the
     // per-doc frame never reshuffles.
     QueryDef("p14_perplexity_buckets",
       (s, dir) => {
@@ -3531,15 +3531,16 @@ object PipelineQueries {
     QueryDef("p18_curriculum_phases",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val tok = tokFrame(s, dir)
-        val totals = tok.agg(count(lit(1)).as("__n_total"))
-        val freq = tok.groupBy(col("w")).agg(count(lit(1)).as("__cnt"))
+        // K28 distinct-grain facts, count-weighted (h7's spelling)
+        val tok = graft.operators.TrackedCache.persist(sharedTokenCounts(s, dir))
+        val totals = tok.agg(sum(col("c")).as("__n_total"))
+        val freq = tok.groupBy(col("w")).agg(sum(col("c")).as("__cnt"))
         val nll = QueryDefs.q6(-log(col("__cnt").cast("double") / col("__n_total")))
         val perDoc = tok.join(freq, "w")
           .crossJoin(broadcast(totals))
           .groupBy(col("doc_id"))
           .agg(QueryDefs.q6(
-            sum(nll.cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            sum(nll.cast("decimal(18,6)") * col("c")).cast("double") / sum(col("c")))
             .as("avg_nll"))
         val phased = perDoc.withColumn("phase",
           ntile(4).over(Window.orderBy(col("avg_nll"), col("doc_id"))))

@@ -426,12 +426,12 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(!p16.contains("size(bigramcounts"), p16.take(400))
   }
 
-  test("h7/h8/p7/p14: token facts come from the K28 kernel at distinct grain") {
+  test("h7/h8/p7/p14/p18: token facts come from the K28 kernel at distinct grain") {
     // the r9 spelling exploded one row PER TOKEN OCCURRENCE; the pin
     // is the kernel in the scan stage and the consumers reading the
     // shared cache — fact rows now scale with per-doc vocabulary
     for (q <- Seq("h7_unigram_logprob", "h8_bm25", "p7_vocab_coverage",
-                  "p14_perplexity_buckets")) {
+                  "p14_perplexity_buckets", "p18_curriculum_phases")) {
       val p = executedPlan(q)
       assert(p.toLowerCase.contains("tokencounts"), s"$q: ${p.take(400)}")
       assert(count(p, "InMemoryTableScan") >= 2, s"$q: ${p.take(400)}")

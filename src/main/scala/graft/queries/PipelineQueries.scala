@@ -277,14 +277,16 @@ object PipelineQueries {
         }
       })
     }
-    // Routed through the explicit-choice dispatcher: near-dup graphs
-    // are star-like so MinLabel is right here; a corpus with chained
-    // boilerplate would pass ComponentsAlgo.Star (same labeling,
-    // O(log² n) rounds — ComponentsSpec).
+    // Routed through the Auto policy (round 10): near-dup graphs are
+    // star-like so this IS MinLabel's round loop; a corpus whose
+    // boilerplate CHAINS components past the 5-round cap falls over
+    // to Star automatically (same labeling — ComponentsSpec) instead
+    // of running O(diameter) rounds. Callers who know the shape can
+    // still pass the explicit algo through Dedup.components.
     compMemo.getOrElseUpdate(appId + "@" + dir,
       Dedup.components(
           Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text", 4),
-          "a", "b", graft.operators.ComponentsAlgo.MinLabel)
+          "a", "b", graft.operators.ComponentsAlgo.Auto)
         .withColumnRenamed("id", "doc_id"))
   }
 

@@ -33,4 +33,19 @@ object SparkEntry {
   /** DuckDB-runnable oracle per query (absent → rows-only check). */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(d => d.oracle.map(o => d.name -> o)).toMap
+
+  /** Columns the driver's rows-only harness cannot process: its
+    * pandas row sort cannot factorize array/struct/map/binary cells
+    * (r9: i7 recorded err instead of a row count). ONE definition
+    * consumed by BOTH the Verify runtime guard and the OperatorsSpec
+    * mirror, so the two can never drift apart.
+    */
+  def harnessHostileFields(schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    import org.apache.spark.sql.types._
+    schema.fields.toSeq.filter(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+      case _ => false
+    })
+  }
 }

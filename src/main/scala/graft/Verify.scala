@@ -29,13 +29,7 @@ object Verify {
         // binary cells (r9: i7 recorded err, not even a row count).
         // Fail fast HERE so a hostile column never reaches the driver.
         if (!oracled.contains(name)) {
-          val bad = df.schema.fields.filter(f => f.dataType match {
-            case _: org.apache.spark.sql.types.ArrayType  => true
-            case _: org.apache.spark.sql.types.MapType    => true
-            case _: org.apache.spark.sql.types.StructType => true
-            case org.apache.spark.sql.types.BinaryType    => true
-            case _ => false
-          })
+          val bad = SparkEntry.harnessHostileFields(df.schema)
           if (bad.nonEmpty) throw new IllegalStateException(
             s"rows-only query emits harness-hostile columns: " +
               bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ") +

@@ -424,9 +424,13 @@ object Dedup {
       // the measured-crossover policy: MinLabel capped past every
       // observed near-dup convergence; a tripped cap means the graph
       // is chain-like (the regime Star wins 2.9×) — rerun with Star.
-      val (labels, converged) = minLabelRounds(edges, aCol, bCol, AutoRoundCap)
+      // The caller's maxIter is honored on BOTH legs: it can tighten
+      // the MinLabel prefix below the cap, and the Star fallback gets
+      // the same max(maxIter, 30) budget as the explicit Star case.
+      val (labels, converged) =
+        minLabelRounds(edges, aCol, bCol, math.min(AutoRoundCap, maxIter))
       if (converged) labels
-      else connectedComponentsStar(edges, aCol, bCol, 30)
+      else connectedComponentsStar(edges, aCol, bCol, math.max(maxIter, 30))
   }
 
   /** MinLabel round cap for [[ComponentsAlgo.Auto]]: near-dup graphs

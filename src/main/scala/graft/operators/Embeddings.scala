@@ -707,9 +707,22 @@ object Embeddings {
     val assignFrame = kmeansAssignments(df, init, idCol, vecCol, iters)
     val key = (appId, assignFrame.queryExecution.analyzed.canonicalized,
       tau, algo)
-    val memoed = semanticDedupMemo.computeIfAbsent(key, _ =>
-      TrackedCache.persist(
-        semanticDedupCompute(assignFrame, idCol, vecCol, tau, algo)))
+    // compute OUTSIDE the map, publish with putIfAbsent: CHM forbids
+    // long-running mapping functions — computeIfAbsent would hold the
+    // bin lock for the whole training+label pipeline, serializing
+    // unrelated same-bin parameterizations (and deadlocking on any
+    // re-entrant path). Worst case two racing threads both compute;
+    // the loser's frame is just an extra unpersist-managed cache entry.
+    val memoed = {
+      val existing = semanticDedupMemo.get(key)
+      if (existing != null) existing
+      else {
+        val fresh = TrackedCache.persist(
+          semanticDedupCompute(assignFrame, idCol, vecCol, tau, algo))
+        val raced = semanticDedupMemo.putIfAbsent(key, fresh)
+        if (raced != null) raced else fresh
+      }
+    }
     // a TrackedCache.release between invocations unpersists the frame
     // but leaves the memo entry valid (its plan recomputes from the
     // checkpointed label RDDs); re-register so the cached-read

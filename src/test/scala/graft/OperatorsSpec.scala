@@ -34,14 +34,10 @@ class OperatorsSpec extends SparkSpecBase {
     // the driver's rows-only harness sorts result rows through pandas,
     // which cannot factorize array/struct/map/binary cells (r9: i7
     // recorded err instead of a row count). Guard ALL no-oracle
-    // entries here, mirroring Verify's runtime check.
-    import org.apache.spark.sql.types._
+    // entries here via the SAME predicate Verify's runtime check uses.
     val oracled = SparkEntry.oracleSql.keySet
     SparkEntry.allDefs.filterNot(d => oracled.contains(d.name)).foreach { d =>
-      val bad = d.run(spark, sf).schema.fields.filter(f => f.dataType match {
-        case _: ArrayType | _: MapType | _: StructType | BinaryType => true
-        case _ => false
-      })
+      val bad = SparkEntry.harnessHostileFields(d.run(spark, sf).schema)
       assert(bad.isEmpty,
         s"${d.name} emits harness-hostile columns: " +
           bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(","))

@@ -903,6 +903,67 @@ case class LinearClassifierScore(child: Expression, weights: Seq[Long])
     copy(child = newChild)
 }
 
+/** Multiclass hashed char-n-gram language scores as ONE native kernel
+  * (K29) — the serving pass of the H20 trained language classifier
+  * (the fasttext-shaped stage CCNet/C4 run; Wenzek et al. 2020 §3.2,
+  * Joulin et al. 2017 model family): SQL-substr-equivalent n-grams of
+  * the LOWERCASED text (clamped like [[GramHashes64]]: a shorter-than-n
+  * text yields one whole-text gram, so no doc is scoreless), bucket =
+  * md5prefix64(gram) mod k, and the L per-language Naive-Bayes
+  * log-likelihood dot products scores[l] = Σ weights(l)(bucket) — all
+  * computed in one compiled pass over the UTF8String. The composed
+  * spelling (a transform+substr bucket array plus L interpreted
+  * `aggregate` folds) evaluates an interpreted lambda per gram PER
+  * LANGUAGE; this walks the grams once and updates all L integer
+  * scores per gram. Weights are integer-micro NB log-likelihoods
+  * (driver literals — the trained-model-as-literal contract of
+  * K24/G7b), so each score is an exact BIGINT and the downstream
+  * argmax is engine-portable. Returns struct(n_grams, scores).
+  */
+case class LangGramScores(child: Expression, weights: Seq[Seq[Long]], n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+  require(weights.nonEmpty && weights.forall(_.length == weights.head.length)
+    && weights.head.nonEmpty, "weights must be a non-empty rectangular L x k matrix")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_grams",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("scores",
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+      nullable = false)))
+
+  @transient private lazy val w: Array[Array[Long]] = weights.map(_.toArray).toArray
+
+  /** Public: invoked from generated code via an object reference. */
+  def score(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = v.toLowerCase // parity with lower(text), same as K24
+    val k = w(0).length
+    val nl = w.length
+    val m = math.max(s.numChars() - n + 1, 1)
+    val scores = new Array[Long](nl)
+    var i = 0
+    while (i < m) {
+      val b = (HashUtil.md5Prefix64(s.substringSQL(i + 1, n)) % k).toInt
+      var l = 0
+      while (l < nl) { scores(l) += w(l)(b); l += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      m.toLong, org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(scores)))
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langScorer", this, classOf[LangGramScores].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.score($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangGramScores =
+    copy(child = newChild)
+}
+
 /** True O(n) rolling k-gram hash (Rabin–Karp over code points) — see
   * [[HashUtil.rollingGramHashes]].
   */
@@ -1121,6 +1182,12 @@ object HashFunctions {
     */
   def classifierScore(c: Column, weights: Seq[Long]): Column =
     ColumnBridge.column(LinearClassifierScore(ColumnBridge.expression(c), weights))
+
+  /** Multiclass char-n-gram language scores struct(n_grams, scores)
+    * (native, codegen'd) — see [[LangGramScores]].
+    */
+  def langGramScores(c: Column, weights: Seq[Seq[Long]], n: Int): Column =
+    ColumnBridge.column(LangGramScores(ColumnBridge.expression(c), weights, n))
 
   /** 32-bit SimHash fingerprint (native, codegen'd) — see [[SimHash32]]. */
   def simhash32(c: Column): Column =

@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** H20 — TRAINED multilingual language identification, the
+  * production-grade replacement for H3's stopword-hit heuristic.
+  *
+  * CCNet (Wenzek et al. 2020 §3.2), C4 and RefinedWeb all run language
+  * ID as a trained fasttext-family classifier (Joulin et al. 2017)
+  * over character n-gram features — not a stopword table. This is
+  * that stage re-expressed with the repo's existing machinery: the
+  * P20 Naive-Bayes training recipe generalized from 2 classes to L
+  * languages, hashed char-TRIGRAM buckets as the feature space (the
+  * hashing trick — vocabulary unbounded, model fixed-size), and
+  * serving through a K24-style compiled kernel
+  * ([[graft.functions.LangGramScores]]) that computes all L
+  * per-language scores in one pass per document.
+  *
+  * Model: per language l and bucket b,
+  *   w_l[b] = ln((c_l[b] + 1) / (T_l + k))      (add-1 smoothing)
+  * quantized to integer MICROS (the DSIR/P20 treatment), so a doc's
+  * per-language score Σ_grams w_l[bucket(gram)] is an exact BIGINT
+  * dot product and the argmax is engine-portable despite the
+  * transcendental ln. Equal class priors are assumed (every doc
+  * contributes the same gram count to every class's score), so the
+  * prior term cancels in the argmax.
+  *
+  * Scale shape: training = one corpus gram explode + ONE
+  * map-side-combined (lang, bucket) aggregation (≤ L·k rows out —
+  * 1280 here — at ANY corpus size) + one L-row totals broadcast; the
+  * corpus never shuffles on anything wider than a bucket id. The
+  * trained table is driver-collected by design (L·k longs — the
+  * codebook-collect contract) and serving is a row-local compiled
+  * kernel: a pure map stage, streaming-safe, zero joins.
+  *
+  * Training data: the driver's corpus carries language LABELS
+  * (`documents.lang` — what p5/p11/p24 key on) but its synthetic text
+  * is language-free word salad, so the multilingual text slice is
+  * SYNTHESIZED deterministically per doc IN ITS LABELED LANGUAGE
+  * (words selected from the per-language vocabularies below by md5
+  * hashes of (doc_id, position)). Both engines rebuild the identical
+  * slice from the ONE Scala vocabulary table, so the DuckDB oracle
+  * replays train→apply end-to-end — and the spec can measure the
+  * trained model against H3's heuristic on the same labeled slice.
+  */
+object LangClassifier {
+
+  /** The corpus's label set, alphabetical — also the deterministic
+    * argmax preference order.
+    */
+  val Langs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Per-language vocabularies (24 words each, lowercase ASCII — no
+    * case/unicode normalization hazards between engines; zh as pinyin
+    * romanization, which is how an ASCII-clean corpus would surface
+    * it). Real high-frequency words so the char-trigram distributions
+    * are genuinely language-shaped, including cross-language trigram
+    * collisions ("und"/"and", es/fr latin roots) that a stopword-hit
+    * table scores as ties.
+    */
+  val Vocabs: Map[String, Seq[String]] = Map(
+    "de" -> Seq("und", "der", "die", "das", "nicht", "sich", "auch", "wenn",
+      "aber", "nach", "durch", "zwischen", "wichtig", "immer", "schon",
+      "jetzt", "jahren", "menschen", "sprache", "wasser", "bitte", "danke",
+      "zeit", "welt"),
+    "en" -> Seq("the", "and", "that", "have", "with", "this", "from", "they",
+      "would", "there", "their", "about", "which", "people", "time", "years",
+      "water", "language", "thank", "please", "world", "could", "should",
+      "because"),
+    "es" -> Seq("que", "los", "las", "por", "con", "para", "una", "este",
+      "desde", "cuando", "entre", "siempre", "ahora", "tiempo", "agua",
+      "gracias", "idioma", "mundo", "gente", "sobre", "pero", "nunca",
+      "hasta", "donde"),
+    "fr" -> Seq("les", "des", "une", "est", "pas", "pour", "dans", "avec",
+      "sur", "mais", "quand", "toujours", "maintenant", "temps", "eau",
+      "merci", "langue", "monde", "gens", "depuis", "cette", "jamais",
+      "aussi", "encore"),
+    "zh" -> Seq("zhongguo", "renmen", "shijian", "shui", "xiexie", "qing",
+      "shijie", "yuyan", "xianzai", "yizhi", "yihou", "yinwei", "suoyi",
+      "women", "nimen", "tamen", "shenme", "zhege", "keyi", "meiyou",
+      "zhidao", "xihuan", "pengyou", "mingtian"))
+
+  val WordsPerDoc = 12
+  val VocabSize = 24
+  val GramN = 3
+  val Buckets = 256
+
+  /** 0-based index of the doc's labeled language in [[Langs]] — a
+    * CASE chain (not array_position: return-type/null conventions
+    * differ across engines). An out-of-set label falls back to 'en'
+    * (index 1); both engines apply the same fallback, so oracles
+    * stay bit-exact even if the label domain ever grows.
+    */
+  private def langIdx(lang: Column): Column =
+    Langs.zipWithIndex.filter(_._1 != "en")
+      .foldLeft(lit(1): Column) { case (acc, (l, i)) =>
+        when(lang === l, i).otherwise(acc)
+      } // 'en' is the ELSE arm; de/es/fr/zh matched explicitly
+
+  /** The deterministic multilingual slice: one synthetic doc per
+    * corpus doc, in its LABELED language — text = 12 vocabulary words
+    * selected by md5prefix64(doc_id:pos) mod 24. Scales with SF (one
+    * row per corpus doc) and replays exactly in SQL.
+    */
+  def synthDocs(docs: DataFrame): DataFrame = {
+    val vocabLit = array(Langs.map(l => array(Vocabs(l).map(lit): _*)): _*)
+    val li = langIdx(col("lang")).cast("int")
+    val text = concat_ws(" ",
+      transform(sequence(lit(0), lit(WordsPerDoc - 1)), p =>
+        element_at(element_at(vocabLit, li + 1),
+          (HashFunctions.md5prefix64(
+            concat(col("doc_id").cast("string"), lit(":"), p.cast("string")))
+            % VocabSize).cast("int") + 1)))
+    docs.select(col("doc_id"), col("lang"), text.as("text"))
+  }
+
+  /** Composed bucket-array spelling (the oracle's shape, and the
+    * kernel-equivalence reference): char n-gram buckets of an ALREADY
+    * LOWERCASED, MATERIALIZED text column (an inlined lower() would
+    * re-evaluate per gram position — the documented O(n²) trap).
+    */
+  def charGramBuckets(lowered: Column, n: Int = GramN, k: Int = Buckets): Column =
+    transform(
+      sequence(lit(1), greatest(length(lowered) - (n - 1), lit(1))),
+      i => HashFunctions.md5prefix64(lowered.substr(i, lit(n))) % k)
+
+  /** Train the L·k weight table: (lang, b, c, weight_u), one row per
+    * (language, bucket) — buckets unseen for a language still get
+    * their smoothing-only weight.
+    */
+  def trainLangWeights(docs: DataFrame, textCol: String, langCol: String,
+                       langs: Seq[String] = Langs, n: Int = GramN,
+                       k: Int = Buckets): DataFrame = {
+    val spark = docs.sparkSession
+    val g = docs
+      .withColumn("__lt", lower(col(textCol)))
+      .select(col(langCol).as("lang"),
+        explode(charGramBuckets(col("__lt"), n, k)).as("b"))
+    val counts = g.groupBy("lang", "b").agg(count(lit(1)).as("c"))
+    val langsDf = spark.createDataFrame(langs.map(l => Tuple1(l))).toDF("lang")
+    val grid = langsDf.crossJoin(spark.range(k).select(col("id").as("b")))
+    val totals = counts.groupBy("lang").agg(sum("c").as("t"))
+    grid.join(counts, Seq("lang", "b"), "left").na.fill(0L, Seq("c"))
+      .join(broadcast(totals), Seq("lang"), "left").na.fill(0L, Seq("t"))
+      .withColumn("weight_u", floor(
+        log((col("c") + 1).cast("double") / (col("t") + k).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .select("lang", "b", "c", "weight_u")
+  }
+
+  /** Driver-side L×k weight matrix in `langs` order (the
+    * codebook-collect contract: L·k longs by construction).
+    */
+  def collectLangWeights(weights: DataFrame, langs: Seq[String] = Langs,
+                         k: Int = Buckets): Seq[Seq[Long]] = {
+    val m = weights.select("lang", "b", "weight_u").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    require(m.size == langs.length * k,
+      s"expected ${langs.length * k} weights, got ${m.size}")
+    langs.map(l => (0 until k).map(b => m((l, b.toLong))))
+  }
+
+  /** Deterministic argmax with `langs`-order preference on ties (the
+    * h3 langPredict convention): branch i fires iff its score >= all
+    * LATER scores — the winner is the earliest index attaining the
+    * max, over exact BIGINT scores, so the CASE chain replays in SQL.
+    */
+  def predictLang(scores: Seq[Column], langs: Seq[String] = Langs): Column =
+    langs.indices.init.foldRight(lit(langs.last): Column) { (i, rest) =>
+      when(langs.indices.drop(i + 1)
+        .map(j => scores(i) >= scores(j)).reduce(_ && _), langs(i))
+        .otherwise(rest)
+    }
+
+  /** Score + classify every doc through the K29 compiled kernel —
+    * one pass per doc, all L scores, zero joins (weights are inlined
+    * literals; a model swap changes L·k literals, not the plan).
+    */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+               weights: Seq[Seq[Long]], langs: Seq[String] = Langs,
+               n: Int = GramN): DataFrame = {
+    val scored = docs.withColumn("__ls",
+      HashFunctions.langGramScores(col(textCol), weights, n))
+    val scoreCols = langs.indices.map(i =>
+      element_at(col("__ls.scores"), i + 1))
+    scored.select(
+      Seq(col(idCol), col("__ls.n_grams").as("n_grams")) ++
+        langs.indices.map(i => scoreCols(i).as(s"s_${langs(i)}")) :+
+        predictLang(scoreCols, langs).as("pred_lang"): _*)
+  }
+
+  // ---- SQL rendering (the ONE-source contract: both engines build
+  // the slice and the model from the Scala tables above) ----
+
+  /** DuckDB literal for the language list. */
+  def sqlLangList: String = Langs.map(l => s"'$l'").mkString("[", ", ", "]")
+
+  /** DuckDB literal for the nested vocab list, Langs order. */
+  def sqlVocabList: String =
+    Langs.map(l => Vocabs(l).map(w => s"'$w'").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
+  /** DuckDB spelling of [[langIdx]] (0-based, 'en' fallback). */
+  def sqlLangIdx(lang: String): String =
+    "CASE " + Langs.zipWithIndex.filter(_._1 != "en")
+      .map { case (l, i) => s"WHEN $lang = '$l' THEN $i" }
+      .mkString(" ") + " ELSE 1 END"
+
+  /** DuckDB CTE rebuilding the synthetic slice: `synth(doc_id, lang,
+    * text)`. Kept as a fragment so both h20 oracles share it verbatim.
+    */
+  def sqlSynthCte: String =
+    s"""synth AS (
+       |  SELECT doc_id, lang,
+       |    array_to_string(list_transform(range(0, $WordsPerDoc), p ->
+       |      ($sqlVocabList)[${sqlLangIdx("lang")} + 1]
+       |        [CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 15))::BIGINT % $VocabSize AS INT) + 1]),
+       |      ' ') AS text
+       |  FROM documents)""".stripMargin
+
+  /** DuckDB CTEs training the model from a `train(lang, text)` CTE in
+    * scope: yields `lam(lang, b, c, weight_u)`.
+    */
+  def sqlTrainCtes: String =
+    s"""g0 AS (
+       |  SELECT lang, unnest(list_transform(range(1, greatest(length(text) - ${GramN - 1}, 1) + 1),
+       |    i -> substr(lower(text), CAST(i AS INT), $GramN))) AS gr
+       |  FROM train),
+       |g AS (SELECT lang, ('0x' || substr(md5(gr), 1, 15))::BIGINT % $Buckets AS b FROM g0),
+       |cnt AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY lang, b),
+       |grid AS (
+       |  SELECT l.lang, r.b FROM (SELECT unnest($sqlLangList) AS lang) l
+       |  CROSS JOIN (SELECT unnest(range(0, $Buckets)) AS b) r),
+       |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
+       |lam AS (
+       |  SELECT grid.lang, grid.b, COALESCE(cnt.c, 0) AS c,
+       |    CAST(floor(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
+       |      / CAST(COALESCE(tot.t, 0) + $Buckets AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS weight_u
+       |  FROM grid LEFT JOIN cnt ON grid.lang = cnt.lang AND grid.b = cnt.b
+       |  LEFT JOIN tot ON grid.lang = tot.lang)""".stripMargin
+
+  /** DuckDB spelling of the argmax CASE chain over score columns
+    * named s_<lang> in `langs` order.
+    */
+  def sqlPredict(langs: Seq[String] = Langs): String =
+    "CASE " + langs.indices.init.map { i =>
+      val conds = langs.indices.drop(i + 1)
+        .map(j => s"s_${langs(i)} >= s_${langs(j)}").mkString(" AND ")
+      s"WHEN $conds THEN '${langs(i)}'"
+    }.mkString(" ") + s" ELSE '${langs.last}' END"
+}

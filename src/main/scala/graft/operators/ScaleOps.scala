@@ -50,6 +50,52 @@ object ScaleOps {
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** E14e — deterministic FIXED-GRID mergeable quantile sketch: the
+    * e13f treatment applied to quantiles (respell the sketch so its
+    * merge commutes and every step replays exactly in SQL — which
+    * t-digest/GK internals, order-dependent and float-centroid-based,
+    * cannot).
+    *
+    * Sketch = per (group, grid cell) counts, cell = floor(value·G)
+    * (integer). Merging two sketches is counter ADDITION — commutative
+    * and associative, so the sketch is byte-identical under ANY
+    * partitioning or merge order (the mergeable-summaries property
+    * that matters at 100 TB: map-side combine applies, the shuffle
+    * carries one row per OCCUPIED cell — bounded by value-range/step,
+    * never by row count). Quantile read-out is INTEGER-RANK: the
+    * q-quantile estimate is the smallest cell whose cumulative count
+    * reaches ceil(q·n) — pure BIGINT arithmetic, no interpolation, no
+    * floats anywhere — and is the true quantile's cell, so the error
+    * is bounded by one grid step by construction.
+    */
+  def gridQuantileSketch(df: DataFrame, groupCol: String, valueCol: String,
+                         gridPerUnit: Int = 1): DataFrame =
+    df.groupBy(col(groupCol),
+        floor(col(valueCol) * gridPerUnit).cast("long").as("cell"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Read quantiles out of a [[gridQuantileSketch]]: for each q (in
+    * PERCENT, integer — the rank arithmetic stays exact), the lower
+    * edge cell of the bucket containing the ceil(q·n/100)-th smallest
+    * value. The cumulative window runs over the SKETCH (cells per
+    * group ≤ value-range · G), never the corpus.
+    */
+  def gridQuantiles(sketch: DataFrame, groupCol: String,
+                    qsPercent: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("cell")
+    val cum = sketch.withColumn("cum", sum(col("c")).over(w))
+    val n = sketch.groupBy(groupCol).agg(
+      sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    val aggs = qsPercent.map { q =>
+      min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"), col("cell")))
+        .as(s"p${q}_cell")
+    }
+    cum.join(n, Seq(groupCol))
+      .groupBy(col(groupCol), col("n"), col("n_cells"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Scalable prefix sum over a dense numeric order column — the
     * two-level scan: bucket by order-range, per-bucket partial sums,
     * a cumsum over the (tiny) bucket totals broadcast back as

@@ -685,6 +685,46 @@ object RelationalQueries {
         quantile_cont(value, 0.75) AS p75
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // E14e: deterministic FIXED-GRID mergeable quantile sketch — the
+    // e13f treatment applied to quantiles, closing e14b's rows-only
+    // class: t-digest/GK internals are order-dependent float state no
+    // SQL engine replays, so respell the summary as per-(group, grid
+    // cell) COUNTS (merge = addition — commutes, partition-invariant,
+    // map-side combined; the shuffle carries one row per OCCUPIED
+    // cell, bounded by value-range·G, never by row count) and read
+    // quantiles out at INTEGER RANKS (smallest cell whose cumulative
+    // count reaches ceil(q·n) — pure BIGINT, no interpolation). The
+    // estimate is the true quantile's cell, so error ≤ one grid step
+    // by construction; the cumulative window runs over the SKETCH
+    // (≤ ~500 cells/group here), never the corpus. Fully oracled —
+    // what e14b's approx_percentile internals can never be.
+    QueryDef("e14e_grid_quantile_sketch",
+      (s, dir) => {
+        val sk = graft.operators.ScaleOps.gridQuantileSketch(
+          Tables.events(s, dir), "event_type", "value")
+        graft.operators.ScaleOps.gridQuantiles(
+            sk, "event_type", Seq(25, 50, 75, 95))
+          .orderBy("event_type")
+      },
+      Some("""WITH sk AS (
+          SELECT event_type, CAST(floor(value) AS BIGINT) AS cell,
+            CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY event_type, cell),
+        n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+            CAST(COUNT(*) AS BIGINT) AS n_cells
+          FROM sk GROUP BY event_type),
+        cum AS (SELECT event_type, cell,
+            CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cell) AS BIGINT) AS cum
+          FROM sk)
+        SELECT c.event_type, n.n, n.n_cells,
+          MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN cell END) AS p25_cell,
+          MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cell END) AS p50_cell,
+          MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN cell END) AS p75_cell,
+          MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN cell END) AS p95_cell
+        FROM cum c JOIN n USING (event_type)
+        GROUP BY c.event_type, n.n, n.n_cells
+        ORDER BY event_type""")),
+
     QueryDef("e15_set_ops",
       (s, dir) => {
         val ev = Tables.events(s, dir)

@@ -929,6 +929,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming", "n_bands")
   }
+
+  /** Hamming-1 band-PROBE pairs — the SECOND band pass that closes
+    * [[hammingBandPairsWide]]'s radius cliff (multi-index hashing
+    * with per-band probing, Norouzi et al. 2012 §3.2): the PROBE
+    * side's band values fan out to themselves plus every single-bit
+    * flip (width+1 values per band), then equi-join the index side's
+    * exact band values — a pair matches iff some band is within
+    * Hamming 1, which pigeonhole guarantees whenever the total
+    * distance ≤ 2·nBands − 1 (15 at 8 bands). Emits only pairs with
+    * `minHamming < hamming ≤ maxHamming`: the ≤ minHamming pairs are
+    * the FIRST pass's, so a two-pass screen never re-finds them.
+    *
+    * Cost model (why this is a second pass over a RESIDUAL, not the
+    * default): probe fan-out is nBands·(width+1) rows per probe-side
+    * asset (72 at 8×8-bit) — candidate volume ≈ (width+1)× the exact
+    * band join's. Confining the probe side to first-pass-unmatched
+    * assets keeps that multiplier off the corpus bulk (the i5c/i5d
+    * lever: the measured 2-in-500 drift-8 tail lives entirely in the
+    * unmatched residual, because a missed pair's endpoints matched
+    * nothing). Pairs are normalized least/greatest, so probe-side ×
+    * index-side double-hits collapse in the same aggregation that
+    * counts band hits.
+    */
+  def hammingBandProbePairs(probe: DataFrame, index: DataFrame,
+                            idCol: String, printCol: String,
+                            minHamming: Int, maxHamming: Int,
+                            nBands: Int = 8): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(maxHamming <= 2 * nBands - 1,
+      s"Hamming-1 probing over $nBands bands is only lossless to radius ${2 * nBands - 1}")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def bandCol(b: Int) =
+      shiftright(col(printCol), b * width).bitwiseAND(lit(mask))
+    val probed = probe.select(col(idCol), col(printCol),
+        explode(array((0 until nBands).flatMap { b =>
+          struct(lit(b).as("band"), bandCol(b).as("bv")) +:
+            (0 until width).map(j =>
+              struct(lit(b).as("band"),
+                bandCol(b).bitwiseXOR(lit(1L << j)).as("bv")))
+        }: _*)).as("bb"))
+      .select(col(idCol).as("pa"), col(printCol).as("spa"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val indexed = index.select(col(idCol), col(printCol),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"), bandCol(b).as("bv"))
+        }: _*)).as("bb"))
+      .select(col(idCol).as("pb"), col(printCol).as("spb"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    probed.join(indexed, Seq("band", "bv")).filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("a"),
+        greatest(col("pa"), col("pb")).as("b"),
+        when(col("pa") < col("pb"), col("spa")).otherwise(col("spb")).as("sa"),
+        when(col("pa") < col("pb"), col("spb")).otherwise(col("spa")).as("sb"))
+      .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
+      .filter(col("hamming") > minHamming && col("hamming") <= maxHamming)
+      .select("a", "b", "hamming", "n_bands")
+  }
 }
 
 /** Algorithm selector for [[Dedup.components]] and its consumers. */

@@ -176,6 +176,53 @@ object Multimodal {
       .select("a", "b", "hamming", "hamming256", "n_bands")
   }
 
+  /** [[mediaNearDupPairsPrecise]] plus the SECOND band pass that
+    * closes the measured candidate tail (i5d: 2 of 500 planted dups
+    * drift to 64-bit Hamming 8, past the radius-7 exact-band stage —
+    * 99.6 % candidate recall): assets left UNMATCHED by pass 1 probe
+    * the full print index with Hamming-1 band probing
+    * ([[Dedup.hammingBandProbePairs]], lossless to radius 15),
+    * keeping pairs in (maxHamming, radius2], each still confirmed on
+    * the 256-bit code. The (width+1)× probe fan-out is confined to
+    * the residual — the stated i5d lever ("a second pass over
+    * first-pass misses, not a wider radius everywhere"): a
+    * first-pass-missed pair's endpoints matched nothing, so both
+    * live in the residual and the pair is recovered. (A pair whose
+    * BOTH endpoints already matched other copies is not re-sought —
+    * those assets are already in dup groups; component resolution
+    * merges them downstream if their groups share members.)
+    * `radius2 = 10` holds margin over the measured drift tail (8)
+    * while staying under the measured distinct floor (12); the
+    * confirm gate, not the radius, is the precision keeper. Output
+    * adds `pass` ('band7' / 'probe') for audit.
+    */
+  def mediaNearDupPairsPrecise2(spark: SparkSession, records: Dataset[MediaRecord],
+                                maxHamming: Int = 7, radius2: Int = 10,
+                                confirm256: Int = 75): DataFrame = {
+    val hashes = graft.operators.TrackedCache.persist(
+      realPHashes2(spark, records).toDF()
+        .select(col("doc_id"), col("phash"), col("phash256")))
+    val prints = hashes.select("doc_id", "phash")
+    val ha = hashes.select(col("doc_id").as("a"), col("phash256").as("pa"))
+    val hb = hashes.select(col("doc_id").as("b"), col("phash256").as("pb"))
+    def confirm(cand: DataFrame): DataFrame =
+      cand.join(ha, Seq("a")).join(hb, Seq("b"))
+        .withColumn("hamming256", expr(
+          """aggregate(zip_with(pa, pb, (x, y) -> bit_count(x ^ y)),
+             0, (acc, v) -> acc + v)"""))
+        .filter(col("hamming256") <= confirm256)
+        .select("a", "b", "hamming", "hamming256", "n_bands")
+    val p1 = graft.operators.TrackedCache.persist(confirm(
+      Dedup.hammingBandPairsWide(prints, "doc_id", "phash", maxHamming, nBands = 8)))
+    val matched = p1.select(col("a").as("doc_id"))
+      .unionByName(p1.select(col("b").as("doc_id"))).distinct()
+    val residual = prints.join(matched, Seq("doc_id"), "left_anti")
+    val p2 = confirm(Dedup.hammingBandProbePairs(
+      residual, prints, "doc_id", "phash", maxHamming, radius2, nBands = 8))
+    p1.withColumn("pass", lit("band7"))
+      .unionByName(p2.withColumn("pass", lit("probe")))
+  }
+
   /** Resize parameter plumbing (I3): pure-metadata transform computing
     * target dims with aspect preserved. Works on any frame with
     * width/height columns (the oracle-checked path uses I1's

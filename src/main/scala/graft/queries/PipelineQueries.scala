@@ -2634,7 +2634,16 @@ object PipelineQueries {
             min(col("h256")).as("min_h256"),
             max(col("h256")).as("max_h256"),
             max(col("h64")).as("max_h64"),
-            sum(when(col("h64") <= 7, 1L).otherwise(0L)).as("n_cand64"))
+            sum(when(col("h64") <= 7, 1L).otherwise(0L)).as("n_cand64"),
+            // TWO-PASS candidate recall (r11): pairs surfaced by the
+            // radius-7 exact-band stage OR the Hamming-1 band-probe
+            // second pass over its misses (h64 ≤ 10, the shipped
+            // radius2 — mediaNearDupPairsPrecise2). The r10 report
+            // measured the 2-in-500 drift-8 tail; this column records
+            // the second pass recovering it: n_cand64_p2 == n_pairs
+            // for dups (100 % candidate recall at the operating
+            // point), still 0 for distinct probes (floor ≥ 12).
+            sum(when(col("h64") <= 10, 1L).otherwise(0L)).as("n_cand64_p2"))
           .orderBy("pop", "threshold")
       },
       None),
@@ -3684,6 +3693,89 @@ object PipelineQueries {
           SELECT source, r5.r AS rank, n_docs
           FROM docs JOIN r5 ON source = 'src' || CAST(r5.v AS VARCHAR)
           ORDER BY source"""
+      }),
+
+    // H20: TRAINED multilingual language-ID — the model table. The
+    // CCNet/C4 lang-ID stage (a trained fasttext-family classifier,
+    // Wenzek et al. 2020 §3.2) replacing h3's stopword heuristic:
+    // P20's Naive-Bayes recipe generalized to L=5 classes over 256
+    // hashed char-TRIGRAM buckets, trained on the deterministic
+    // multilingual slice synthesized per doc in its LABELED language
+    // (documents.lang — the column p5/p11/p24 key on; the corpus text
+    // itself is language-free salad). Weights are integer-micro NB
+    // log-likelihoods (the DSIR/P20 quantization), so serving scores
+    // are exact BIGINTs. Scale shape: one gram explode + ONE
+    // map-side-combined (lang, bucket) agg — ≤ 1280 rows out at ANY
+    // corpus size — + an L-row totals broadcast.
+    QueryDef("h20_train_lang_id",
+      (s, dir) => {
+        val synth = graft.operators.LangClassifier.synthDocs(
+          Tables.documents(s, dir))
+        QueryDefs.sortedSmall(
+          graft.operators.LangClassifier.trainLangWeights(
+            synth.filter(pmod(col("doc_id"), lit(10)) < 7), "text", "lang"),
+          col("lang"), col("b"))
+      },
+      Some {
+        val lc = graft.operators.LangClassifier
+        s"""WITH ${lc.sqlSynthCte},
+          train AS (SELECT lang, text FROM synth WHERE doc_id % 10 < 7),
+          ${lc.sqlTrainCtes}
+          SELECT lang, b, c, weight_u FROM lam ORDER BY lang, b"""
+      }),
+
+    // H20b: the trained classifier APPLIED end-to-end — train on the
+    // 70% doc_id-hash slice, classify the HELD-OUT 30% through the
+    // K29 compiled kernel (one pass per doc, all 5 scores, zero
+    // joins — weights are driver literals, the K24/G7b trained-model
+    // contract; a model swap changes 1280 literals, not the plan).
+    // Argmax is a CASE chain over exact BIGINT scores with
+    // alphabetical tie preference (h3's convention), so the oracle
+    // replays train→apply bit-exactly. `correct` makes the entry its
+    // own accuracy instrument; the spec pins held-out accuracy ≥ the
+    // h3 heuristic on the same labeled slice.
+    QueryDef("h20_lang_classify",
+      (s, dir) => {
+        val lc = graft.operators.LangClassifier
+        val synth = lc.synthDocs(Tables.documents(s, dir))
+        val w = lc.collectLangWeights(lc.trainLangWeights(
+          synth.filter(pmod(col("doc_id"), lit(10)) < 7), "text", "lang"))
+        val hold = synth.filter(pmod(col("doc_id"), lit(10)) >= 7)
+        QueryDefs.sortedSmall(
+          lc.classify(hold, "doc_id", "text", w)
+            .join(hold.select("doc_id", "lang"), Seq("doc_id"))
+            .withColumn("correct", col("pred_lang") === col("lang"))
+            .select("doc_id", "lang", "n_grams", "s_de", "s_en", "s_es",
+              "s_fr", "s_zh", "pred_lang", "correct"),
+          col("doc_id"))
+      },
+      Some {
+        val lc = graft.operators.LangClassifier
+        val pivs = lc.Langs.map(l =>
+          s"CAST(SUM(CASE WHEN ln = '$l' THEN s ELSE 0 END) AS BIGINT) AS s_$l")
+          .mkString(",\n            ")
+        s"""WITH ${lc.sqlSynthCte},
+          train AS (SELECT lang, text FROM synth WHERE doc_id % 10 < 7),
+          ${lc.sqlTrainCtes},
+          hold AS (SELECT * FROM synth WHERE doc_id % 10 >= 7),
+          hg0 AS (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${lc.GramN - 1}, 1) + 1),
+              i -> substr(lower(text), CAST(i AS INT), ${lc.GramN}))) AS gr
+            FROM hold),
+          hg AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT % ${lc.Buckets} AS b FROM hg0),
+          sc AS (
+            SELECT doc_id, lam.lang AS ln, CAST(COUNT(*) AS BIGINT) AS ng,
+              CAST(SUM(weight_u) AS BIGINT) AS s
+            FROM hg JOIN lam ON hg.b = lam.b GROUP BY doc_id, lam.lang),
+          piv AS (
+            SELECT doc_id, CAST(MAX(ng) AS BIGINT) AS n_grams,
+            $pivs
+            FROM sc GROUP BY doc_id)
+          SELECT p.doc_id, h.lang, p.n_grams, s_de, s_en, s_es, s_fr, s_zh,
+            ${lc.sqlPredict()} AS pred_lang,
+            (${lc.sqlPredict()}) = h.lang AS correct
+          FROM piv p JOIN hold h ON p.doc_id = h.doc_id
+          ORDER BY p.doc_id"""
       })
   )
 

@@ -175,15 +175,61 @@ class MediaCodecSpec extends SparkSpecBase {
     assert(dup.getAs[Long]("n_confirmed") == dup.getAs[Long]("n_pairs"))
     assert(dup.getAs[Long]("n_pairs") > 0)
     assert(dist.getAs[Long]("n_confirmed") == 0L)
-    // the measured gap itself, as rows a user can query
-    assert(dup.getAs[Int]("max_h256") <= 58, dup.toString)
-    assert(dist.getAs[Int]("min_h256") >= 94, dist.toString)
-    // candidate-stage recall: the radius-7 banding surfaces 498 of
-    // the 500 planted dups (TWO pairs drift to 64-bit Hamming 8 —
-    // the measured 2-in-500 tail the report exists to expose) and
-    // zero distinct probes
-    assert(dup.getAs[Long]("n_cand64") == 498L, dup.toString)
-    assert(dup.getAs[Int]("max_h64") == 8, dup.toString)
+    // the measured gap, as INVARIANT BANDS rather than exact tails:
+    // the extrema derive from THIS JDK's ImageIO JPEG encoder output
+    // (measured on it: dup max 54, distinct min 94) and another
+    // vendor's encoder can shift them a few bits — what the operating
+    // point NEEDS is the dup population under / the distinct
+    // population over the confirm threshold with margin
+    assert(dup.getAs[Int]("max_h256") <= 70, dup.toString)
+    assert(dist.getAs[Int]("min_h256") >= 80, dist.toString)
+    // candidate-stage recall: on this JDK the radius-7 banding
+    // surfaces 498 of 500 planted dups (a 2-pair drift-8 tail —
+    // measured, and the reason the second pass exists); as an
+    // invariant, the first pass covers nearly all and the drift tail
+    // stays within the probe pass's radius2 = 10
+    val nPairs = dup.getAs[Long]("n_pairs")
+    assert(dup.getAs[Long]("n_cand64") >= nPairs - 10 &&
+      dup.getAs[Long]("n_cand64") <= nPairs, dup.toString)
+    assert(dup.getAs[Int]("max_h64") <= 10, dup.toString)
     assert(dist.getAs[Long]("n_cand64") == 0L, dist.toString)
+    // the r11 second-pass column: 100 % candidate recall at the
+    // shipped two-pass operating point, distinct probes still zero
+    assert(dup.getAs[Long]("n_cand64_p2") == nPairs, dup.toString)
+    assert(dist.getAs[Long]("n_cand64_p2") == 0L, dist.toString)
+  }
+
+  test("two-pass near-dup operator recovers the drift-8 candidate tail (100% recall on 500 planted pairs)") {
+    // the i5d corpus, run through the OPERATOR (not the analytic
+    // report): 500 seeds, each PNG paired with its lossy JPEG
+    // re-encode under id+100000
+    val recs = spark.range(500).repartition(4).as[Long]
+      .mapPartitions(it => it.flatMap { id =>
+        val png = MediaCodec.synthImagePng(id, 96, 96)
+        Iterator(
+          MediaRecord(id, png, "image", "png"),
+          MediaRecord(id + 100000L, MediaCodec.reencodeJpeg(png).get, "image", "jpeg"))
+      })
+    val pairs = Multimodal.mediaNearDupPairsPrecise2(spark, recs)
+      .select("a", "b", "pass").as[(Long, Long, String)].collect()
+    val planted = (0L until 500L).map(id => (id, id + 100000L)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    // 100 % candidate+confirm RECALL — the property the second pass
+    // exists for (pass 1 alone measured 498/500)
+    assert((planted -- got).isEmpty, s"missing ${planted -- got}")
+    // extra pairs are EMERGENT perceptual collisions, not defects: at
+    // 500 seeds the low-frequency DCT space birthday-collides (on
+    // this JDK, seeds 203/381 — their cross-copies confirm at
+    // h256 ≤ 75, i.e. the metric says the images look alike). Bound
+    // them rather than pin seeds: a handful across 500·999/2
+    // candidate pair slots
+    val spurious = got -- planted
+    assert(spurious.size <= 10, s"unexpected spurious volume: $spurious")
+    // the recovered tail rides the probe pass (on this JDK: the two
+    // drift-8 pairs; band-invariant claim: pass-1 + probe = all)
+    val byPass = pairs.filter(p => planted((p._1, p._2)))
+      .groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byPass.getOrElse("band7", 0) + byPass.getOrElse("probe", 0) == 500)
+    assert(byPass.getOrElse("band7", 0) >= 490, byPass.toString)
   }
 }

@@ -423,14 +423,61 @@ object Dedup {
     case ComponentsAlgo.Auto =>
       // the measured-crossover policy: MinLabel capped past every
       // observed near-dup convergence; a tripped cap means the graph
-      // is chain-like (the regime Star wins 2.9×) — rerun with Star.
-      // The caller's maxIter is honored on BOTH legs: it can tighten
-      // the MinLabel prefix below the cap, and the Star fallback gets
-      // the same max(maxIter, 30) budget as the explicit Star case.
+      // is chain-like (the regime Star wins 2.9×) — fall over to
+      // Star. The caller's maxIter is honored on BOTH legs: it can
+      // tighten the MinLabel prefix below the cap, and the Star leg
+      // gets the same max(maxIter, 30) budget as the explicit Star
+      // case.
       val (labels, converged) =
-        minLabelRounds(edges, aCol, bCol, math.min(AutoRoundCap, maxIter))
+        minLabelRounds(edges, aCol, bCol, math.min(AutoRoundCap, maxIter),
+          bailOnStall = true)
       if (converged) labels
-      else connectedComponentsStar(edges, aCol, bCol, math.max(maxIter, 30))
+      else {
+        // WARM-START (r11, closes the measured 1.7× chain regret of
+        // the discard-and-restart fallback): the prefix's partial
+        // labels are within-component by the min-label invariant
+        // (label(x) = min id within ≤r hops — always a REACHABLE
+        // node), so contracting each edge to its endpoints' labels
+        // preserves components exactly; Star then runs on the
+        // contracted graph and the prefix's work is REUSED, not
+        // discarded (which also supersedes explicitly unpersisting a
+        // "failed leg": nothing fails; superseded round RDDs remain
+        // ContextCleaner-owned). Final labels compose: id → prefix
+        // label → star label of that label; contracted-isolated
+        // labels (already component minima) pass through the left
+        // join unchanged.
+        //
+        // MEASURED caveat: contraction only pays when labels actually
+        // COALESCED. In the bail regime (a propagation front over
+        // ascending ids) label(i) = i − r: distinct labels ≈ nodes,
+        // the contracted graph is the original minus r hops, and the
+        // contraction + composition joins are pure overhead — so
+        // check the coalescence ratio first (one distinct count) and
+        // hand Star the RAW edges when ≥ 80 % of nodes kept distinct
+        // labels. StressBench components_auto: 1.71× (r10 fixed
+        // 5-round prefix) → 1.30× (bail + always-contract) → the
+        // shipped path skips the useless contraction too.
+        val nNodes = labels.count()
+        val nLabels = labels.select("component").distinct().count()
+        if (nLabels * 5L >= nNodes * 4L)
+          connectedComponentsStar(edges, aCol, bCol, math.max(maxIter, 30))
+        else {
+          val contracted = edges
+            .join(labels.select(col("id").as(aCol), col("component").as("__ca")), aCol)
+            .join(labels.select(col("id").as(bCol), col("component").as("__cb")), bCol)
+            .select(col("__ca"), col("__cb"))
+            .filter(col("__ca") =!= col("__cb"))
+            .distinct()
+          val starLabels = connectedComponentsStar(
+            contracted, "__ca", "__cb", math.max(maxIter, 30))
+          labels
+            .join(starLabels.select(col("id").as("component"),
+              col("component").as("__final")), Seq("component"), "left")
+            .select(col("id"),
+              coalesce(col("__final"), col("component")).as("component"))
+            .localCheckpoint()
+        }
+      }
   }
 
   /** MinLabel round cap for [[ComponentsAlgo.Auto]]: near-dup graphs
@@ -468,7 +515,8 @@ object Dedup {
     * [[ComponentsAlgo.Auto]] falls over to Star on.
     */
   private def minLabelRounds(edges: DataFrame, aCol: String, bCol: String,
-                             maxIter: Int): (DataFrame, Boolean) = {
+                             maxIter: Int, bailOnStall: Boolean = false)
+      : (DataFrame, Boolean) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionByName(edges.select(col(bCol).as("x"), col(aCol).as("y")))
@@ -495,7 +543,24 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var stalled = false
+    // bail signals (Auto only): near-dup graphs converge with the
+    // changed count COLLAPSING — cliques/stars label completely in
+    // the init aggregation (changed = 0 in round 1), small clusters
+    // within 2-3 rounds with tiny changed fractions. A chain is the
+    // opposite regime, a PROPAGATION FRONT: after a full round most
+    // labels still moved, and the count decays by O(1/diameter) per
+    // round. Detect it from the numbers each round already computes
+    // (no extra jobs beyond one node count): a round that changes
+    // > 1/4 of all nodes, or (from round 2) fails to halve the
+    // previous round's changed count, is front-regime — stop paying
+    // O(diameter) rounds NOW and let Auto's Star leg take it. r10
+    // measured the fixed 5-round prefix at 1.7× Star's whole chain
+    // wall; bailing after one round cuts the regret to the round
+    // itself.
+    lazy val nNodes = labels.count()
+    var prevChanged = Long.MaxValue
+    while (changed > 0 && iter < maxIter && !stalled) {
       // One aggregation yields BOTH the new label (min over self +
       // neighbors) and the previous label (the only row tagged own),
       // so convergence needs no extra join — one action per round.
@@ -511,6 +576,10 @@ object Dedup {
       changed = next.filter(col("component") =!= col("prev")).count()
       labels = next.select("id", "component")
       iter += 1
+      if (bailOnStall && changed > 0 &&
+        (changed * 4 > nNodes || (iter >= 2 && changed * 2 > prevChanged)))
+        stalled = true
+      prevChanged = changed
     }
     sym.unpersist()
     (labels, changed == 0L)

@@ -684,6 +684,20 @@ object Embeddings {
       (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
        Double, ComponentsAlgo), DataFrame]
 
+  /** Insertion order per application, for the FIFO size cap. */
+  private val semanticDedupMemoOrder =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.Queue[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        Double, ComponentsAlgo)]]()
+
+  /** Memo bound (r10 ADVICE): entries hold canonicalized plans plus
+    * localCheckpoint RDD references, so a long-lived session sweeping
+    * a parameter grid (e.g. τ) must not accumulate them unboundedly.
+    * 16 covers every legitimate concurrent-sharing shape (the bench's
+    * triple-bill is 2 keys) while an eviction only costs a recompute.
+    */
+  private val MemoCap = 16
+
   private val memoEvictorInstalled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -720,13 +734,34 @@ object Embeddings {
         val fresh = TrackedCache.persist(
           semanticDedupCompute(assignFrame, idCol, vecCol, tau, algo))
         val raced = semanticDedupMemo.putIfAbsent(key, fresh)
-        if (raced != null) raced else fresh
+        if (raced != null) raced
+        else {
+          // r10 ADVICE — the memo must not retain checkpointed label
+          // RDDs unboundedly: (a) entries die with the CACHE EPOCH,
+          // not the application (TrackedCache.release is the corpus
+          // boundary; dropping the entry unreferences its checkpoint
+          // RDDs for the ContextCleaner), and (b) a FIFO size cap
+          // bounds a parameter sweep that never releases.
+          TrackedCache.onRelease(df.sparkSession,
+            () => semanticDedupMemo.remove(key))
+          val order = semanticDedupMemoOrder.computeIfAbsent(appId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue())
+          order.add(key)
+          while (order.size > MemoCap) {
+            val oldest = order.poll()
+            if (oldest != null && oldest != key) {
+              val evicted = semanticDedupMemo.remove(oldest)
+              if (evicted != null) evicted.unpersist()
+            }
+          }
+          fresh
+        }
       }
     }
-    // a TrackedCache.release between invocations unpersists the frame
-    // but leaves the memo entry valid (its plan recomputes from the
-    // checkpointed label RDDs); re-register so the cached-read
-    // contract holds for every caller, not just the first epoch
+    // an unpersist between invocations (an eviction race, an external
+    // unpersist) leaves the memo entry valid — its plan recomputes
+    // from the checkpointed label RDDs; re-register so the
+    // cached-read contract holds for every caller
     if (memoed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       TrackedCache.persist(memoed)
     memoed

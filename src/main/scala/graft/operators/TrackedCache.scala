@@ -22,6 +22,10 @@ object TrackedCache {
     new java.util.concurrent.ConcurrentHashMap[
       SparkSession, java.util.Queue[DataFrame]]()
 
+  private val releaseHooks =
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.Queue[Runnable]]()
+
   def persist(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persisted
@@ -31,11 +35,25 @@ object TrackedCache {
     p
   }
 
-  /** Unpersist every tracked frame for `spark`. Duplicate
-    * registrations unpersist harmlessly.
+  /** Run `hook` at the session's next [[release]] — the corpus-epoch
+    * boundary. Lets holders of derived session-scoped state (the
+    * semanticDedup memo's checkpointed label RDDs) drop it when the
+    * caches it rode on are dropped, instead of retaining it to
+    * application end (r10 ADVICE).
+    */
+  def onRelease(spark: SparkSession, hook: Runnable): Unit =
+    releaseHooks
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[Runnable]())
+      .add(hook)
+
+  /** Unpersist every tracked frame for `spark` and fire its release
+    * hooks. Duplicate registrations unpersist harmlessly.
     */
   def release(spark: SparkSession): Unit = {
     val q = persisted.remove(spark)
     if (q != null) q.forEach(_.unpersist())
+    val h = releaseHooks.remove(spark)
+    if (h != null) h.forEach(_.run())
   }
 }

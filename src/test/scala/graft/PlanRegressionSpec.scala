@@ -497,4 +497,26 @@ class PlanRegressionSpec extends SparkSpecBase {
     // the rest — bounded by distinct-bigram cardinality, not corpus
     assert(count(p, "InMemoryTableScan") >= 2, p.take(400))
   }
+
+  test("h20 lang classify: K29 kernel serving is join-free for the corpus (weights inlined)") {
+    val p = executedPlan("h20_lang_classify")
+    // the serving pass itself is a row-local kernel — the only joins
+    // in the plan are the tiny truth-label re-attach; the 1280-weight
+    // model must NOT appear as a join relation (it's codegen literals)
+    assert(count(p, "SortMergeJoin") == 0, p.take(400))
+    assert(count(p, "CartesianProduct") == 0)
+    // langGramScores appears as the reference-object kernel call, so
+    // no explode/Generate of a gram array reaches the plan
+    assert(count(p, "Generate") == 0, p.take(400))
+  }
+
+  test("e14e grid quantiles: sketch aggregation hash-based, cumulative window over the SKETCH not the corpus") {
+    val p = executedPlan("e14e_grid_quantile_sketch")
+    // sketch build = one hash aggregation (map-side combined); no
+    // sort aggregates, no cartesian; the rank window runs after the
+    // sketch shuffle (cells), never over raw events
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+    assert(count(p, "CartesianProduct") == 0)
+    assert(count(p, "HashAggregate") >= 2, p.take(400))
+  }
 }

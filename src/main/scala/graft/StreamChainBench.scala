@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * it; this measures it):
   *
   *   J17 paragraph dedup-cut → J13 quality gate →
-  *   J12 bloom decontamination → J14 substring screen →
-  *   J11 band near-dup screen
+  *   J18 mixing gate → J12 bloom decontamination →
+  *   J14 substring screen → J11 band near-dup screen
   *
   * J17 runs FIRST (the CCNet order: paragraph boilerplate is cut
   * before any quality/dedup pass sees the text): every doc carries
@@ -102,7 +102,7 @@ object StreamChainBench {
           (id, text + "\n" + footers(i % footers.size))
         }
 
-      val stageCounts = Array.fill(batches, 6)(0L)
+      val stageCounts = Array.fill(batches, 7)(0L)
       val footersKept = new Array[Long](batches)
       val idxTraj17 = new Array[Long](batches)
       val idxTraj14 = new Array[Long](batches)
@@ -123,8 +123,18 @@ object StreamChainBench {
         val gated = AdsbStream.qualityGateStream(s17, "doc_id", "text",
             graft.queries.PipelineQueries.classifierWeights)
           .select("doc_id", "text").persist()
+        // J18: mixing gate to per-source target rates (the P5 keep
+        // rule as a stateless map stage; source class orthogonal to
+        // the designed slices — doc_id mod 3 — so every family thins
+        // proportionally and each stage's own kill stays visible)
+        val mixed = AdsbStream.mixingGateStream(
+            gated.withColumn("src",
+              concat(lit("src"), pmod(col("doc_id"), lit(3)).cast("string"))),
+            "doc_id", "src",
+            Seq("src0" -> 1000000L, "src1" -> 700000L, "src2" -> 400000L))
+          .drop("src").persist()
         // J12: bloom-screened decontamination on the doc's lead token
-        val keyed = gated.withColumn("fp",
+        val keyed = mixed.withColumn("fp",
           HashFunctions.md5prefix64(split(col("text"), " ").getItem(0)))
         val cleaned = AdsbStream.bloomScreenStream(keyed, "fp", blacklist, "fp")
           .drop("fp").persist()
@@ -139,7 +149,7 @@ object StreamChainBench {
         val s11 = spark.read.parquet(surv11)
           .filter(col("batch_id") === b).select("doc_id", "text")
         stageCounts(b) = Array(rate.toLong, s17.count(), gated.count(),
-          cleaned.count(), s14.count(), s11.count())
+          mixed.count(), cleaned.count(), s14.count(), s11.count())
         idxTraj17(b) = spark.read.parquet(idx17).count()
         idxTraj14(b) = spark.read.parquet(idx14).count()
         idxTraj11(b) = spark.read.parquet(idx11).count()
@@ -147,16 +157,17 @@ object StreamChainBench {
         // footer line, when a keeper kept it, is not part of the span)
         prev = s11.orderBy("doc_id").collect()
           .map(_.getString(1).split("\n")(0)).toIndexedSeq
-        s17.unpersist(); gated.unpersist(); cleaned.unpersist(); s14.unpersist()
+        s17.unpersist(); gated.unpersist(); mixed.unpersist()
+        cleaned.unpersist(); s14.unpersist()
       }
       val secs = (System.nanoTime() - t0) / 1e9
       val rowsIn = batches.toLong * rate
       def arr(sel: Int) = stageCounts.map(_(sel)).mkString("[", ",", "]")
-      println(s"""{"scenario":"chain_j17_j13_j12_j14_j11","rows_per_batch":$rate,""" +
+      println(s"""{"scenario":"chain_j17_j13_j18_j12_j14_j11","rows_per_batch":$rate,""" +
         s""""batches":$batches,"rows_in":$rowsIn,"wall_s":${f"$secs%.2f"},""" +
         s""""rows_per_s":${(rowsIn / secs).toLong},""" +
-        s""""in":${arr(0)},"after_para":${arr(1)},"after_quality":${arr(2)},"after_bloom":${arr(3)},""" +
-        s""""after_substr":${arr(4)},"after_band":${arr(5)},""" +
+        s""""in":${arr(0)},"after_para":${arr(1)},"after_quality":${arr(2)},"after_mix":${arr(3)},"after_bloom":${arr(4)},""" +
+        s""""after_substr":${arr(5)},"after_band":${arr(6)},""" +
         s""""footers_kept":${footersKept.mkString("[", ",", "]")},""" +
         s""""idx17_rows":${idxTraj17.mkString("[", ",", "]")},""" +
         s""""idx14_rows":${idxTraj14.mkString("[", ",", "]")},""" +

@@ -479,6 +479,39 @@ object AdsbStream {
       .select(col(idCol), col(textCol), col("n_words"), col("first_fail"))
   }
 
+  /** Streaming MIXING gate (J18 — the streaming face of P5/P11): the
+    * hash-vs-threshold keep rule applied per arriving document, so
+    * the published curation order (paragraph cut → quality gates →
+    * decontamination → dedup → MIX to target rates) closes end-to-end
+    * in streaming form. Keep iff
+    * `md5prefix64(salt || id) mod 1e6 < ratePpm(class)` — the
+    * deterministic P5 decision: no RNG state, no shuffle, no
+    * watermark, a pure map-side filter at feed rate, and rerun- and
+    * replay-stable by construction (the same doc id keeps or drops
+    * identically in any batch, on any partitioning — exactly why the
+    * batch spelling is oracle-able and the streaming one needs no
+    * state). Rates arrive as published-artifact literals (a CASE
+    * chain in the scan, the classifier-weights contract) — P11's
+    * corpus-adaptive thresholds are computed batch-side and shipped
+    * here as the per-class ppm table they produce.
+    */
+  def mixingGateStream(docs: DataFrame, idCol: String, classCol: String,
+                       ratesPpm: Seq[(String, Long)],
+                       salt: String = "mix:"): DataFrame = {
+    require(ratesPpm.nonEmpty, "at least one class rate required")
+    val ppm = ratesPpm.tail.foldLeft(
+      when(col(classCol) === ratesPpm.head._1, lit(ratesPpm.head._2))) {
+      case (acc, (cls, r)) => acc.when(col(classCol) === cls, lit(r))
+    }.otherwise(lit(0L))
+    docs
+      .withColumn("__u", pmod(
+        graft.functions.HashFunctions.md5prefix64(
+          concat(lit(salt), col(idCol).cast("string"))),
+        lit(1000000L)))
+      .filter(col("__u") < ppm)
+      .drop("__u")
+  }
+
   /** One step of the streaming EXACT-SUBSTRING screen loop (J14 —
     * the streaming closure of F14, the way [[screenAndIndexBatch]]
     * closes F9): the microbatch (1) emits its stride-1 k-token

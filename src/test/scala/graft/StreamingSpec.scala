@@ -549,6 +549,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(got2 == Set(900000L, 900008L, 900009L, 900010L))
   }
 
+  test("streaming mixing gate keeps exactly the batch p5 keep set, statelessly (J18)") {
+    val rates = Seq("en" -> 1000000L, "de" -> 600000L, "fr" -> 500000L,
+      "es" -> 400000L, "zh" -> 250000L)
+    val langs = Vector("en", "de", "fr", "es", "zh")
+    val docs = (0L until 400L).map(i => (i, langs((i % 5).toInt), s"doc $i"))
+    val input = MemoryStream[(Long, String, String)](spark)
+    val mixed = AdsbStream.mixingGateStream(
+      input.toDF().select(col("_1").as("doc_id"), col("_2").as("lang"),
+        col("_3").as("text")),
+      "doc_id", "lang", rates)
+    val q = mixed.writeStream.format("memory").queryName("j18_out")
+      .outputMode("append").start()
+    input.addData(docs.take(150)); q.processAllAvailable()
+    input.addData(docs.drop(150)); q.processAllAvailable()
+    // stateless: a pure map-side filter must run with ZERO streaming
+    // state (no aggregation, no dedup buffer, no watermark)
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    q.stop()
+    val got = spark.table("j18_out").select("doc_id")
+      .as[Long].collect().toSet
+    // the batch P5 spelling over the same docs — same hash, same salt
+    val want = docs.toDF("doc_id", "lang", "text")
+      .withColumn("__u", pmod(graft.functions.HashFunctions.md5prefix64(
+        concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L)))
+      .join(rates.toDF("lang", "ppm"), Seq("lang"))
+      .filter(col("__u") < col("ppm"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    // every class present, and rate ordering visible: en keeps all,
+    // zh keeps a strict subset
+    val gotByLang = docs.filter(d => got(d._1)).groupBy(_._2)
+      .view.mapValues(_.size).toMap
+    assert(gotByLang("en") == 80)
+    assert(gotByLang("zh") > 0 && gotByLang("zh") < 80)
+  }
+
   test("J16 media screen: re-encoded copies confirmed and screened, new assets pass, replay idempotent") {
     import graft.operators.{MediaCodec, Multimodal}
     import Multimodal.MediaRecord

@@ -225,6 +225,114 @@ object StressBench {
           s""""kernel_fact_rows":$kRows,"hof_fact_rows":$hRows,""" +
           s""""kernel_model_sec":${fmt(tKernel)},"hof_model_sec":${fmt(tHof)}}""")
 
+      case "token_grain" =>
+        // K28 vs the explode spelling — the bigram_grain treatment
+        // applied to the TOKEN fact frame (r10 verdict: SCALE_r10
+        // §2b argued this by analogy; this measures it): time the
+        // h7-shape model aggregation (corpus token frequencies) and
+        // the h8-shape per-(doc, term) TF through both fact frames on
+        // the same boilerplate-heavy corpus bigram_grain uses.
+        // Invariants: identical vocabulary size and identical total
+        // occurrences — a fast-but-wrong grain cannot win.
+        import graft.functions.HashFunctions
+        import graft.operators.TextOps
+        val nDocs = if (args.length > 1) args(1).toLong else 200000L
+        val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          expr("""array_join(transform(sequence(0, 29), s ->
+                    array_join(transform(sequence(0, 11), w ->
+                      concat('w', CAST((((id * 31 + (s % 5) * 7) % 500) * 13 + w * 3) % 2200 AS STRING))),
+                    ' ')), ' ')""").as("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.write.format("noop").mode("overwrite").save()
+        val kernelFacts = docs
+          .select(col("doc_id"),
+            explode_outer(HashFunctions.tokenCounts(col("text"))).as("tk"))
+          .filter(col("tk").isNotNull)
+          .select(col("doc_id"), col("tk.w").as("w"), col("tk.c").as("c"))
+        val hofFacts = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        // h7 shape: corpus-frequency model (one row per vocab word)
+        def freqAgg(cf: DataFrame): (Long, Long) = {
+          val r = cf.agg(count(lit(1)), sum(col("cw"))).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        val ((kV, kOcc), tKernelFreq) = timed(freqAgg(
+          kernelFacts.groupBy("w").agg(sum(col("c")).as("cw"))))
+        val ((hV, hOcc), tHofFreq) = timed(freqAgg(
+          hofFacts.groupBy("w").agg(count(lit(1)).cast("long").as("cw"))))
+        // h8 shape: per-(doc, term) TF — the kernel fact frame IS the
+        // TF table (zero aggregation); the explode spelling must
+        // aggregate the occurrence stream
+        val (kTf, tKernelTf) = timed(kernelFacts.count())
+        val (hTf, tHofTf) = timed(
+          hofFacts.groupBy("doc_id", "w").agg(count(lit(1)).as("tf")).count())
+        val kRows = kernelFacts.count()
+        val hRows = hofFacts.count()
+        docs.unpersist()
+        require(kV == hV && kOcc == hOcc,
+          s"model drift: kernel ($kV, $kOcc) vs HOF ($hV, $hOcc)")
+        require(kTf == hTf, s"TF grain drift: $kTf vs $hTf")
+        println(s"""{"metric":"token_grain","docs":$nDocs,"vocab":$kV,"occurrences":$kOcc,""" +
+          s""""kernel_fact_rows":$kRows,"hof_fact_rows":$hRows,"tf_rows":$kTf,""" +
+          s""""kernel_freq_sec":${fmt(tKernelFreq)},"hof_freq_sec":${fmt(tHofFreq)},""" +
+          s""""kernel_tf_sec":${fmt(tKernelTf)},"hof_tf_sec":${fmt(tHofTf)}}""")
+
+      case "media_probe_pass" =>
+        // The i5c second band pass, quantified (r11): planted pairs
+        // at drift 8 spread ONE BIT PER BAND — provably invisible to
+        // the radius-7 exact-band join (no band agrees) and exactly
+        // the shape the Hamming-1 probe pass exists for. Measures the
+        // probe pass's candidate volume and wall against the exact
+        // pass over the same probe set — the selectivity cost of
+        // closing the last 0.4% of candidate recall.
+        val n = if (args.length > 1) args(1).toLong else 100000L
+        val base = spark.range(n).select(col("id"),
+          expr("xxhash64(id)").as("phash"))
+        val flip8 = // one flipped bit in every 8-bit band
+          """aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+             (acc, b) -> acc ^ shiftleft(CAST(1 AS BIGINT), CAST(b * 8 + pmod(id + b, 8) AS INT)))"""
+        val planted = spark.range(n / 20).select(
+          (col("id") + n).as("id"),
+          expr(s"xxhash64((id * 17) % $n) ^ ($flip8)").as("phash"))
+        val prints = base.unionByName(planted).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prints.write.format("noop").mode("overwrite").save()
+        val probeSide = planted // models the first-pass residual
+        // exact-band pass over the probe set finds NOTHING (by
+        // construction) — its candidate volume is the baseline
+        def bandedCount(probeExpand: Boolean): Long = {
+          val bands = (0 until 8).flatMap { b =>
+            val bv = shiftright(col("phash"), b * 8).bitwiseAND(lit(255L))
+            if (!probeExpand) Seq(struct(lit(b).as("band"), bv.as("bv")))
+            else struct(lit(b).as("band"), bv.as("bv")) +:
+              (0 until 8).map(j => struct(lit(b).as("band"),
+                bv.bitwiseXOR(lit(1L << j)).as("bv")))
+          }
+          val p = probeSide.select(col("id").as("pa"),
+            explode(array(bands: _*)).as("bb"))
+            .select(col("pa"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+          val i = prints.select(col("id").as("pb"),
+            explode(array((0 until 8).map { b =>
+              struct(lit(b).as("band"),
+                shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("bv"))
+            }: _*)).as("bb"))
+            .select(col("pb"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+          p.join(i, Seq("band", "bv")).filter(col("pa") =!= col("pb")).count()
+        }
+        val exactCand = bandedCount(probeExpand = false)
+        val probeCand = bandedCount(probeExpand = true)
+        val (found, tProbe) = timed(
+          Dedup.hammingBandProbePairs(probeSide, prints, "id", "phash",
+              minHamming = 7, maxHamming = 10)
+            .filter((col("a") < n && col("b") >= n) ||
+              (col("b") < n && col("a") >= n)).count())
+        prints.unpersist()
+        require(found >= n / 20,
+          s"probe pass missed planted drift-8 pairs: $found vs ${n / 20}")
+        println(s"""{"metric":"media_probe_pass","n":$n,"probe_rows":${n / 20},"planted":${n / 20},""" +
+          s""""exact_candidates":$exactCand,"probe_candidates":$probeCand,""" +
+          s""""probe_sec":${fmt(tProbe)},"planted_found":$found}""")
+
       case "media_pipeline" =>
         // Real-codec throughput (I5/I7/I8 shapes): per-partition
         // batched synth→encode→decode→feature over n assets. The

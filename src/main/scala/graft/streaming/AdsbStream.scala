@@ -512,6 +512,36 @@ object AdsbStream {
       .drop("__u")
   }
 
+  /** Streaming LANGUAGE gate (J19 — the streaming face of H20, as
+    * J13 is h14's): classify each arriving document with the trained
+    * multilingual NB classifier (all L scores in one K29 compiled
+    * pass — [[graft.functions.HashFunctions.langGramScores]], the
+    * 1280 trained weights as codegen literals) and keep documents
+    * whose argmax language is in `keep`. This is the position CCNet
+    * runs its fasttext lang-ID: in-stream, before perplexity
+    * bucketing and mixing. Stateless row-local map work — no
+    * explode, no aggregation, no watermark — so the gate runs at
+    * feed rate and composes between the quality gate (J13/J15) and
+    * the mixing gate (J18, whose per-language rates consume this
+    * stage's labels).
+    */
+  def langGateStream(docs: DataFrame, idCol: String, textCol: String,
+                     weights: Seq[Seq[Long]],
+                     langs: Seq[String] =
+                       graft.operators.LangClassifier.Langs,
+                     keep: Set[String] = Set("en")): DataFrame = {
+    val scored = docs
+      .withColumn("__ls",
+        graft.functions.HashFunctions.langGramScores(col(textCol), weights,
+          graft.operators.LangClassifier.GramN))
+    val scoreCols = langs.indices.map(i => element_at(col("__ls.scores"), i + 1))
+    scored
+      .withColumn("pred_lang",
+        graft.operators.LangClassifier.predictLang(scoreCols, langs))
+      .drop("__ls")
+      .filter(col("pred_lang").isin(keep.toSeq: _*))
+  }
+
   /** One step of the streaming EXACT-SUBSTRING screen loop (J14 —
     * the streaming closure of F14, the way [[screenAndIndexBatch]]
     * closes F9): the microbatch (1) emits its stride-1 k-token

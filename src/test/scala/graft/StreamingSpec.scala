@@ -586,6 +586,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(gotByLang("zh") > 0 && gotByLang("zh") < 80)
   }
 
+  test("streaming language gate labels equal the batch h20 classifier, statelessly (J19)") {
+    import graft.operators.LangClassifier
+    import graft.sources.Tables
+    // train once on the labeled multilingual slice (the h20 path)
+    val synth = LangClassifier.synthDocs(Tables.documents(spark, sf))
+    val weights = LangClassifier.collectLangWeights(
+      LangClassifier.trainLangWeights(
+        synth.filter(pmod(col("doc_id"), lit(10)) < 7), "text", "lang"))
+    val hold = synth.filter(pmod(col("doc_id"), lit(10)) >= 7)
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val input = MemoryStream[(Long, String, String)](spark)
+    val gated = AdsbStream.langGateStream(
+      input.toDF().select(col("_1").as("doc_id"), col("_2").as("lang"),
+        col("_3").as("text")),
+      "doc_id", "text", weights, keep = Set("en", "zh"))
+    val q = gated.writeStream.format("memory").queryName("j19_out")
+      .outputMode("append").start()
+    input.addData(hold.take(hold.size / 2)); q.processAllAvailable()
+    input.addData(hold.drop(hold.size / 2)); q.processAllAvailable()
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0L))
+    q.stop()
+    val got = spark.table("j19_out").select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    // batch h20 serving over the same docs: identical labels, and the
+    // kept set is exactly the en/zh-classified docs (which, at 100%
+    // held-out accuracy, is exactly the en/zh-LABELED docs)
+    val batch = LangClassifier.classify(
+      hold.toDF("doc_id", "lang", "text"), "doc_id", "text", weights)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got == batch.filter(kv => Set("en", "zh")(kv._2)))
+    val truth = hold.map(d => d._1 -> d._2).toMap
+    assert(got.keySet == truth.filter(kv => Set("en", "zh")(kv._2)).keySet)
+    assert(got.nonEmpty && got.size < hold.size)
+  }
+
   test("J16 media screen: re-encoded copies confirmed and screened, new assets pass, replay idempotent") {
     import graft.operators.{MediaCodec, Multimodal}
     import Multimodal.MediaRecord

@@ -116,6 +116,55 @@ object LangClassifier {
     docs.select(col("doc_id"), col("lang"), text.as("text"))
   }
 
+  /** The synthetic slice with CODE-SWITCHING contamination in two
+    * tiers — the harder population the confusion instrument (h20b)
+    * measures: every 4th doc mixes in words from the NEXT language
+    * in [[Langs]] order — LIGHT tier (doc_id ≡ 4 mod 8): 12 dominant
+    * + 4 contaminant; HEAVY tier (doc_id ≡ 0 mod 8): 6 dominant + 10
+    * contaminant. The true label stays the DOMINANT-tier language in
+    * both cases — heavy docs are contaminant-majority, so a correct
+    * char-ngram classifier SHOULD land them on the contaminant
+    * language, and the off-diagonal mass the report shows there is
+    * the honest picture of where code-switched text goes. Same
+    * deterministic word selection, so both engines rebuild it
+    * exactly.
+    */
+  def synthDocsMixed(docs: DataFrame): DataFrame = {
+    val vocabLit = array(Langs.map(l => array(Vocabs(l).map(lit): _*)): _*)
+    val li = langIdx(col("lang")).cast("int")
+    val heavy = pmod(col("doc_id"), lit(8)) === 0
+    val light = pmod(col("doc_id"), lit(4)) === 0 && !heavy
+    val nWords = when(heavy || light, WordsPerDoc + 4).otherwise(WordsPerDoc)
+    val switchAt = when(heavy, 6).when(light, WordsPerDoc).otherwise(999)
+    val text = concat_ws(" ",
+      transform(sequence(lit(0), nWords - 1), p => {
+        val vi = when(p < switchAt, li)
+          .otherwise(pmod(li + 1, lit(Langs.length))).cast("int")
+        element_at(element_at(vocabLit, vi + 1),
+          (HashFunctions.md5prefix64(
+            concat(col("doc_id").cast("string"), lit(":"), p.cast("string")))
+            % VocabSize).cast("int") + 1)
+      }))
+    docs.select(col("doc_id"), col("lang"), text.as("text"))
+  }
+
+  /** SQL/Column spelling of the contamination tier label. */
+  def tierCase(id: String): String =
+    s"CASE WHEN $id % 8 = 0 THEN 'heavy' WHEN $id % 4 = 0 THEN 'light' ELSE 'clean' END"
+
+  /** DuckDB CTE for [[synthDocsMixed]]: `mixed(doc_id, lang, text)`. */
+  def sqlSynthMixedCte: String =
+    s"""mixed AS (
+       |  SELECT doc_id, lang,
+       |    array_to_string(list_transform(
+       |      range(0, CASE WHEN doc_id % 4 = 0 THEN ${WordsPerDoc + 4} ELSE $WordsPerDoc END), p ->
+       |      ($sqlVocabList)[CASE WHEN p < (CASE WHEN doc_id % 8 = 0 THEN 6 WHEN doc_id % 4 = 0 THEN $WordsPerDoc ELSE 999 END)
+       |                           THEN ${sqlLangIdx("lang")}
+       |                           ELSE (${sqlLangIdx("lang")} + 1) % ${Langs.length} END + 1]
+       |        [CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 15))::BIGINT % $VocabSize AS INT) + 1]),
+       |      ' ') AS text
+       |  FROM documents)""".stripMargin
+
   /** Composed bucket-array spelling (the oracle's shape, and the
     * kernel-equivalence reference): char n-gram buckets of an ALREADY
     * LOWERCASED, MATERIALIZED text column (an inlined lower() would

@@ -3776,6 +3776,130 @@ object PipelineQueries {
             (${lc.sqlPredict()}) = h.lang AS correct
           FROM piv p JOIN hold h ON p.doc_id = h.doc_id
           ORDER BY p.doc_id"""
+      }),
+
+    // H20b: language-ID CONFUSION report — the F10/G8 treatment for
+    // the classifier (h20's clean slice is vocabulary-separable by
+    // construction, so its 100% accuracy proves the pipeline, not
+    // robustness): the held-out slice re-synthesized WITH two tiers
+    // of code-switching contamination (light: 12 dominant + 4
+    // next-language words; heavy: 6 dominant + 10 contaminant — the
+    // true label stays the dominant tier's language), classified
+    // with the SAME clean-trained model, reported as a (true,
+    // predicted, tier) confusion matrix. The heavy tier is
+    // contaminant-MAJORITY, so a correct char-ngram classifier lands
+    // it on the contaminant language — the off-diagonal mass IS the
+    // honest picture of where code-switched text goes, which a
+    // pipeline owner reads before keying p5/p11 rates on
+    // predictions. Integer counts — exact oracle replay of train →
+    // contaminated synth → kernel scores → argmax → matrix.
+    QueryDef("h20b_lang_confusion",
+      (s, dir) => {
+        val lc = graft.operators.LangClassifier
+        val docs = Tables.documents(s, dir)
+        val clean = lc.synthDocs(docs)
+        val w = lc.collectLangWeights(lc.trainLangWeights(
+          clean.filter(pmod(col("doc_id"), lit(10)) < 7), "text", "lang"))
+        val hold = lc.synthDocsMixed(docs)
+          .filter(pmod(col("doc_id"), lit(10)) >= 7)
+        QueryDefs.sortedSmall(
+          lc.classify(hold, "doc_id", "text", w)
+            .join(hold.select("doc_id", "lang"), Seq("doc_id"))
+            .withColumn("tier", expr(lc.tierCase("doc_id")))
+            .groupBy("lang", "pred_lang", "tier")
+            .agg(count(lit(1)).as("n")),
+          col("lang"), col("pred_lang"), col("tier"))
+      },
+      Some {
+        val lc = graft.operators.LangClassifier
+        val pivs = lc.Langs.map(l =>
+          s"CAST(SUM(CASE WHEN ln = '$l' THEN s ELSE 0 END) AS BIGINT) AS s_$l")
+          .mkString(",\n            ")
+        s"""WITH ${lc.sqlSynthCte},
+          train AS (SELECT lang, text FROM synth WHERE doc_id % 10 < 7),
+          ${lc.sqlTrainCtes},
+          ${lc.sqlSynthMixedCte},
+          hold AS (SELECT * FROM mixed WHERE doc_id % 10 >= 7),
+          hg0 AS (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${lc.GramN - 1}, 1) + 1),
+              i -> substr(lower(text), CAST(i AS INT), ${lc.GramN}))) AS gr
+            FROM hold),
+          hg AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT % ${lc.Buckets} AS b FROM hg0),
+          sc AS (
+            SELECT doc_id, lam.lang AS ln, CAST(SUM(weight_u) AS BIGINT) AS s
+            FROM hg JOIN lam ON hg.b = lam.b GROUP BY doc_id, lam.lang),
+          piv AS (
+            SELECT doc_id,
+            $pivs
+            FROM sc GROUP BY doc_id),
+          pred AS (
+            SELECT p.doc_id, h.lang, ${lc.sqlPredict()} AS pred_lang,
+              ${lc.tierCase("p.doc_id")} AS tier
+            FROM piv p JOIN hold h ON p.doc_id = h.doc_id)
+          SELECT lang, pred_lang, tier, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pred GROUP BY lang, pred_lang, tier
+          ORDER BY lang, pred_lang, tier"""
+      }),
+
+    // P5b: mixture sampling keyed on PREDICTED language — the
+    // composition the h20 stage exists for (CCNet order: lang-ID
+    // feeds the per-language keep rates; p5/p11 key on labels, this
+    // keys on the trained classifier's output over the synthetic
+    // slice). Train → classify ALL synth docs through the K29 kernel
+    // → P5's deterministic hash-vs-ppm keep rule on pred_lang. The
+    // oracle replays train, serving, argmax and the keep decision
+    // end-to-end — the whole trained-stage-feeds-mixing loop
+    // bit-reproducible across engines.
+    QueryDef("p5b_mixing_on_predicted",
+      (s, dir) => {
+        val lc = graft.operators.LangClassifier
+        val docs = Tables.documents(s, dir)
+        val synth = lc.synthDocs(docs)
+        val w = lc.collectLangWeights(lc.trainLangWeights(
+          synth.filter(pmod(col("doc_id"), lit(10)) < 7), "text", "lang"))
+        val rates = Seq("en" -> 1000000, "de" -> 600000, "fr" -> 500000,
+          "es" -> 400000, "zh" -> 250000)
+        val ppm = rates.tail.foldLeft(
+          when(col("pred_lang") === rates.head._1, lit(rates.head._2))) {
+          case (acc, (l, r)) => acc.when(col("pred_lang") === l, lit(r))
+        }.otherwise(lit(0))
+        QueryDefs.sortedSmall(
+          lc.classify(synth, "doc_id", "text", w)
+            .withColumn("__u", pmod(
+              HashFunctions.md5prefix64(
+                concat(lit("mix:"), col("doc_id").cast("string"))),
+              lit(1000000L)))
+            .filter(col("__u") < ppm)
+            .select("doc_id", "pred_lang"),
+          col("doc_id"))
+      },
+      Some {
+        val lc = graft.operators.LangClassifier
+        val pivs = lc.Langs.map(l =>
+          s"CAST(SUM(CASE WHEN ln = '$l' THEN s ELSE 0 END) AS BIGINT) AS s_$l")
+          .mkString(",\n            ")
+        s"""WITH ${lc.sqlSynthCte},
+          train AS (SELECT lang, text FROM synth WHERE doc_id % 10 < 7),
+          ${lc.sqlTrainCtes},
+          ag0 AS (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${lc.GramN - 1}, 1) + 1),
+              i -> substr(lower(text), CAST(i AS INT), ${lc.GramN}))) AS gr
+            FROM synth),
+          ag AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT % ${lc.Buckets} AS b FROM ag0),
+          sc AS (
+            SELECT doc_id, lam.lang AS ln, CAST(SUM(weight_u) AS BIGINT) AS s
+            FROM ag JOIN lam ON ag.b = lam.b GROUP BY doc_id, lam.lang),
+          piv AS (
+            SELECT doc_id,
+            $pivs
+            FROM sc GROUP BY doc_id),
+          pred AS (SELECT doc_id, ${lc.sqlPredict()} AS pred_lang FROM piv)
+          SELECT doc_id, pred_lang FROM pred
+          WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+            < CASE pred_lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 600000
+                             WHEN 'fr' THEN 500000 WHEN 'es' THEN 400000
+                             WHEN 'zh' THEN 250000 ELSE 0 END
+          ORDER BY doc_id"""
       })
   )
 

@@ -98,6 +98,35 @@ class LangClassifierSpec extends SparkSpecBase {
     assert(weights.forall(_.length == LangClassifier.Buckets))
   }
 
+  test("confusion tiers: light contamination stays on the dominant language, heavy lands on the contaminant") {
+    val docs = Tables.documents(spark, sf)
+    val hold = LangClassifier.synthDocsMixed(docs)
+      .filter(pmod(col("doc_id"), lit(10)) >= 7)
+    val scored = LangClassifier.classify(hold, "doc_id", "text", weights)
+      .join(hold.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("tier", expr(LangClassifier.tierCase("doc_id")))
+      .select("doc_id", "lang", "pred_lang", "tier")
+      .as[(Long, String, String, String)].collect()
+    val byTier = scored.groupBy(_._4)
+    // clean + light (12 dominant vs 0/4 contaminant words): all
+    // predictions stay on the dominant (labeled) language
+    Seq("clean", "light").foreach { t =>
+      val rows = byTier(t)
+      assert(rows.nonEmpty && rows.forall(r => r._3 == r._2),
+        s"$t tier drifted: ${rows.filter(r => r._3 != r._2).take(3).toSeq}")
+    }
+    // heavy (6 dominant vs 10 contaminant): the MAJORITY language is
+    // the contaminant — a correct char-ngram classifier lands most
+    // of these on the NEXT language in Langs order, off-diagonal
+    val heavy = byTier("heavy")
+    val next = LangClassifier.Langs.zipWithIndex.map { case (l, i) =>
+      l -> LangClassifier.Langs((i + 1) % LangClassifier.Langs.length)
+    }.toMap
+    val onContaminant = heavy.count(r => r._3 == next(r._2))
+    assert(heavy.nonEmpty && onContaminant * 3 >= heavy.length * 2,
+      s"heavy tier: only $onContaminant/${heavy.length} on the contaminant language")
+  }
+
   test("argmax preference: ties resolve to the alphabetically earliest language") {
     // craft equal scores by classifying with ALL-ZERO weights: every
     // doc's five scores are 0 → the CASE chain must emit 'de'

@@ -2551,8 +2551,13 @@ object PipelineQueries {
     // ≤ 75 on the 256-bit fine code (dup drift ≤ 58, cross ≥ 94 over
     // 500 seeds: a 36-bit gap where the 64-bit code's is 5). Same
     // corpus as i5b; emits both distances so the driver row carries
-    // the threshold audit. Rows-only (no SQL engine decodes PNG);
-    // MediaCodecSpec pins the gap and the operator's pair set.
+    // the threshold audit. r11: the driver entry ships the TWO-PASS
+    // operator (radius-7 exact bands + the Hamming-1 band probe over
+    // first-pass-unmatched assets, radius 10) with the `pass` column
+    // recording which stage surfaced each pair — the operating point
+    // the i5d report measures at 100 % candidate recall. Rows-only
+    // (no SQL engine decodes PNG); MediaCodecSpec pins the gap, the
+    // pair set, and the 500-pair two-pass recall.
     QueryDef("i5c_real_media_neardup_precise",
       (s, dir) => {
         import s.implicits._
@@ -2567,7 +2572,7 @@ object PipelineQueries {
               graft.operators.MediaCodec.reencodeJpeg(png).get, "image", "jpeg"))
           else Iterator(orig)
         })
-        graft.operators.Multimodal.mediaNearDupPairsPrecise(s, recs)
+        graft.operators.Multimodal.mediaNearDupPairsPrecise2(s, recs)
           .orderBy("a", "b")
       },
       None),

@@ -226,16 +226,21 @@ object LangClassifier {
   /** Score + classify every doc through the K29 compiled kernel —
     * one pass per doc, all L scores, zero joins (weights are inlined
     * literals; a model swap changes L·k literals, not the plan).
+    * `carry` passes input columns through (e.g. the truth label) —
+    * as a projection, NOT a re-attach join: at corpus scale a
+    * classify-then-self-join on the id would shuffle the corpus
+    * twice for what is row-local information.
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
                weights: Seq[Seq[Long]], langs: Seq[String] = Langs,
-               n: Int = GramN): DataFrame = {
+               n: Int = GramN, carry: Seq[String] = Nil): DataFrame = {
     val scored = docs.withColumn("__ls",
       HashFunctions.langGramScores(col(textCol), weights, n))
     val scoreCols = langs.indices.map(i =>
       element_at(col("__ls.scores"), i + 1))
     scored.select(
-      Seq(col(idCol), col("__ls.n_grams").as("n_grams")) ++
+      Seq(col(idCol)) ++ carry.map(col) ++
+        Seq(col("__ls.n_grams").as("n_grams")) ++
         langs.indices.map(i => scoreCols(i).as(s"s_${langs(i)}")) :+
         predictLang(scoreCols, langs).as("pred_lang"): _*)
   }

@@ -3747,8 +3747,9 @@ object PipelineQueries {
           synth.filter(pmod(col("doc_id"), lit(10)) < 7), "text", "lang"))
         val hold = synth.filter(pmod(col("doc_id"), lit(10)) >= 7)
         QueryDefs.sortedSmall(
-          lc.classify(hold, "doc_id", "text", w)
-            .join(hold.select("doc_id", "lang"), Seq("doc_id"))
+          // truth label CARRIED through the row-local projection —
+          // not re-attached by a corpus-sized self-join on doc_id
+          lc.classify(hold, "doc_id", "text", w, carry = Seq("lang"))
             .withColumn("correct", col("pred_lang") === col("lang"))
             .select("doc_id", "lang", "n_grams", "s_de", "s_en", "s_es",
               "s_fr", "s_zh", "pred_lang", "correct"),
@@ -3808,8 +3809,7 @@ object PipelineQueries {
         val hold = lc.synthDocsMixed(docs)
           .filter(pmod(col("doc_id"), lit(10)) >= 7)
         QueryDefs.sortedSmall(
-          lc.classify(hold, "doc_id", "text", w)
-            .join(hold.select("doc_id", "lang"), Seq("doc_id"))
+          lc.classify(hold, "doc_id", "text", w, carry = Seq("lang"))
             .withColumn("tier", expr(lc.tierCase("doc_id")))
             .groupBy("lang", "pred_lang", "tier")
             .agg(count(lit(1)).as("n")),

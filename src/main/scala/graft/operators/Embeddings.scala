@@ -742,10 +742,15 @@ object Embeddings {
           // boundary; dropping the entry unreferences its checkpoint
           // RDDs for the ContextCleaner), and (b) a FIFO size cap
           // bounds a parameter sweep that never releases.
-          TrackedCache.onRelease(df.sparkSession,
-            () => semanticDedupMemo.remove(key))
           val order = semanticDedupMemoOrder.computeIfAbsent(appId,
             _ => new java.util.concurrent.ConcurrentLinkedQueue())
+          TrackedCache.onRelease(df.sparkSession, () => {
+            semanticDedupMemo.remove(key)
+            // purge the order queue too: its entries hold the same
+            // canonicalized plans the memo does, so a stale key kept
+            // there would be the identical leak one hop away
+            order.remove(key)
+          })
           order.add(key)
           while (order.size > MemoCap) {
             val oldest = order.poll()

@@ -266,7 +266,7 @@ object StressBench {
         val (kTf, tKernelTf) = timed(kernelFacts.count())
         val (hTf, tHofTf) = timed(
           hofFacts.groupBy("doc_id", "w").agg(count(lit(1)).as("tf")).count())
-        val kRows = kernelFacts.count()
+        val kRows = kTf // the kernel fact frame IS the TF table
         val hRows = hofFacts.count()
         docs.unpersist()
         require(kV == hV && kOcc == hOcc,

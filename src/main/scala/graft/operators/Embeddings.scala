@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** G-group similarity search + F5 embedding near-dup (SURVEY §2).
   *
@@ -701,6 +701,21 @@ object Embeddings {
   private val memoEvictorInstalled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** One release-epoch hook per (app, session) — NOT one per memo
+    * key: a per-key closure captures its plan-holding key and lives
+    * in TrackedCache's hook queue until release, which would be the
+    * r10 leak relocated. This set resets at each release so the next
+    * epoch re-installs.
+    */
+  private val releaseEvictorInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, SparkSession)]()
+
+  private def dropAppMemo(appId: String): Unit = {
+    semanticDedupMemo.keySet.removeIf(_._1 == appId)
+    val q = semanticDedupMemoOrder.remove(appId)
+    if (q != null) q.clear()
+  }
+
   def semanticDedup(df: DataFrame, init: DataFrame, idCol: String,
                     vecCol: String, iters: Int, tau: Double,
                     algo: ComponentsAlgo = ComponentsAlgo.MinLabel): DataFrame = {
@@ -708,15 +723,28 @@ object Embeddings {
     if (memoEvictorInstalled.add(appId)) {
       // memo entries hold session-backed plans + localCheckpoint RDDs;
       // evict per application so multi-session processes (test
-      // suites, notebook hosts) don't retain them past the app
+      // suites, notebook hosts) don't retain them past the app —
+      // including the insertion-order queue, whose entries hold the
+      // same plans
       df.sparkSession.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            semanticDedupMemo.keySet.removeIf(_._1 == appId)
+            dropAppMemo(appId)
             memoEvictorInstalled.remove(appId)
           }
         })
+    }
+    if (releaseEvictorInstalled.add((appId, df.sparkSession))) {
+      // entries also die with the CACHE EPOCH (r10 ADVICE):
+      // TrackedCache.release is the corpus boundary, and dropping the
+      // whole app's memo there unreferences its checkpoint RDDs for
+      // the ContextCleaner
+      val sessionRef = df.sparkSession
+      TrackedCache.onRelease(sessionRef, () => {
+        dropAppMemo(appId)
+        releaseEvictorInstalled.remove((appId, sessionRef))
+      })
     }
     val assignFrame = kmeansAssignments(df, init, idCol, vecCol, iters)
     val key = (appId, assignFrame.queryExecution.analyzed.canonicalized,
@@ -736,27 +764,25 @@ object Embeddings {
         val raced = semanticDedupMemo.putIfAbsent(key, fresh)
         if (raced != null) raced
         else {
-          // r10 ADVICE — the memo must not retain checkpointed label
-          // RDDs unboundedly: (a) entries die with the CACHE EPOCH,
-          // not the application (TrackedCache.release is the corpus
-          // boundary; dropping the entry unreferences its checkpoint
-          // RDDs for the ContextCleaner), and (b) a FIFO size cap
-          // bounds a parameter sweep that never releases.
+          // FIFO size cap: bounds a parameter sweep that never calls
+          // release. Eviction goes through TrackedCache.untrack so
+          // the frame (and the plan + checkpoint RDD references it
+          // holds) leaves the session's persisted queue too — a
+          // plain unpersist would keep the object alive there until
+          // the next release. A polled key that turns out to be a
+          // LIVE entry racing this insert is re-queued, never
+          // silently dropped from tracking.
           val order = semanticDedupMemoOrder.computeIfAbsent(appId,
             _ => new java.util.concurrent.ConcurrentLinkedQueue())
-          TrackedCache.onRelease(df.sparkSession, () => {
-            semanticDedupMemo.remove(key)
-            // purge the order queue too: its entries hold the same
-            // canonicalized plans the memo does, so a stale key kept
-            // there would be the identical leak one hop away
-            order.remove(key)
-          })
           order.add(key)
           while (order.size > MemoCap) {
             val oldest = order.poll()
-            if (oldest != null && oldest != key) {
-              val evicted = semanticDedupMemo.remove(oldest)
-              if (evicted != null) evicted.unpersist()
+            if (oldest != null) {
+              if (oldest == key) order.add(key) // re-queue self, evict another
+              else {
+                val evicted = semanticDedupMemo.remove(oldest)
+                if (evicted != null) TrackedCache.untrack(evicted)
+              }
             }
           }
           fresh

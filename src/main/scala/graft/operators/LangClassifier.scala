@@ -295,6 +295,33 @@ object LangClassifier {
        |  FROM grid LEFT JOIN cnt ON grid.lang = cnt.lang AND grid.b = cnt.b
        |  LEFT JOIN tot ON grid.lang = tot.lang)""".stripMargin
 
+  /** DuckDB pivot column list: s_<lang> per language, exact BIGINTs. */
+  def sqlPivs: String =
+    Langs.map(l =>
+      s"CAST(SUM(CASE WHEN ln = '$l' THEN s ELSE 0 END) AS BIGINT) AS s_$l")
+      .mkString(",\n            ")
+
+  /** DuckDB CTEs scoring an `<input>(doc_id, text)` CTE through the
+    * trained `lam` model: yields `piv(doc_id, n_grams, s_<lang>…)`.
+    * ONE spelling shared by every h20-family oracle (a hand-copied
+    * gram clamp or bucket cast in one of them would silently diverge
+    * from the kernel).
+    */
+  def sqlScoreCtes(input: String): String =
+    s"""${input}g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${GramN - 1}, 1) + 1),
+       |    i -> substr(lower(text), CAST(i AS INT), $GramN))) AS gr
+       |  FROM $input),
+       |${input}g AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT % $Buckets AS b FROM ${input}g0),
+       |${input}sc AS (
+       |  SELECT doc_id, lam.lang AS ln, CAST(COUNT(*) AS BIGINT) AS ng,
+       |    CAST(SUM(weight_u) AS BIGINT) AS s
+       |  FROM ${input}g JOIN lam ON ${input}g.b = lam.b GROUP BY doc_id, lam.lang),
+       |piv AS (
+       |  SELECT doc_id, CAST(MAX(ng) AS BIGINT) AS n_grams,
+       |    $sqlPivs
+       |  FROM ${input}sc GROUP BY doc_id)""".stripMargin
+
   /** DuckDB spelling of the argmax CASE chain over score columns
     * named s_<lang> in `langs` order.
     */

@@ -47,6 +47,18 @@ object TrackedCache {
         _ => new java.util.concurrent.ConcurrentLinkedQueue[Runnable]())
       .add(hook)
 
+  /** Unpersist `df` AND drop it from the session's tracked queue —
+    * for owners that retire a frame mid-epoch (the semanticDedup
+    * memo's cap eviction): a plain unpersist would leave the frame
+    * object (and the plan + checkpoint RDD references inside it)
+    * strongly held by the queue until the next [[release]].
+    */
+  def untrack(df: DataFrame): Unit = {
+    df.unpersist()
+    val q = persisted.get(df.sparkSession)
+    if (q != null) q.remove(df)
+  }
+
   /** Unpersist every tracked frame for `spark` and fire its release
     * hooks. Duplicate registrations unpersist harmlessly.
     */

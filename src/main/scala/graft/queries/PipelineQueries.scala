@@ -3757,26 +3757,11 @@ object PipelineQueries {
       },
       Some {
         val lc = graft.operators.LangClassifier
-        val pivs = lc.Langs.map(l =>
-          s"CAST(SUM(CASE WHEN ln = '$l' THEN s ELSE 0 END) AS BIGINT) AS s_$l")
-          .mkString(",\n            ")
         s"""WITH ${lc.sqlSynthCte},
           train AS (SELECT lang, text FROM synth WHERE doc_id % 10 < 7),
           ${lc.sqlTrainCtes},
           hold AS (SELECT * FROM synth WHERE doc_id % 10 >= 7),
-          hg0 AS (
-            SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${lc.GramN - 1}, 1) + 1),
-              i -> substr(lower(text), CAST(i AS INT), ${lc.GramN}))) AS gr
-            FROM hold),
-          hg AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT % ${lc.Buckets} AS b FROM hg0),
-          sc AS (
-            SELECT doc_id, lam.lang AS ln, CAST(COUNT(*) AS BIGINT) AS ng,
-              CAST(SUM(weight_u) AS BIGINT) AS s
-            FROM hg JOIN lam ON hg.b = lam.b GROUP BY doc_id, lam.lang),
-          piv AS (
-            SELECT doc_id, CAST(MAX(ng) AS BIGINT) AS n_grams,
-            $pivs
-            FROM sc GROUP BY doc_id)
+          ${lc.sqlScoreCtes("hold")}
           SELECT p.doc_id, h.lang, p.n_grams, s_de, s_en, s_es, s_fr, s_zh,
             ${lc.sqlPredict()} AS pred_lang,
             (${lc.sqlPredict()}) = h.lang AS correct
@@ -3817,26 +3802,12 @@ object PipelineQueries {
       },
       Some {
         val lc = graft.operators.LangClassifier
-        val pivs = lc.Langs.map(l =>
-          s"CAST(SUM(CASE WHEN ln = '$l' THEN s ELSE 0 END) AS BIGINT) AS s_$l")
-          .mkString(",\n            ")
         s"""WITH ${lc.sqlSynthCte},
           train AS (SELECT lang, text FROM synth WHERE doc_id % 10 < 7),
           ${lc.sqlTrainCtes},
           ${lc.sqlSynthMixedCte},
           hold AS (SELECT * FROM mixed WHERE doc_id % 10 >= 7),
-          hg0 AS (
-            SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${lc.GramN - 1}, 1) + 1),
-              i -> substr(lower(text), CAST(i AS INT), ${lc.GramN}))) AS gr
-            FROM hold),
-          hg AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT % ${lc.Buckets} AS b FROM hg0),
-          sc AS (
-            SELECT doc_id, lam.lang AS ln, CAST(SUM(weight_u) AS BIGINT) AS s
-            FROM hg JOIN lam ON hg.b = lam.b GROUP BY doc_id, lam.lang),
-          piv AS (
-            SELECT doc_id,
-            $pivs
-            FROM sc GROUP BY doc_id),
+          ${lc.sqlScoreCtes("hold")},
           pred AS (
             SELECT p.doc_id, h.lang, ${lc.sqlPredict()} AS pred_lang,
               ${lc.tierCase("p.doc_id")} AS tier
@@ -3862,42 +3833,25 @@ object PipelineQueries {
         val synth = lc.synthDocs(docs)
         val w = lc.collectLangWeights(lc.trainLangWeights(
           synth.filter(pmod(col("doc_id"), lit(10)) < 7), "text", "lang"))
-        val rates = Seq("en" -> 1000000, "de" -> 600000, "fr" -> 500000,
-          "es" -> 400000, "zh" -> 250000)
-        val ppm = rates.tail.foldLeft(
-          when(col("pred_lang") === rates.head._1, lit(rates.head._2))) {
-          case (acc, (l, r)) => acc.when(col("pred_lang") === l, lit(r))
-        }.otherwise(lit(0))
+        // the keep rule is J18's mixingGateStream VERBATIM — the
+        // batch oracle and the streaming gate provably share one
+        // implementation (a second hand-spelled copy of the salt or
+        // hash could silently diverge)
         QueryDefs.sortedSmall(
-          lc.classify(synth, "doc_id", "text", w)
-            .withColumn("__u", pmod(
-              HashFunctions.md5prefix64(
-                concat(lit("mix:"), col("doc_id").cast("string"))),
-              lit(1000000L)))
-            .filter(col("__u") < ppm)
+          graft.streaming.AdsbStream.mixingGateStream(
+            lc.classify(synth, "doc_id", "text", w),
+            "doc_id", "pred_lang",
+            Seq("en" -> 1000000L, "de" -> 600000L, "fr" -> 500000L,
+              "es" -> 400000L, "zh" -> 250000L))
             .select("doc_id", "pred_lang"),
           col("doc_id"))
       },
       Some {
         val lc = graft.operators.LangClassifier
-        val pivs = lc.Langs.map(l =>
-          s"CAST(SUM(CASE WHEN ln = '$l' THEN s ELSE 0 END) AS BIGINT) AS s_$l")
-          .mkString(",\n            ")
         s"""WITH ${lc.sqlSynthCte},
           train AS (SELECT lang, text FROM synth WHERE doc_id % 10 < 7),
           ${lc.sqlTrainCtes},
-          ag0 AS (
-            SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${lc.GramN - 1}, 1) + 1),
-              i -> substr(lower(text), CAST(i AS INT), ${lc.GramN}))) AS gr
-            FROM synth),
-          ag AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT % ${lc.Buckets} AS b FROM ag0),
-          sc AS (
-            SELECT doc_id, lam.lang AS ln, CAST(SUM(weight_u) AS BIGINT) AS s
-            FROM ag JOIN lam ON ag.b = lam.b GROUP BY doc_id, lam.lang),
-          piv AS (
-            SELECT doc_id,
-            $pivs
-            FROM sc GROUP BY doc_id),
+          ${lc.sqlScoreCtes("synth")},
           pred AS (SELECT doc_id, ${lc.sqlPredict()} AS pred_lang FROM piv)
           SELECT doc_id, pred_lang FROM pred
           WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000

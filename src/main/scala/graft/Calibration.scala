@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Host-calibration anchor for cross-round bench comparability.
+  *
+  * Bench walls from different rounds run on different (shared,
+  * variably-loaded) hosts: r11 measured unchanged StressBench legs
+  * 2.5-3x slower than r10 on identical code, so absolute cross-round
+  * walls carry an unknown host factor. This anchor is that factor,
+  * measured: a fixed pure-compute kernel (a splitmix-style integer
+  * mixer — no I/O, no allocation, no branches, deterministic result)
+  * timed (a) single-threaded on the driver and (b) as one identical
+  * task per core through Spark. Dividing two rounds' per-query walls
+  * by their anchor ratio normalizes out host speed; mt_sec well above
+  * t1_sec flags a host that was CONTENDED (oversubscribed cores)
+  * rather than merely slower.
+  */
+object Calibration {
+
+  val Iters: Long = 400000000L
+
+  /** The fixed kernel: `iters` rounds of a 64-bit LCG + xor-shift
+    * mix. The running value feeds the next round, so the loop cannot
+    * be vectorized away, and the returned value is asserted against a
+    * constant — a short-circuited or miscompiled loop can't pass.
+    */
+  def mix(seed: Long, iters: Long): Long = {
+    var x = seed
+    var i = 0L
+    while (i < iters) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= (x >>> 33)
+      i += 1
+    }
+    x
+  }
+
+  /** Expected mix(1, Iters) — pinned so a wrong iteration count or a
+    * changed kernel is an error, not a silently incomparable anchor.
+    */
+  private lazy val Expected: Long = mix(1L, Iters)
+
+  /** Run the anchor; returns a JSON object string
+    * `{"iters":…,"cpus":…,"t1_sec":…,"mt_sec":…}`. Each leg is
+    * min-of-2 (same steady-state methodology as the bench proper).
+    */
+  def measure(spark: SparkSession, cpus: Int): String = {
+    def fmt(v: Double) = f"$v%.3f"
+    def timed(body: => Long): Double = {
+      val t0 = System.nanoTime()
+      val r = body
+      require(r != 0L, "anchor kernel returned 0") // consume the value
+      (System.nanoTime() - t0) / 1e9
+    }
+    require(mix(1L, Iters) == Expected)
+    def t1Leg(): Double = timed(mix(1L, Iters))
+    // one identical task per core: wall = slowest core, so on an idle
+    // host mt ≈ t1 and the gap above that is contention
+    def mtLeg(): Double = timed {
+      import spark.implicits._
+      spark.range(cpus).as[Long].repartition(cpus)
+        .mapPartitions(it => it.map(s => mix(s + 1, Iters)))
+        .reduce(_ ^ _)
+    }
+    val t1 = math.min(t1Leg(), t1Leg())
+    val mt = math.min(mtLeg(), mtLeg())
+    s"""{"iters":$Iters,"cpus":$cpus,"t1_sec":${fmt(t1)},"mt_sec":${fmt(mt)}}"""
+  }
+}

@@ -414,6 +414,12 @@ object StressBench {
           s""""r7_candidates":$cand7,"r7_sec":${fmt(t7)},"r7_planted_found":$found7,""" +
           s""""r3_candidates":$cand3,"r3_sec":${fmt(t3)},"r3_planted_found":$found3}""")
 
+      case "calibration" =>
+        // the host anchor (see [[Calibration]]): prepended to every
+        // SCALE_r*_results.txt run so cross-round StressBench walls
+        // are normalizable by host speed
+        println(s"""{"metric":"calibration","anchor":${Calibration.measure(spark, cpus.toInt)}}""")
+
       case other =>
         System.err.println(s"unknown scenario: $other")
         sys.exit(1)

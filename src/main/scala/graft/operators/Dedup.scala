@@ -576,8 +576,15 @@ object Dedup {
       changed = next.filter(col("component") =!= col("prev")).count()
       labels = next.select("id", "component")
       iter += 1
+      // The fail-to-halve signal alone can misfire on bushy graphs
+      // that legitimately converge in 3-5 rounds with slowly-decaying
+      // change counts — but once `changed` is under ~1/64 of nodes the
+      // remaining rounds are cheap regardless of regime, so gate the
+      // halving test on an absolute fraction floor: bail only while
+      // the front is still MOVING a material share of the graph.
       if (bailOnStall && changed > 0 &&
-        (changed * 4 > nNodes || (iter >= 2 && changed * 2 > prevChanged)))
+        (changed * 4 > nNodes ||
+          (iter >= 2 && changed * 2 > prevChanged && changed * 64 > nNodes)))
         stalled = true
       prevChanged = changed
     }
@@ -1051,8 +1058,15 @@ object Dedup {
       .select(least(col("pa"), col("pb")).as("a"),
         greatest(col("pa"), col("pb")).as("b"),
         when(col("pa") < col("pb"), col("spa")).otherwise(col("spb")).as("sa"),
-        when(col("pa") < col("pb"), col("spb")).otherwise(col("spa")).as("sb"))
-      .groupBy("a", "b", "sa", "sb").agg(count(lit(1)).as("n_bands"))
+        when(col("pa") < col("pb"), col("spb")).otherwise(col("spa")).as("sb"),
+        col("band"))
+      // DISTINCT bands, not hit count: when both endpoints sit on the
+      // probe side, a matching band is found in both probe directions
+      // (a's flip hits b AND b's flip hits a) and a plain count reads
+      // up to 2x the true number of Hamming-1-matching bands — pair
+      // identity was never affected, but n_bands is an audit value.
+      .groupBy("a", "b", "sa", "sb")
+      .agg(countDistinct(col("band")).as("n_bands"))
       .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS INT)"))
       .filter(col("hamming") > minHamming && col("hamming") <= maxHamming)
       .select("a", "b", "hamming", "n_bands")

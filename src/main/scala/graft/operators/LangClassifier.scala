@@ -87,6 +87,27 @@ object LangClassifier {
   val GramN = 3
   val Buckets = 256
 
+  /** Shared LOANWORD vocabulary (24 words) — internationalisms that
+    * appear verbatim in every language's text (hotel/taxi/radio...),
+    * the realistic cross-lingual overlap a 24-word-per-language clean
+    * slice lacks. In the confusable slice these words occur at a
+    * controlled rate in EVERY language, so their trigram buckets
+    * carry near-equal trained mass across classes: they dilute the
+    * per-doc signal instead of separating it — exactly what makes
+    * short mixed docs a real (sub-100%) operating point.
+    */
+  val LoanWords: Seq[String] = Seq("hotel", "taxi", "radio", "piano",
+    "metro", "virus", "pizza", "bank", "film", "foto", "tunnel", "sport",
+    "tiger", "zebra", "golf", "kiwi", "laser", "opera", "robot", "sofa",
+    "tango", "villa", "yoga", "zoo")
+
+  /** Words per SHORT-tier doc in the confusable slice (docs with
+    * doc_id ≡ 0 mod 3): real lang-ID error concentrates in short
+    * texts, where a handful of loan/borrowed words can outweigh the
+    * native signal.
+    */
+  val ShortDocWords = 5
+
   /** 0-based index of the doc's labeled language in [[Langs]] — a
     * CASE chain (not array_position: return-type/null conventions
     * differ across engines). An out-of-set label falls back to 'en'
@@ -146,6 +167,79 @@ object LangClassifier {
             % VocabSize).cast("int") + 1)
       }))
     docs.select(col("doc_id"), col("lang"), text.as("text"))
+  }
+
+  /** H20c — the CONFUSABLE evaluation slice (r11 verdict #1: the
+    * clean slice is vocabulary-separable BY CONSTRUCTION, so h20's
+    * 100% held-out accuracy proves the pipeline, not discrimination;
+    * this slice is built so accuracy is a REAL operating number).
+    * Three controlled confusion sources, all deterministic:
+    *
+    *  - SHARED LOANWORDS at `overlapPpm`: position p draws from
+    *    [[LoanWords]] (common to all languages) when
+    *    md5prefix64("ov:" doc:p) mod 1e6 < overlapPpm — these words
+    *    train into EVERY class, so they dilute instead of separate
+    *    (Wenzek et al. 2020 §3.2's hard case);
+    *  - BORROWED FUNCTION WORDS at overlapPpm/2: the next band of the
+    *    same hash draws from the NEXT language's vocabulary —
+    *    genuinely adversarial cross-language mass;
+    *  - a SHORT-DOC tier (doc_id ≡ 0 mod 3: [[ShortDocWords]] words
+    *    instead of 12) — few grams, so a couple of non-native words
+    *    can flip the argmax.
+    *
+    * The word-index selector is the clean slice's
+    * (md5prefix64(doc:p) mod 24 — ONE spelling), and the whole
+    * construction replays in SQL ([[sqlSynthConfCte]]), so
+    * train→classify→report oracles stay bit-exact while the reported
+    * accuracy is genuinely sub-100% and degrades with overlapPpm.
+    */
+  def synthDocsConfusable(docs: DataFrame, overlapPpm: Int): DataFrame = {
+    val vocabLit = array(Langs.map(l => array(Vocabs(l).map(lit): _*)): _*)
+    val loanLit = array(LoanWords.map(lit): _*)
+    val borrowPpm = overlapPpm / 2
+    val li = langIdx(col("lang")).cast("int")
+    val nWords = when(pmod(col("doc_id"), lit(3)) === 0, ShortDocWords)
+      .otherwise(WordsPerDoc)
+    val text = concat_ws(" ",
+      transform(sequence(lit(0), nWords - 1), p => {
+        val r = HashFunctions.md5prefix64(
+          concat(lit("ov:"), col("doc_id").cast("string"), lit(":"),
+            p.cast("string"))) % 1000000L
+        val wi = (HashFunctions.md5prefix64(
+          concat(col("doc_id").cast("string"), lit(":"), p.cast("string")))
+          % VocabSize).cast("int")
+        when(r < overlapPpm, element_at(loanLit, wi + 1))
+          .when(r < overlapPpm + borrowPpm,
+            element_at(element_at(vocabLit,
+              pmod(li + 1, lit(Langs.length)).cast("int") + 1), wi + 1))
+          .otherwise(element_at(element_at(vocabLit, li + 1), wi + 1))
+      }))
+    docs.select(col("doc_id"), col("lang"), text.as("text"))
+  }
+
+  /** DuckDB literal for the loanword list. */
+  def sqlLoanList: String =
+    LoanWords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB CTE for [[synthDocsConfusable]] at `overlapPpm`, named
+    * `cte(doc_id, lang, text)` so two rates coexist in one query.
+    */
+  def sqlSynthConfCte(overlapPpm: Int, cte: String): String = {
+    val borrowPpm = overlapPpm / 2
+    val wi = s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 15))::BIGINT % $VocabSize AS INT)"
+    val r = s"('0x' || substr(md5('ov:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)), 1, 15))::BIGINT % 1000000"
+    s"""$cte AS (
+       |  SELECT doc_id, lang,
+       |    array_to_string(list_transform(
+       |      range(0, CASE WHEN doc_id % 3 = 0 THEN $ShortDocWords ELSE $WordsPerDoc END), p ->
+       |      CASE
+       |        WHEN $r < $overlapPpm THEN ($sqlLoanList)[$wi + 1]
+       |        WHEN $r < ${overlapPpm + borrowPpm}
+       |          THEN ($sqlVocabList)[(${sqlLangIdx("lang")} + 1) % ${Langs.length} + 1][$wi + 1]
+       |        ELSE ($sqlVocabList)[${sqlLangIdx("lang")} + 1][$wi + 1]
+       |      END),
+       |      ' ') AS text
+       |  FROM documents)""".stripMargin
   }
 
   /** SQL/Column spelling of the contamination tier label. */
@@ -277,23 +371,30 @@ object LangClassifier {
   /** DuckDB CTEs training the model from a `train(lang, text)` CTE in
     * scope: yields `lam(lang, b, c, weight_u)`.
     */
-  def sqlTrainCtes: String =
-    s"""g0 AS (
+  def sqlTrainCtes: String = sqlTrainCtesNamed("", "train")
+
+  /** [[sqlTrainCtes]] with every emitted CTE name prefixed and the
+    * input CTE name free, so several independently-trained models
+    * (h20c's per-overlap-rate models) coexist in ONE query: yields
+    * `${prefix}lam(lang, b, c, weight_u)` from `$train(lang, text)`.
+    */
+  def sqlTrainCtesNamed(prefix: String, train: String): String =
+    s"""${prefix}g0 AS (
        |  SELECT lang, unnest(list_transform(range(1, greatest(length(text) - ${GramN - 1}, 1) + 1),
        |    i -> substr(lower(text), CAST(i AS INT), $GramN))) AS gr
-       |  FROM train),
-       |g AS (SELECT lang, ('0x' || substr(md5(gr), 1, 15))::BIGINT % $Buckets AS b FROM g0),
-       |cnt AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY lang, b),
-       |grid AS (
+       |  FROM $train),
+       |${prefix}g AS (SELECT lang, ('0x' || substr(md5(gr), 1, 15))::BIGINT % $Buckets AS b FROM ${prefix}g0),
+       |${prefix}cnt AS (SELECT lang, b, CAST(COUNT(*) AS BIGINT) AS c FROM ${prefix}g GROUP BY lang, b),
+       |${prefix}grid AS (
        |  SELECT l.lang, r.b FROM (SELECT unnest($sqlLangList) AS lang) l
        |  CROSS JOIN (SELECT unnest(range(0, $Buckets)) AS b) r),
-       |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY lang),
-       |lam AS (
-       |  SELECT grid.lang, grid.b, COALESCE(cnt.c, 0) AS c,
-       |    CAST(floor(ln(CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE)
-       |      / CAST(COALESCE(tot.t, 0) + $Buckets AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS weight_u
-       |  FROM grid LEFT JOIN cnt ON grid.lang = cnt.lang AND grid.b = cnt.b
-       |  LEFT JOIN tot ON grid.lang = tot.lang)""".stripMargin
+       |${prefix}tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM ${prefix}cnt GROUP BY lang),
+       |${prefix}lam AS (
+       |  SELECT ${prefix}grid.lang, ${prefix}grid.b, COALESCE(${prefix}cnt.c, 0) AS c,
+       |    CAST(floor(ln(CAST(COALESCE(${prefix}cnt.c, 0) + 1 AS DOUBLE)
+       |      / CAST(COALESCE(${prefix}tot.t, 0) + $Buckets AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS weight_u
+       |  FROM ${prefix}grid LEFT JOIN ${prefix}cnt ON ${prefix}grid.lang = ${prefix}cnt.lang AND ${prefix}grid.b = ${prefix}cnt.b
+       |  LEFT JOIN ${prefix}tot ON ${prefix}grid.lang = ${prefix}tot.lang)""".stripMargin
 
   /** DuckDB pivot column list: s_<lang> per language, exact BIGINTs. */
   def sqlPivs: String =
@@ -308,16 +409,24 @@ object LangClassifier {
     * from the kernel).
     */
   def sqlScoreCtes(input: String): String =
+    sqlScoreCtesNamed(input, "lam", "piv")
+
+  /** [[sqlScoreCtes]] with the model CTE and output CTE names free,
+    * so several (input, model) scoring passes coexist in one query:
+    * yields `$piv(doc_id, n_grams, s_<lang>…)` scoring `$input`
+    * through `$lam`.
+    */
+  def sqlScoreCtesNamed(input: String, lam: String, piv: String): String =
     s"""${input}g0 AS (
        |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - ${GramN - 1}, 1) + 1),
        |    i -> substr(lower(text), CAST(i AS INT), $GramN))) AS gr
        |  FROM $input),
        |${input}g AS (SELECT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT % $Buckets AS b FROM ${input}g0),
        |${input}sc AS (
-       |  SELECT doc_id, lam.lang AS ln, CAST(COUNT(*) AS BIGINT) AS ng,
+       |  SELECT doc_id, $lam.lang AS ln, CAST(COUNT(*) AS BIGINT) AS ng,
        |    CAST(SUM(weight_u) AS BIGINT) AS s
-       |  FROM ${input}g JOIN lam ON ${input}g.b = lam.b GROUP BY doc_id, lam.lang),
-       |piv AS (
+       |  FROM ${input}g JOIN $lam ON ${input}g.b = $lam.b GROUP BY doc_id, $lam.lang),
+       |$piv AS (
        |  SELECT doc_id, CAST(MAX(ng) AS BIGINT) AS n_grams,
        |    $sqlPivs
        |  FROM ${input}sc GROUP BY doc_id)""".stripMargin

@@ -3859,6 +3859,84 @@ object PipelineQueries {
                              WHEN 'fr' THEN 500000 WHEN 'es' THEN 400000
                              WHEN 'zh' THEN 250000 ELSE 0 END
           ORDER BY doc_id"""
+      }),
+
+    // H20c: CONFUSABLE language-ID evaluation (r11 verdict #1 —
+    // h20's 100% held-out accuracy is STRUCTURAL: its clean slice is
+    // vocabulary-separable by construction; this makes accuracy a
+    // MEASURED operating number): the slice is re-synthesized with
+    // shared loanwords at a controlled rate (trained into every
+    // class — they dilute, not separate), borrowed next-language
+    // function words at half that rate (genuinely adversarial mass),
+    // and a short-doc tier (5 words — where a couple of non-native
+    // words flip the argmax). Train on the slice's OWN 70% (noisy
+    // training — the CCNet setting, Wenzek et al. 2020 §3.2),
+    // classify the held-out 30%, report per-language
+    // precision/recall as integer ppm at TWO overlap rates; the spec
+    // pins accuracy < 100% at the high rate, monotone degradation
+    // with overlap, and still > h3. Everything — both trainings,
+    // both servings, the argmax, the integer-ppm division — replays
+    // in ONE oracle. Scale: per rate, training shuffles ≤ 1280
+    // (lang,bucket) rows and serving is the zero-join K29 kernel;
+    // the report itself aggregates a 25-cell confusion matrix.
+    QueryDef("h20c_lang_confusable_eval",
+      (s, dir) => {
+        val lc = graft.operators.LangClassifier
+        val docs = Tables.documents(s, dir)
+        val perRate = Seq(150000, 400000).map { ppm =>
+          val slice = lc.synthDocsConfusable(docs, ppm)
+          val w = lc.collectLangWeights(lc.trainLangWeights(
+            slice.filter(pmod(col("doc_id"), lit(10)) < 7), "text", "lang"))
+          val hold = slice.filter(pmod(col("doc_id"), lit(10)) >= 7)
+          val cm = lc.classify(hold, "doc_id", "text", w, carry = Seq("lang"))
+            .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+          val byTrue = cm.groupBy("lang").agg(
+            sum("n").as("n_true"),
+            sum(when(col("pred_lang") === col("lang"), col("n"))
+              .otherwise(0L)).as("tp"))
+          val byPred = cm.groupBy(col("pred_lang").as("lang"))
+            .agg(sum("n").as("n_pred"))
+          byTrue.join(byPred, Seq("lang"), "left").na.fill(0L, Seq("n_pred"))
+            .select(lit(ppm.toLong).as("overlap_ppm"), col("lang"),
+              col("n_true"), col("n_pred"), col("tp"),
+              when(col("n_pred") > 0, expr("tp * 1000000 DIV n_pred"))
+                .otherwise(lit(-1L)).as("precision_ppm"),
+              expr("tp * 1000000 DIV n_true").as("recall_ppm"))
+        }
+        QueryDefs.sortedSmall(perRate.reduce(_ unionByName _),
+          col("overlap_ppm"), col("lang"))
+      },
+      Some {
+        val lc = graft.operators.LangClassifier
+        def rate(prefix: String, ppm: Int): String =
+          s"""${lc.sqlSynthConfCte(ppm, s"${prefix}conf")},
+            ${prefix}train AS (SELECT lang, text FROM ${prefix}conf WHERE doc_id % 10 < 7),
+            ${lc.sqlTrainCtesNamed(prefix, s"${prefix}train")},
+            ${prefix}hold AS (SELECT * FROM ${prefix}conf WHERE doc_id % 10 >= 7),
+            ${lc.sqlScoreCtesNamed(s"${prefix}hold", s"${prefix}lam", s"${prefix}piv")},
+            ${prefix}cm AS (
+              SELECT h.lang, ${lc.sqlPredict()} AS pred_lang,
+                CAST(COUNT(*) AS BIGINT) AS n
+              FROM ${prefix}piv p JOIN ${prefix}hold h ON p.doc_id = h.doc_id
+              GROUP BY h.lang, pred_lang),
+            ${prefix}t AS (
+              SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true,
+                CAST(SUM(CASE WHEN pred_lang = lang THEN n ELSE 0 END) AS BIGINT) AS tp
+              FROM ${prefix}cm GROUP BY lang),
+            ${prefix}p AS (
+              SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+              FROM ${prefix}cm GROUP BY pred_lang),
+            ${prefix}rep AS (
+              SELECT CAST($ppm AS BIGINT) AS overlap_ppm, t.lang, t.n_true,
+                CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred, t.tp,
+                CAST(CASE WHEN COALESCE(p.n_pred, 0) > 0
+                  THEN t.tp * 1000000 // p.n_pred ELSE -1 END AS BIGINT) AS precision_ppm,
+                CAST(t.tp * 1000000 // t.n_true AS BIGINT) AS recall_ppm
+              FROM ${prefix}t t LEFT JOIN ${prefix}p p ON t.lang = p.lang)"""
+        s"""WITH ${rate("r1", 150000)},
+          ${rate("r2", 400000)}
+          SELECT * FROM r1rep UNION ALL SELECT * FROM r2rep
+          ORDER BY overlap_ppm, lang"""
       })
   )
 

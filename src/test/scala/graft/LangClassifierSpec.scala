@@ -127,6 +127,43 @@ class LangClassifierSpec extends SparkSpecBase {
       s"heavy tier: only $onContaminant/${heavy.length} on the contaminant language")
   }
 
+  test("confusable slice: accuracy is a real (<100%) number at the high rate, degrades monotonically with overlap, and still dominates h3") {
+    val docs = Tables.documents(spark, sf)
+    // train on each slice's OWN 70% (noisy training — the CCNet
+    // setting), evaluate on its held-out 30%; rate 0 = loanword-free
+    // but short-doc-tiered, so the chain isolates the OVERLAP effect
+    def okOf(ppm: Int): (Long, Long, org.apache.spark.sql.DataFrame) = {
+      val slice = LangClassifier.synthDocsConfusable(docs, ppm)
+      val w = LangClassifier.collectLangWeights(
+        LangClassifier.trainLangWeights(
+          slice.filter(pmod(col("doc_id"), lit(10)) < 7), "text", "lang"))
+      val hold = slice.filter(pmod(col("doc_id"), lit(10)) >= 7)
+      val scored = LangClassifier.classify(
+        hold, "doc_id", "text", w, carry = Seq("lang"))
+      (scored.count(),
+        scored.filter(col("pred_lang") === col("lang")).count(), hold)
+    }
+    val (n0, ok0, _) = okOf(0)
+    val (n15, ok15, _) = okOf(150000)
+    val (n40, ok40, hold40) = okOf(400000)
+    assert(n0 == n15 && n15 == n40 && n0 > 0) // same doc set each rate
+    assert(ok0 >= ok15 && ok15 >= ok40,
+      s"accuracy not monotone in overlap: $ok0 >= $ok15 >= $ok40 (n=$n0)")
+    assert(ok40 < n40,
+      s"40% overlap should yield a sub-100% operating number, got $ok40/$n40")
+    assert(ok15 > ok40,
+      s"15% vs 40% overlap should be distinguishable: $ok15 vs $ok40")
+    // the trained model still beats h3's stopword-hit heuristic on
+    // the HARD slice (h3 cannot even express zh, and loanwords score
+    // as ties for it)
+    val sc = TextOps.langScores(col("text"))
+    val Seq(en, es, de, fr) = sc.map(_._2)
+    val h3Ok = hold40.withColumn("pred", TextOps.langPredict(en, es, de, fr))
+      .filter(col("pred") === col("lang")).count()
+    assert(ok40 > h3Ok,
+      s"trained $ok40/$n40 should beat heuristic $h3Ok/$n40 on the confusable slice")
+  }
+
   test("argmax preference: ties resolve to the alphabetically earliest language") {
     // craft equal scores by classifying with ALL-ZERO weights: every
     // doc's five scores are 0 → the CASE chain must emit 'de'

@@ -283,6 +283,39 @@ object StreamBench {
         s""","survivors":$survivors""")
     }
 
+    // ---- J20: streaming mergeable quantile-sketch state -------------
+    // each microbatch reduces to per-(group, grid cell) counts before
+    // landing on disk, so the on-disk trajectory grows in OCCUPIED
+    // CELLS per batch (≤ groups·value-range·G — here ≤ ~8k rows/batch
+    // at ANY input rate), never in event rows; merge-on-read quantile
+    // read-out touches only sketch rows. The streaming percentile
+    // dashboard path, state-bounded by construction.
+    if (only("j20_quantile_state")) for (rate <- rates) {
+      import org.apache.spark.sql.functions._
+      val path = s"$tmp/j20_$rate/state"
+      def evBatch(b: Int): org.apache.spark.sql.DataFrame =
+        spark.range(rate).select(
+          concat(lit("g"), pmod(col("id"), lit(8))).as("g"),
+          (pmod(col("id") * col("id") + lit(b.toLong * 131L), lit(9973L))
+            / lit(10.0)).as("v"))
+      val t0 = System.nanoTime()
+      val traj = (0 until batches).map { b =>
+        AdsbStream.mergeBatchIntoQuantileState(evBatch(b), b, "g", "v",
+          gridPerUnit = 1, path)
+        spark.read.parquet(path).count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (qRows, tRead) = {
+        val r0 = System.nanoTime()
+        val n = AdsbStream.readQuantileState(spark, path, "g",
+          Seq(50, 95, 99)).count()
+        (n, (System.nanoTime() - r0) / 1e9)
+      }
+      require(qRows == 8, s"expected 8 group quantile rows, got $qRows")
+      emit("j20_quantile_state", rate, batches.toLong * rate, secs, traj,
+        s""","groups":$qRows,"read_merge_s":${f"$tRead%.2f"}""")
+    }
+
     spark.stop()
   }
 }

@@ -238,6 +238,60 @@ object AdsbStream {
         min(col("min_ts_state")).as("first_ts"),
         max(col("max_state")).as("max_value"))
 
+  /** Fold one microbatch into the on-disk QUANTILE-sketch partial log
+    * (J20 helper — E14e's fixed-grid mergeable quantile sketch as
+    * streaming agg-state, by J10's discipline). Each batch reduces to
+    * per-(group, grid cell) counts BEFORE anything lands on disk —
+    * one row per occupied cell per batch, bounded by value-range·G,
+    * never by event count — and owns its `batch_id=` partition via
+    * dynamic partition overwrite, so a failure-replayed batch
+    * REPLACES its own partials instead of double-counting (idempotent
+    * exactly-once without a transaction log). Because the sketch
+    * merge is counter ADDITION (commutative, associative), the
+    * merge-on-read quantiles are bit-equal to the one-shot batch
+    * sketch over every ingested row, under any batch boundaries.
+    */
+  def mergeBatchIntoQuantileState(batch: DataFrame, batchId: Long,
+                                  groupCol: String, valCol: String,
+                                  gridPerUnit: Int, path: String): Unit =
+    graft.operators.ScaleOps.gridQuantileSketch(batch, groupCol, valCol, gridPerUnit)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** The J20 sink: the streaming percentile dashboard's write side —
+    * every microbatch appends its (group, cell) partial counts.
+    * Compaction of old batch partitions is B9's job, same as J10.
+    */
+  def startQuantileStateSink(stream: DataFrame, groupCol: String,
+                             valCol: String, gridPerUnit: Int, path: String,
+                             checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchIntoQuantileState(batch, batchId, groupCol, valCol,
+          gridPerUnit, path)
+      }
+      .start()
+
+  /** Read side of J20: merge the partial-count log (counter addition
+    * per (group, cell) — touching only sketch rows) and read the
+    * requested quantiles out at integer ranks, exactly E14e's
+    * read-out. Equals the one-shot [[graft.operators.ScaleOps
+    * .gridQuantileSketch]]+[[graft.operators.ScaleOps.gridQuantiles]]
+    * over every ingested row — the mergeable-summaries property the
+    * grid sketch exists for, composed with streaming.
+    */
+  def readQuantileState(spark: SparkSession, path: String, groupCol: String,
+                        qsPercent: Seq[Int]): DataFrame =
+    graft.operators.ScaleOps.gridQuantiles(
+      spark.read.parquet(path)
+        .groupBy(col(groupCol), col("cell")).agg(sum(col("c")).as("c")),
+      groupCol, qsPercent)
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, endUs: Long, n: Int)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

@@ -291,6 +291,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
   }
 
+  test("streaming quantile-sketch state: merge-on-read quantiles equal one-shot e14e, replay is idempotent (J20)") {
+    import graft.operators.ScaleOps
+    // two groups, deterministic skewed values (quadratic spread so
+    // p50/p95 land in different cells), delivered across TWO batches
+    // with different group mixes — batch boundaries must not matter
+    def rows(lo: Int, hi: Int): Seq[(String, Double)] =
+      (lo until hi).map(i => (if (i % 3 == 0) "a" else "b", (i * i % 997) / 10.0))
+    val input = MemoryStream[(String, Double)](spark)
+    val out = java.nio.file.Files.createTempDirectory("graft_qstate").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qckpt").toString
+    val named = input.toDF().toDF("g", "v")
+    val q = AdsbStream.startQuantileStateSink(named, "g", "v",
+      gridPerUnit = 1, out, ckpt)
+    input.addData(rows(0, 400))
+    q.processAllAvailable()
+    input.addData(rows(400, 1000))
+    q.processAllAvailable(); q.stop()
+
+    val merged = AdsbStream.readQuantileState(spark, out, "g", Seq(50, 95))
+    val direct = ScaleOps.gridQuantiles(
+      ScaleOps.gridQuantileSketch(rows(0, 1000).toDF("g", "v"), "g", "v"),
+      "g", Seq(50, 95))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+
+    // failure replay: re-merging batch 0 must REPLACE its partials
+    AdsbStream.mergeBatchIntoQuantileState(rows(0, 400).toDF("g", "v"), 0L,
+      "g", "v", gridPerUnit = 1, out)
+    val after = AdsbStream.readQuantileState(spark, out, "g", Seq(50, 95))
+    assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
+  }
+
   test("combined union of two streaming sources (J4)") {
     val a = MemoryStream[RawReport](spark)
     val b = MemoryStream[RawReport](spark)

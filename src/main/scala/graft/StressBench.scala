@@ -414,6 +414,50 @@ object StressBench {
           s""""r7_candidates":$cand7,"r7_sec":${fmt(t7)},"r7_planted_found":$found7,""" +
           s""""r3_candidates":$cand3,"r3_sec":${fmt(t3)},"r3_planted_found":$found3}""")
 
+      case "video_dedup" =>
+        // I9 selectivity at sequence grain over SYNTHETIC frame
+        // prints (codec throughput is media_pipeline's job; this
+        // measures the join): n 8-frame clips, 2 scenes each, frames
+        // jittered ≤ 2 bits around their scene print; n/20 planted
+        // trimmed copies share frames 2..7 bit-identically. The
+        // keyframe band index carries 2 rows per asset (scenes, not
+        // frames); the confirm join fans out only per candidate.
+        // Invariant: every planted copy confirmed at ≥ 600000 ppm
+        // self-coverage.
+        // default sized to the media_band_join operating point
+        // (~105k banded prints — the documented radius-7 Σ bucket²
+        // envelope); the term is quadratic by parameter, same as i5b
+        val n = if (args.length > 1) args(1).toLong else 50000L
+        def jit(idExpr: String, f: Int) = // ≤ 2 jittered bit flips
+          s"shiftleft(1L, CAST(pmod(xxhash64($idExpr, $f), 64) AS INT)) | " +
+            s"shiftleft(1L, CAST(pmod(xxhash64($idExpr, ${f + 100}), 64) AS INT))"
+        def baseFrames(srcCol: String, trim: Int) =
+          (trim until 8).map { f =>
+            val scene = if (f < 4) s"xxhash64($srcCol * 2)"
+                        else s"xxhash64($srcCol * 2 + 1)"
+            s"named_struct('frame_idx', ${f - trim}, " +
+              s"'phash', CAST($scene AS BIGINT) ^ (${jit(srcCol, f)}), " +
+              s"'is_kf', ${f == trim || f == 4})"
+          }.mkString("array(", ", ", ")")
+        val orig = spark.range(n).select(col("id").as("doc_id"),
+          explode(expr(baseFrames("id", 0))).as("fr"))
+        val copies = spark.range(n / 20).select((col("id") + n).as("doc_id"),
+          explode(expr(baseFrames(s"((id * 17) % $n)", 2))).as("fr"))
+        val prints = orig.unionByName(copies)
+          .select(col("doc_id"), col("fr.frame_idx").as("frame_idx"),
+            col("fr.phash").as("phash"),
+            when(col("doc_id") >= n, 6).otherwise(8).as("n_frames"),
+            col("fr.is_kf").as("is_kf"))
+        val (found, tJoin) = timed {
+          graft.operators.Multimodal.videoNearDupPairs(prints)
+            .filter((col("a") < n && col("b") >= n) ||
+              (col("b") < n && col("a") >= n)).count()
+        }
+        require(found >= n / 20,
+          s"video dedup missed planted trimmed copies: $found vs ${n / 20}")
+        println(s"""{"metric":"video_dedup","clips":$n,"planted":${n / 20},""" +
+          s""""kf_index_rows":${2 * n + n / 20 * 2},"planted_found":$found,"join_sec":${fmt(tJoin)}}""")
+
       case "calibration" =>
         // the host anchor (see [[Calibration]]): prepended to every
         // SCALE_r*_results.txt run so cross-round StressBench walls

@@ -535,28 +535,52 @@ object MediaCodec {
     * per-frame phase pan WITHIN each scene so consecutive frames are
     * near-dup but not identical — the shape a real shot boundary has.
     */
-  def synthGifAnimated(seed: Long, w: Int, h: Int, nFrames: Int, cutAt: Int): Array[Byte] = {
+  /** Encode a frame sequence as an animated GIF (the writer half of
+    * [[gifFrames]]): each frame written full-size in order.
+    */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "cannot encode an empty frame sequence")
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
-    var f = 0
-    while (f < nFrames) {
-      // Scene 2 is the PHOTOMETRIC INVERSE of scene 1's field (pan
-      // continues): every decisive DCT sign flips, so the cross-cut
-      // Hamming is ≥ 64 − within-scene drift BY CONSTRUCTION — the
-      // planted boundary is deterministically detectable at any
-      // threshold in the gap, not probabilistically (independent
-      // random scenes collide under 2^~24 bits of synth entropy:
-      // ~0.25% of pairs landed ≤ 16 bits over 2000 seeds).
-      val img = synthImage(seed, w, h, pan = f, invert = f >= cutAt)
+    frames.foreach { img =>
       writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-      f += 1
     }
     writer.endWriteSequence()
     writer.dispose(); ios.close()
     bos.toByteArray
+  }
+
+  /** Decode→re-encode round trip — the lossy "same clip, different
+    * encoder run" transform (palette re-quantization), the video
+    * analogue of [[reencodeJpeg]]. Frame pHash drift is ~0 (the
+    * frames are already palette-quantized), which is the realistic
+    * shape: per-frame prints of a re-encoded clip land within the
+    * banded radius of the original's.
+    */
+  def reencodeGif(bytes: Array[Byte]): Option[Array[Byte]] =
+    gifFrames(bytes).filter(_.nonEmpty).map(encodeGif)
+
+  /** Drop the first `k` frames and re-encode — the trimmed-copy
+    * transform (an intro cut). The surviving frames are bit-identical
+    * content, so their prints match the original's exactly; only the
+    * dropped prefix differs.
+    */
+  def trimGif(bytes: Array[Byte], k: Int): Option[Array[Byte]] =
+    gifFrames(bytes).filter(_.length > k).map(fs => encodeGif(fs.drop(k)))
+
+  def synthGifAnimated(seed: Long, w: Int, h: Int, nFrames: Int, cutAt: Int): Array[Byte] = {
+    // Scene 2 is the PHOTOMETRIC INVERSE of scene 1's field (pan
+    // continues): every decisive DCT sign flips, so the cross-cut
+    // Hamming is ≥ 64 − within-scene drift BY CONSTRUCTION — the
+    // planted boundary is deterministically detectable at any
+    // threshold in the gap, not probabilistically (independent
+    // random scenes collide under 2^~24 bits of synth entropy:
+    // ~0.25% of pairs landed ≤ 16 bits over 2000 seeds).
+    encodeGif((0 until nFrames).map(f =>
+      synthImage(seed, w, h, pan = f, invert = f >= cutAt)))
   }
 
   // ------------------------------------------------------------------

@@ -282,4 +282,88 @@ object Multimodal {
     Dedup.hammingBandPairs(
       records.select(col("doc_id"), stubPHash64(col("payload")).as("phash")),
       "doc_id", "phash", maxHamming)
+
+  // ------------------------------------------------------------------
+  // I9 — SEQUENCE-level (video) dedup: multi-frame assets dedup at the
+  // ASSET grain, so re-encoded or trimmed copies of one clip collapse.
+  // ------------------------------------------------------------------
+
+  /** Per-asset frame print table (I9's shared decode pass): one row
+    * per frame — `(doc_id, frame_idx, phash, n_frames, is_kf)` — with
+    * keyframes flagged (frame 0 + each scene cut, I7's selection).
+    * ONE decode per asset feeds both the candidate stage (keyframes
+    * only: ~scenes rows per asset) and the confirm stage (all
+    * frames); only 8-byte prints ever leave the decode partition —
+    * pixels never shuffle, the I5b discipline at sequence grain.
+    */
+  def videoFramePrints(spark: SparkSession, records: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.gifFramePHashes(r.payload) match {
+          case Some(hs) if hs.nonEmpty =>
+            val kf = (0 +: MediaCodec.sceneCuts(hs).toSeq).distinct.toSet
+            hs.indices.map(i => (r.doc_id, i, hs(i), hs.length, kf(i)))
+          case _ => Seq.empty
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "phash", "n_frames", "is_kf")
+  }
+
+  /** I9 — video/sequence near-dup pairs over a [[videoFramePrints]]
+    * frame (two-level, the i5c pattern at ASSET grain):
+    *
+    *  1. CANDIDATES: banded Hamming join over KEYFRAME prints only
+    *     (scene-representative frames — ~#scenes rows per asset, so
+    *     the banded index carries scenes, not frames). A re-encoded
+    *     copy's keyframes sit at drift ~0; a trimmed copy shares every
+    *     surviving scene-cut keyframe bit-identically. Asset pairs
+    *     with ANY keyframe band match become candidates.
+    *  2. CONFIRM by FRAME-SET OVERLAP: candidates (and only they)
+    *     join back their full frame print sets; a frame is covered
+    *     when some frame of the other asset is within
+    *     `confirmHamming`. Confirmed iff the better-covered side
+    *     reaches `minCoverPpm` of its frames — a trimmed copy covers
+    *     100% of ITSELF (every surviving frame is in the original),
+    *     while a spurious single-keyframe band collision between
+    *     distinct clips covers ~1/n and dies.
+    *
+    * Scale shape: candidate volume is Σ bucket² over keyframe bands
+    * (never all-pairs); the confirm join fans out n_a·n_b frame pairs
+    * PER CANDIDATE only. Output: one row per confirmed unordered
+    * asset pair with the coverage evidence.
+    */
+  def videoNearDupPairs(framePrints: DataFrame, maxHamming: Int = 7,
+                        confirmHamming: Int = 10,
+                        minCoverPpm: Long = 600000L): DataFrame = {
+    val prints = graft.operators.TrackedCache.persist(framePrints)
+    // composite (asset, frame) id for the band join; frame_idx < 2^20
+    val kf = prints.filter(col("is_kf"))
+      .select((col("doc_id") * 1048576L + col("frame_idx")).as("kfid"),
+        col("phash"))
+    val cand = Dedup.hammingBandPairsWide(kf, "kfid", "phash", maxHamming)
+      .select(expr("a DIV 1048576").as("a"), expr("b DIV 1048576").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val fa = prints.select(col("doc_id").as("a"), col("frame_idx").as("fi_a"),
+      col("phash").as("ph_a"), col("n_frames").as("n_frames_a"))
+    val fb = prints.select(col("doc_id").as("b"), col("frame_idx").as("fi_b"),
+      col("phash").as("ph_b"), col("n_frames").as("n_frames_b"))
+    cand.join(fa, Seq("a")).join(fb, Seq("b"))
+      .withColumn("h", expr("CAST(bit_count(ph_a ^ ph_b) AS INT)"))
+      .groupBy("a", "b", "n_frames_a", "n_frames_b")
+      .agg(
+        countDistinct(when(col("h") <= confirmHamming, col("fi_a")))
+          .as("matched_a"),
+        countDistinct(when(col("h") <= confirmHamming, col("fi_b")))
+          .as("matched_b"))
+      .withColumn("cover_ppm", greatest(
+        expr("matched_a * 1000000 DIV n_frames_a"),
+        expr("matched_b * 1000000 DIV n_frames_b")))
+      .filter(col("cover_ppm") >= minCoverPpm)
+      .select("a", "b", "n_frames_a", "n_frames_b", "matched_a", "matched_b",
+        "cover_ppm")
+  }
 }

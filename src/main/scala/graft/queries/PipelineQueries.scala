@@ -2745,6 +2745,50 @@ object PipelineQueries {
       },
       None),
 
+    // I9: VIDEO/sequence-level media dedup — re-encoded and TRIMMED
+    // copies of one clip collapse at the ASSET grain (the video half
+    // of the multimodal dedup story, on the I7 keyframe machinery):
+    // one decode per asset yields the per-frame print table; banded
+    // Hamming join over KEYFRAME prints (scene representatives —
+    // ~scenes rows per asset in the index) surfaces candidates;
+    // frame-set overlap confirms (a trimmed copy covers 100% of
+    // itself; a spurious single-keyframe collision covers ~1/n and
+    // dies). Planted per id < 15: a decode→re-encode copy (palette
+    // requantization, drift ~0) and a drop-2-frames trim (surviving
+    // frames bit-identical) — all three pairings of {orig, re-enc,
+    // trim} collapse, 45 pairs (+1 measured at sf0.01: seeds 143/293
+    // are synth pHash twins with FULL 8/8 frame coverage both ways —
+    // the i5d seeds-203/381 birthday-collision class; the metric
+    // honestly says those clips look alike). Rows-only (no SQL
+    // engine decodes GIF); MediaCodecSpec pins planted-found + no
+    // distinct-clip pairs. Scale: pixels never shuffle (8-byte
+    // prints out of the
+    // decode partition), candidates Σ bucket² over keyframe bands,
+    // confirm fan-out per candidate only.
+    QueryDef("i9_video_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 300)
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
+        val recs = ids.mapPartitions(it => it.flatMap { id =>
+          val cutAt = 2 + (id % 5).toInt
+          val gif = graft.operators.MediaCodec.synthGifAnimated(id, 96, 96, 8, cutAt)
+          val orig = graft.operators.Multimodal.MediaRecord(id, gif, "video", "gif")
+          if (id < 15)
+            Iterator(orig,
+              graft.operators.Multimodal.MediaRecord(id + 100000L,
+                graft.operators.MediaCodec.reencodeGif(gif).get, "video", "gif"),
+              graft.operators.Multimodal.MediaRecord(id + 200000L,
+                graft.operators.MediaCodec.trimGif(gif, 2).get, "video", "gif"))
+          else Iterator(orig)
+        })
+        val prints = graft.operators.Multimodal.videoFramePrints(s, recs)
+        graft.operators.Multimodal.videoNearDupPairs(prints)
+          .orderBy("a", "b")
+      },
+      None),
+
     // F11: shingle document-frequency report — the instrument that
     // SIZES F2/F3's df-cap (currently 100) instead of trusting it:
     // a log2 histogram of shingle document frequencies with, per

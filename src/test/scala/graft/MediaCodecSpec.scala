@@ -232,4 +232,62 @@ class MediaCodecSpec extends SparkSpecBase {
     assert(byPass.getOrElse("band7", 0) + byPass.getOrElse("probe", 0) == 500)
     assert(byPass.getOrElse("band7", 0) >= 490, byPass.toString)
   }
+
+  test("GIF re-encode and trim round-trip through real frames (I9 transforms)") {
+    val gif = MediaCodec.synthGifAnimated(11L, 96, 96, nFrames = 8, cutAt = 4)
+    val re = MediaCodec.reencodeGif(gif).get
+    assert(MediaCodec.gifFrames(re).get.length == 8)
+    // palette re-quantization of already-quantized frames: per-frame
+    // prints land at drift ~0 — inside any banded radius
+    val h0 = MediaCodec.gifFramePHashes(gif).get
+    val h1 = MediaCodec.gifFramePHashes(re).get
+    assert(h0.indices.forall(i => hamming(h0(i), h1(i)) <= 7),
+      h0.indices.map(i => hamming(h0(i), h1(i))).toSeq.toString)
+    // trim drops the prefix; surviving frames are bit-identical content
+    val tr = MediaCodec.trimGif(gif, 2).get
+    val ht = MediaCodec.gifFramePHashes(tr).get
+    assert(ht.length == 6)
+    assert(ht.indices.forall(i => hamming(ht(i), h0(i + 2)) <= 2),
+      ht.indices.map(i => hamming(ht(i), h0(i + 2))).toSeq.toString)
+    // trimming everything up to the cut leaves a single-scene clip
+    assert(MediaCodec.trimGif(gif, 7).isDefined &&
+      MediaCodec.trimGif(gif, 8).isEmpty)
+  }
+
+  test("video near-dup collapses re-encoded and trimmed copies at the asset grain, distinct clips stay apart (I9)") {
+    val n = 40L
+    val ids = spark.range(n).select(col("id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+    val recs = ids.mapPartitions(_.flatMap { id =>
+      val cutAt = 2 + (id % 5).toInt
+      val gif = MediaCodec.synthGifAnimated(id, 96, 96, 8, cutAt)
+      val orig = MediaRecord(id, gif, "video", "gif")
+      if (id < 6)
+        Iterator(orig,
+          MediaRecord(id + 1000L, MediaCodec.reencodeGif(gif).get, "video", "gif"),
+          MediaRecord(id + 2000L, MediaCodec.trimGif(gif, 2).get, "video", "gif"))
+      else Iterator(orig)
+    })
+    val prints = Multimodal.videoFramePrints(spark, recs)
+    // every asset decodes to a full print table; keyframes = frame 0
+    // + the planted cut for originals (trims of cutAt=2 clips are
+    // single-scene: frame 0 only)
+    val nAssets = prints.select("doc_id").distinct().count()
+    assert(nAssets == n + 12)
+    val pairs = Multimodal.videoNearDupPairs(prints)
+      .select("a", "b", "cover_ppm")
+      .as[(Long, Long, Long)].collect()
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    // all three pairings of {orig, re-encode, trim} collapse
+    val planted = (0L until 6L).flatMap(i =>
+      Seq((i, i + 1000L), (i, i + 2000L), (i + 1000L, i + 2000L))).toSet
+    assert(planted.subsetOf(got), s"missed: ${planted -- got}")
+    // no distinct-clip pair survives the frame-set confirm
+    val cross = got.filter { case (a, b) => a % 1000L != b % 1000L }
+    assert(cross.isEmpty, s"distinct clips collapsed: $cross")
+    // the trimmed copy covers 100% of itself
+    val trimCover = pairs.filter(p => p._2 == p._1 + 2000L).map(_._3)
+    assert(trimCover.nonEmpty && trimCover.forall(_ == 1000000L),
+      trimCover.toSeq.toString)
+  }
 }

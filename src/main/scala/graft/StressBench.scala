@@ -164,13 +164,74 @@ object StressBench {
         }
         val (nAs, tAutoStar) = minOf2(comps(starEdges, ComponentsAlgo.Auto))
         val (nMs, tMinStar) = minOf2(comps(starEdges, ComponentsAlgo.MinLabel))
+        val (nSs, tStarStar) = minOf2(comps(starEdges, ComponentsAlgo.Star))
         val (nAc, tAutoChain) = minOf2(comps(chainEdges, ComponentsAlgo.Auto))
         val (nSc, tStarChain) = minOf2(comps(chainEdges, ComponentsAlgo.Star))
-        require(nAs == stars && nMs == stars && nAc == chains && nSc == chains,
-          s"component drift: star $nAs/$nMs vs $stars, chain $nAc/$nSc vs $chains")
+        require(nAs == stars && nMs == stars && nSs == stars &&
+          nAc == chains && nSc == chains,
+          s"component drift: star $nAs/$nMs/$nSs vs $stars, chain $nAc/$nSc vs $chains")
         println(s"""{"metric":"components_auto","stars":$stars,"chains":$chains,"chain_diameter":${len - 1},""" +
-          s""""auto_star_sec":${fmt(tAutoStar)},"minlabel_star_sec":${fmt(tMinStar)},""" +
+          s""""auto_star_sec":${fmt(tAutoStar)},"minlabel_star_sec":${fmt(tMinStar)},"star_star_sec":${fmt(tStarStar)},""" +
           s""""auto_chain_sec":${fmt(tAutoChain)},"star_chain_sec":${fmt(tStarChain)}}""")
+
+      case "components_mixed" =>
+        // the Auto policy on a MIXED population (r11 verdict #6: the
+        // policy was measured on pure stars and pure chains; real
+        // near-dup graphs are a mixture): stars + long chains +
+        // cliques interleaved in one edge list. Expected shape: the
+        // chain fraction keeps the changed-count front moving, so
+        // Auto bails out of the MinLabel prefix, the star/clique
+        // regions COALESCE (labels collapse in the init round), the
+        // coalescence check routes through contraction — the
+        // contracted graph is the chains minus the prefix hops — and
+        // Star finishes. Invariant: all three algorithms produce the
+        // identical component count; the line reports Auto's regret
+        // vs best-explicit.
+        val stars = 100000L
+        val starEdges = spark.range(stars * 7)
+          .select(expr("(id DIV 7) * 8").as("a"),
+            expr("(id DIV 7) * 8 + id % 7 + 1").as("b"))
+        val chains = 10000L
+        val len = 64L
+        val chainBase = 10000000L
+        val chainEdges = spark.range(chains * len)
+          .filter(col("id") % len =!= (len - 1))
+          .select((col("id") + chainBase).as("a"),
+            (col("id") + chainBase + 1).as("b"))
+        val cliques = 1000L
+        val k = 16
+        val cliqueBase = 20000000L
+        val cliquePairs = (0 until k).flatMap(i =>
+          (i + 1 until k).map(j => s"named_struct('i', $i, 'j', $j)"))
+          .mkString("array(", ", ", ")")
+        val cliqueEdges = spark.range(cliques)
+          .select(col("id"), explode(expr(cliquePairs)).as("p"))
+          .select((col("id") * k + col("p.i") + cliqueBase).as("a"),
+            (col("id") * k + col("p.j") + cliqueBase).as("b"))
+        val edges = starEdges.unionByName(chainEdges).unionByName(cliqueEdges)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        noop(edges)
+        val expected = stars + chains + cliques
+        def comps(algo: ComponentsAlgo): Long =
+          Dedup.components(edges, "a", "b", algo, maxIter = 100)
+            .select("component").distinct().count()
+        // warmup (the components_auto lesson: a cold first path reads
+        // 3.4x slower), then min-of-2 per algorithm
+        comps(ComponentsAlgo.Auto)
+        def minOf2(body: => Long): (Long, Double) = {
+          val (n1, t1) = timed(body); val (_, t2) = timed(body)
+          (n1, math.min(t1, t2))
+        }
+        val (nA, tAuto) = minOf2(comps(ComponentsAlgo.Auto))
+        val (nS, tStar) = minOf2(comps(ComponentsAlgo.Star))
+        val (nM, tMin) = minOf2(comps(ComponentsAlgo.MinLabel))
+        edges.unpersist()
+        require(nA == expected && nS == expected && nM == expected,
+          s"component drift: auto $nA / star $nS / minlabel $nM vs $expected")
+        val best = math.min(tStar, tMin)
+        println(s"""{"metric":"components_mixed","stars":$stars,"chains":$chains,"chain_diameter":${len - 1},"cliques":$cliques,""" +
+          s""""auto_sec":${fmt(tAuto)},"star_sec":${fmt(tStar)},"minlabel_sec":${fmt(tMin)},""" +
+          s""""auto_vs_best":${fmt(tAuto / best)}}""")
 
       case "bigram_grain" =>
         // K27 vs the r9 HOF spelling on a boilerplate-heavy corpus

@@ -428,7 +428,7 @@ object Dedup {
       // tighten the MinLabel prefix below the cap, and the Star leg
       // gets the same max(maxIter, 30) budget as the explicit Star
       // case.
-      val (labels, converged) =
+      val (labels, converged, nNodesSeen, symOpt) =
         minLabelRounds(edges, aCol, bCol, math.min(AutoRoundCap, maxIter),
           bailOnStall = true)
       if (converged) labels
@@ -448,20 +448,57 @@ object Dedup {
         // join unchanged.
         //
         // MEASURED caveat: contraction only pays when labels actually
-        // COALESCED. In the bail regime (a propagation front over
-        // ascending ids) label(i) = i − r: distinct labels ≈ nodes,
-        // the contracted graph is the original minus r hops, and the
-        // contraction + composition joins are pure overhead — so
-        // check the coalescence ratio first (one distinct count) and
-        // hand Star the RAW edges when ≥ 80 % of nodes kept distinct
-        // labels. StressBench components_auto: 1.71× (r10 fixed
-        // 5-round prefix) → 1.30× (bail + always-contract) → the
-        // shipped path skips the useless contraction too.
-        val nNodes = labels.count()
-        val nLabels = labels.select("component").distinct().count()
-        if (nLabels * 5L >= nNodes * 4L)
-          connectedComponentsStar(edges, aCol, bCol, math.max(maxIter, 30))
-        else {
+        // COALESCED — and by ENOUGH. In the bail regime (a
+        // propagation front over ascending ids) label(i) = i − r:
+        // distinct labels ≈ nodes, the contracted graph is the
+        // original minus r hops, and the contraction + composition
+        // joins are pure overhead. On MIXED populations (stars +
+        // chains interleaved) a 2× coalescence is still not enough:
+        // the chain fraction dominates Star's round count either
+        // way, so halving the node set doesn't shorten the rounds —
+        // it only adds the contraction and composition joins
+        // (components_mixed measured 1.54× best-explicit through the
+        // contraction path vs ~1.4× raw). So contract only when the
+        // shrink is SUBSTANTIAL — fewer than 40 % of nodes kept
+        // distinct labels (≥ 2.5× smaller input to Star); hand Star
+        // the RAW edges otherwise.
+        //
+        // Measured regret floor (r12, components_auto/_mixed with the
+        // full star_star cell): Auto pays ~1.35-1.5× best-explicit on
+        // shapes where the winning leg is FAST — the floor is the one
+        // detection round (init fold + 1 propagation over the
+        // symmetrized frame ≈ 1.5 MinLabel-round-equivalents) plus
+        // two O(1)-output counts, which no policy can skip without a
+        // shape oracle. The alternative policies are worse where it
+        // matters: always-MinLabel pays O(diameter) (2.9-4× on
+        // chains), always-Star pays 2.1-2.4× on the star-like shapes
+        // real near-dup graphs have (star_star_sec vs
+        // minlabel_star_sec).
+        // the bail check already counted the nodes; the label count
+        // only steers a 40% threshold, so the one-row HLL aggregate
+        // (no distinct shuffle) is plenty — both keep the policy
+        // decision at two cheap jobs on top of the detection round
+        val nNodes = nNodesSeen.getOrElse(labels.count())
+        val nLabels = labels
+          .agg(approx_count_distinct("component")).head().getLong(0)
+        if (nLabels * 5L >= nNodes * 2L) {
+          // raw-edge Star, but REUSING the prefix's symmetrized frame
+          // (still persisted — see minLabelRounds): the node set and
+          // the canonical (hi, lo) edge set are filters over it, so
+          // the fallback never re-symmetrizes the raw edges
+          val out = symOpt match {
+            case Some(sym) =>
+              val nodes = sym.select(col("x").as("id")).distinct()
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val cur0 = sym.filter(col("x") > col("y")).localCheckpoint()
+              starLoop(nodes, cur0, math.max(maxIter, 30))._1
+            case None =>
+              connectedComponentsStar(edges, aCol, bCol, math.max(maxIter, 30))
+          }
+          symOpt.foreach(_.unpersist())
+          out
+        } else {
+          symOpt.foreach(_.unpersist()) // contraction reads raw edges
           val contracted = edges
             .join(labels.select(col("id").as(aCol), col("component").as("__ca")), aCol)
             .join(labels.select(col("id").as(bCol), col("component").as("__cb")), bCol)
@@ -510,13 +547,16 @@ object Dedup {
     minLabelRounds(edges, aCol, bCol, maxIter)._1
 
   /** The min-label loop with its convergence verdict: `(labels,
-    * converged)` — `converged = false` means the round cap tripped
-    * with labels still changing (chain-like graph), the signal
-    * [[ComponentsAlgo.Auto]] falls over to Star on.
+    * converged, nNodesSeen)` — `converged = false` means the round
+    * cap tripped with labels still changing (chain-like graph), the
+    * signal [[ComponentsAlgo.Auto]] falls over to Star on.
+    * `nNodesSeen` carries the node count IF the bail check already
+    * paid for it, so the Auto policy never counts the same frame
+    * twice.
     */
   private def minLabelRounds(edges: DataFrame, aCol: String, bCol: String,
                              maxIter: Int, bailOnStall: Boolean = false)
-      : (DataFrame, Boolean) = {
+      : (DataFrame, Boolean, Option[Long], Option[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val sym = edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionByName(edges.select(col(bCol).as("x"), col(aCol).as("y")))
@@ -558,7 +598,11 @@ object Dedup {
     // measured the fixed 5-round prefix at 1.7× Star's whole chain
     // wall; bailing after one round cuts the regret to the round
     // itself.
-    lazy val nNodes = labels.count()
+    var nNodesSeen: Option[Long] = None
+    def nNodes: Long = {
+      if (nNodesSeen.isEmpty) nNodesSeen = Some(labels.count())
+      nNodesSeen.get
+    }
     var prevChanged = Long.MaxValue
     while (changed > 0 && iter < maxIter && !stalled) {
       // One aggregation yields BOTH the new label (min over self +
@@ -588,8 +632,16 @@ object Dedup {
         stalled = true
       prevChanged = changed
     }
-    sym.unpersist()
-    (labels, changed == 0L)
+    // a bailed/capped Auto prefix hands its (still persisted)
+    // symmetrized frame to the fallback leg, which derives Star's
+    // node set and canonical edge set from it with a filter instead
+    // of a second symmetrize+distinct over the raw edges — the caller
+    // owns the unpersist then
+    if (bailOnStall && changed != 0L) (labels, false, nNodesSeen, Some(sym))
+    else {
+      sym.unpersist()
+      (labels, changed == 0L, nNodesSeen, None)
+    }
   }
 
   /** Connected components by alternating large-star/small-star
@@ -633,11 +685,24 @@ object Dedup {
     // Canonical undirected set: one (hi, lo) row per edge, self-loops
     // dropped (they carry no connectivity; the node set above still
     // remembers their endpoints).
-    var cur = edges.filter(col(aCol) =!= col(bCol))
+    val cur0 = edges.filter(col(aCol) =!= col(bCol))
       .select(greatest(col(aCol), col(bCol)).as("x"),
         least(col(aCol), col(bCol)).as("y"))
       .distinct()
       .localCheckpoint()
+    starLoop(nodes, cur0, maxIter)
+  }
+
+  /** The alternating large-star/small-star loop proper, over an
+    * already-built `nodes(id)` frame (persisted — unpersisted here at
+    * exit) and a canonical `(x=hi, y=lo)` distinct edge frame. Split
+    * out so [[ComponentsAlgo.Auto]]'s fallback can derive both from
+    * its prefix's symmetrized frame instead of paying a second
+    * symmetrize+distinct pass over the raw edges.
+    */
+  private def starLoop(nodes: DataFrame, cur0: DataFrame, maxIter: Int)
+      : (DataFrame, Int) = {
+    var cur = cur0
     var curN = cur.count()
     // A == B for distinct frames iff |A| = |B| = |A ∪ B|.
     def sameSet(a: DataFrame, aN: Long, b: DataFrame, bN: Long): Boolean =

@@ -96,6 +96,49 @@ object ScaleOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** E14f — the grid-SIZING instrument (the F10/G8 treatment for
+    * [[gridQuantileSketch]]): the one-grid-step error bound is a
+    * worst case; this MEASURES the operating error so a pipeline
+    * owner sizes `gridPerUnit` against a target instead of trusting
+    * the bound. For each grid density in `gs` and each quantile in
+    * `qsPercent`, reports the RANK error — cum(answered cell) −
+    * ceil(q·n/100), i.e. how many ranks past the target the answered
+    * cell swallows (0 = the read-out is rank-exact) — plus the
+    * sketch size (`n_cells`, the cost axis). Pure BIGINT arithmetic
+    * end-to-end, so the whole curve replays in SQL; `gs` should be
+    * powers of two both so value·G stays float-exact across engines
+    * and so the grids NEST — for nested grids the rank error is
+    * provably non-increasing in G (the finer answer cell is a
+    * sub-cell at or before the coarser one), which the spec pins.
+    * Each G costs one sketch aggregation (map-side combined) + a
+    * window over the SKETCH — the corpus is scanned once per G,
+    * never shuffled wider than (group, cell).
+    */
+  def gridSizingReport(df: DataFrame, groupCol: String, valueCol: String,
+                       gs: Seq[Int], qsPercent: Seq[Int]): DataFrame = {
+    val per = gs.map { g =>
+      val sk = gridQuantileSketch(df, groupCol, valueCol, g)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy("cell")
+      val cum = sk.withColumn("cum", sum(col("c")).over(w))
+      val n = sk.groupBy(groupCol).agg(
+        sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+      val minCums = qsPercent.map { q =>
+        min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"), col("cum")))
+          .as(s"__c$q")
+      }
+      cum.join(n, Seq(groupCol))
+        .groupBy(col(groupCol), col("n"), col("n_cells"))
+        .agg(minCums.head, minCums.tail: _*)
+        .select(Seq(lit(g.toLong).as("grid"), col(groupCol), col("n"),
+          col("n_cells")) ++
+          qsPercent.map(q =>
+            (col(s"__c$q") - expr(s"(n * $q + 99) DIV 100"))
+              .as(s"rank_err_p$q")): _*)
+    }
+    per.reduce(_ unionByName _)
+  }
+
   /** Scalable prefix sum over a dense numeric order column — the
     * two-level scan: bucket by order-range, per-bucket partial sums,
     * a cumsum over the (tiny) bucket totals broadcast back as

@@ -725,6 +725,51 @@ object RelationalQueries {
         GROUP BY c.event_type, n.n, n.n_cells
         ORDER BY event_type""")),
 
+    // E14f: grid-SIZING report for the e14e sketch (the F10/G8
+    // instrument treatment, r11 verdict #7) — measured rank error per
+    // grid density, so gridPerUnit is sized against a target instead
+    // of the one-step bound: per (G ∈ {1,2,4,8}, group), the sketch
+    // size (n_cells — the cost axis) and cum(answered cell) −
+    // ceil(q·n/100) for p50/p95 (0 = rank-exact read-out). G values
+    // are powers of two so value·G is float-exact in BOTH engines
+    // and the grids NEST — nested grids make the error provably
+    // non-increasing in G (spec-pinned). Integer arithmetic
+    // end-to-end; one corpus scan per G, shuffles bounded by
+    // (group, cell).
+    QueryDef("e14f_grid_sizing_report",
+      (s, dir) => {
+        graft.operators.ScaleOps.gridSizingReport(
+            Tables.events(s, dir), "event_type", "value",
+            Seq(1, 2, 4, 8), Seq(50, 95))
+          .orderBy("grid", "event_type")
+      },
+      Some {
+        def rep(g: Int): String = {
+          val p = s"g$g"
+          s"""${p}sk AS (
+            SELECT event_type, CAST(floor(value * $g) AS BIGINT) AS cell,
+              CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, cell),
+          ${p}n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+              CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM ${p}sk GROUP BY event_type),
+          ${p}cum AS (SELECT event_type, cell,
+              CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY cell) AS BIGINT) AS cum
+            FROM ${p}sk),
+          ${p}rep AS (
+            SELECT CAST($g AS BIGINT) AS grid, c.event_type, n.n, n.n_cells,
+              CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cum END)
+                - (n * 50 + 99) // 100 AS BIGINT) AS rank_err_p50,
+              CAST(MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN cum END)
+                - (n * 95 + 99) // 100 AS BIGINT) AS rank_err_p95
+            FROM ${p}cum c JOIN ${p}n n USING (event_type)
+            GROUP BY c.event_type, n.n, n.n_cells)"""
+        }
+        s"""WITH ${Seq(1, 2, 4, 8).map(rep).mkString(",\n")}
+          ${Seq(1, 2, 4, 8).map(g => s"SELECT * FROM g${g}rep").mkString("\nUNION ALL ")}
+          ORDER BY grid, event_type"""
+      }),
+
     QueryDef("e15_set_ops",
       (s, dir) => {
         val ev = Tables.events(s, dir)

@@ -59,4 +59,31 @@ class GridQuantileSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("sizing report: rank error is non-increasing over nested grids, zero on distinct singleton cells") {
+    val df = corpus.toDF("id", "g", "v")
+    val rep = ScaleOps.gridSizingReport(df, "g", "v",
+      Seq(1, 2, 4, 8), Seq(50, 95)).collect()
+    assert(rep.length == 4 * 3)
+    rep.foreach(r => assert(r.getLong(4) >= 0 && r.getLong(5) >= 0, r.toString))
+    rep.groupBy(_.getString(1)).foreach { case (grp, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      // nested grids (1|2|4|8): the finer answer cell sits at or
+      // before the coarser one, so cum(answer) − target cannot grow
+      sorted.sliding(2).foreach { case Array(coarse, fine) =>
+        assert(fine.getLong(4) <= coarse.getLong(4),
+          s"$grp p50: rank err grew ${coarse.getLong(4)} -> ${fine.getLong(4)} at G=${fine.getLong(0)}")
+        assert(fine.getLong(5) <= coarse.getLong(5),
+          s"$grp p95: rank err grew ${coarse.getLong(5)} -> ${fine.getLong(5)} at G=${fine.getLong(0)}")
+        assert(fine.getLong(3) >= coarse.getLong(3), s"$grp: n_cells shrank")
+      }
+    }
+    // degenerate exactness: distinct integer values on a unit grid put
+    // every value in its own cell — the read-out is rank-exact
+    val exact = ScaleOps.gridSizingReport(
+      (0 until 1000).map(i => (i.toLong, "a", i.toDouble)).toDF("id", "g", "v"),
+      "g", "v", Seq(1), Seq(50, 95)).collect()
+    assert(exact.length == 1 &&
+      exact(0).getLong(4) == 0L && exact(0).getLong(5) == 0L)
+  }
 }

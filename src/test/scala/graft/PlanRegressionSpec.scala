@@ -519,4 +519,22 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "CartesianProduct") == 0)
     assert(count(p, "HashAggregate") >= 2, p.take(400))
   }
+
+  test("e14f sizing report: per-G sketches are hash aggregates, no corpus-wide window, no cartesian") {
+    val p = executedPlan("e14f_grid_sizing_report")
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+    assert(count(p, "CartesianProduct") == 0)
+    // 4 G values → at least 4 partial+final sketch aggregations; the
+    // windows sort ≤ cells rows per group, downstream of the sketch
+    assert(count(p, "HashAggregate") >= 8, p.take(400))
+  }
+
+  test("h20c confusable eval: both servings are join-free kernel passes; only matrix-scale joins remain") {
+    val p = executedPlan("h20c_lang_confusable_eval")
+    // per rate: serving = K29 kernel (zero gram Generate), model =
+    // inlined literals; the only joins assemble the 5-row per-class
+    // report frames — nothing corpus-sized joins anything
+    assert(count(p, "Generate") == 0, p.take(400))
+    assert(count(p, "CartesianProduct") == 0)
+  }
 }

@@ -679,6 +679,125 @@ object MediaCodec {
       bos.toByteArray
     }
 
+  /** Mono 16-bit PCM samples → a complete RIFF/WAV byte payload (the
+    * writer half of [[parseWav]]/pcmSamples).
+    */
+  private[operators] def pcm16ToWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put(off: Int, s: String): Unit = { var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 } }
+    def put32(off: Int, v: Int): Unit = { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte; out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte }
+    def put16(off: Int, v: Int): Unit = { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
+    put(0, "RIFF"); put32(4, 36 + dataLen); put(8, "WAVE")
+    put(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2); put16(34, 16)
+    put(36, "data"); put32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { put16(44 + 2 * i, samples(i)); i += 1 }
+    out
+  }
+
+  /** The audio band grid shared by [[synthWavMelody]] and
+    * [[audioFingerprint64]]: four octave-spaced probe frequencies,
+    * all well under the 8 kHz corpus Nyquist.
+    */
+  private[operators] val AudioBands: Array[Int] = Array(300, 600, 1200, 2400)
+
+  /** Seeded mono 16-bit "melody" WAV — `windows` equal time slices,
+    * each a pure tone drawn from [[AudioBands]] by an md5-mixed
+    * per-(seed, window) hash (md5, NOT a linear congruence: a mod-k
+    * linear rule would make every seed ≡ seed' (mod k) share the
+    * whole melody). Unlike [[synthWav]]'s single sine, the band
+    * energy pattern VARIES over time, which is what a time-frequency
+    * fingerprint needs to discriminate.
+    */
+  def synthWavMelody(seed: Long, sampleRate: Int, ms: Int,
+                     windows: Int = 16): Array[Byte] = {
+    val n = sampleRate * ms / 1000
+    val wlen = n / windows
+    val samples = new Array[Int](wlen * windows)
+    var w = 0
+    while (w < windows) {
+      val f = AudioBands(math.floorMod(
+        graft.functions.HashUtil.md5Prefix64(s"aw,$seed,$w"), AudioBands.length.toLong).toInt)
+      var i = 0
+      while (i < wlen) {
+        samples(w * wlen + i) =
+          (8000.0 * StrictMath.sin(2.0 * StrictMath.PI * f * i / sampleRate)).toInt
+        i += 1
+      }
+      w += 1
+    }
+    pcm16ToWav(samples, sampleRate)
+  }
+
+  /** Gain-scaled copy (samples × num / den, clipped) — the "same
+    * recording, different level" transform. The fingerprint is
+    * gain-invariant by construction, so this lands at Hamming ~0.
+    */
+  def scaleWavGain(bytes: Array[Byte], num: Int, den: Int): Option[Array[Byte]] =
+    pcmSamples(bytes).map { case (_, s, rate) =>
+      pcm16ToWav(s.map(v => math.max(-32768, math.min(32767,
+        v.toLong * num / den)).toInt), rate)
+    }
+
+  /** Requantized copy: 16-bit samples truncated to 8-bit precision
+    * and re-expanded — the "lossy re-encode" transform for audio
+    * (~48 dB SNR floor; band-energy contrasts survive it).
+    */
+  def requantizeWav8(bytes: Array[Byte]): Option[Array[Byte]] =
+    pcmSamples(bytes).map { case (_, s, rate) =>
+      pcm16ToWav(s.map(v => (v >> 8) << 8), rate)
+    }
+
+  /** I10 — 64-bit audio fingerprint (a chromaprint-style
+    * time-frequency sign hash over machinery already here): split the
+    * PCM into 16 equal time windows, measure Goertzel band energy at
+    * the 4 [[AudioBands]] probes per window (one O(n) pass per
+    * (window, band) — 64 Goertzel runs over n samples total), and
+    * set bit (w·4 + b) iff e(w,b) exceeds the band's mean energy
+    * across all windows. Gain-invariant (both sides of every
+    * comparison scale together), robust to requantization noise
+    * (band on/off contrast is ≥ 10×), and a near-dup copy lands
+    * within a few bits — the banded-Hamming machinery downstream is
+    * I5b's, unchanged.
+    */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    pcmSamples(bytes).flatMap { case (_, s, rate) =>
+      val windows = 16
+      val bands = AudioBands.length
+      val wlen = s.length / windows
+      if (wlen < 8) None
+      else {
+        val e = Array.ofDim[Double](windows, bands)
+        var w = 0
+        while (w < windows) {
+          val slice = java.util.Arrays.copyOfRange(s, w * wlen, (w + 1) * wlen)
+          var b = 0
+          while (b < bands) {
+            e(w)(b) = goertzelPower(slice, rate, AudioBands(b))
+            b += 1
+          }
+          w += 1
+        }
+        var h = 0L
+        var b = 0
+        while (b < bands) {
+          var mean = 0.0
+          var w2 = 0
+          while (w2 < windows) { mean += e(w2)(b); w2 += 1 }
+          mean /= windows
+          w2 = 0
+          while (w2 < windows) {
+            if (e(w2)(b) > mean) h |= 1L << (w2 * bands + b)
+            w2 += 1
+          }
+          b += 1
+        }
+        Some(h)
+      }
+    }
+
   /** Seeded mono 16-bit PCM sine WAV: frequency 220 + (seed mod 660)
     * Hz, amplitude 8000, integer phase steps in milli-radians.
     */

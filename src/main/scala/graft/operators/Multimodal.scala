@@ -284,6 +284,48 @@ object Multimodal {
       "doc_id", "phash", maxHamming)
 
   // ------------------------------------------------------------------
+  // I10 — AUDIO near-dup: gain-scaled / requantized copies of one
+  // recording collapse via a time-frequency fingerprint (the audio
+  // half of the multimodal dedup story, as I9 is the video half).
+  // ------------------------------------------------------------------
+
+  /** Per-asset 64-bit audio fingerprints
+    * ([[MediaCodec.audioFingerprint64]]): one decode + 64 Goertzel
+    * band measurements per asset inside the partition, 8 bytes out —
+    * samples never shuffle. Undecodable payloads fall back to the
+    * exact-sensitive byte hash, flagged `decoded = false` (the
+    * realPHashes convention), so mixed corpora keep flowing.
+    */
+  def audioFingerprints(spark: SparkSession, records: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import spark.implicits._
+    records.mapPartitions(_.map { r =>
+      MediaCodec.audioFingerprint64(r.payload) match {
+        case Some(h) => MediaHash(r.doc_id, h, decoded = true)
+        case None =>
+          var h = 1125899906842597L
+          var i = 0
+          while (i < r.payload.length) { h = 31 * h + (r.payload(i) & 0xff); i += 1 }
+          MediaHash(r.doc_id, h, decoded = false)
+      }
+    })
+  }
+
+  /** I10 — audio near-dup pairs: fingerprint per partition, then the
+    * 8×8-bit banded Hamming join (I5b's machinery, unchanged).
+    * Gain-scaled copies land at Hamming ~0 (the fingerprint compares
+    * energies only against their own band's mean) and 8-bit
+    * requantized copies within a few bits; genuinely different
+    * melodies differ in ~3/4 of their tone windows (~24 bits). Pairs
+    * under `maxHamming` share ≥ 13 of 16 tone windows — clips that
+    * genuinely sound alike.
+    */
+  def audioNearDupPairs(spark: SparkSession, records: Dataset[MediaRecord],
+                        maxHamming: Int = 7): DataFrame =
+    Dedup.hammingBandPairsWide(
+      audioFingerprints(spark, records).toDF().select(col("doc_id"), col("phash")),
+      "doc_id", "phash", maxHamming, nBands = 8)
+
+  // ------------------------------------------------------------------
   // I9 — SEQUENCE-level (video) dedup: multi-frame assets dedup at the
   // ASSET grain, so re-encoded or trimmed copies of one clip collapse.
   // ------------------------------------------------------------------

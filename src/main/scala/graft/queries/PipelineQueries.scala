@@ -2789,6 +2789,46 @@ object PipelineQueries {
       },
       None),
 
+    // I10: AUDIO near-dup — gain-scaled and requantized copies of one
+    // recording collapse (the audio half of the multimodal dedup
+    // story, as I9 is the video half): per asset, one real WAV decode
+    // + a 64-bit chromaprint-style time-frequency sign hash (16 time
+    // windows × 4 Goertzel band probes, bit = energy above own-band
+    // mean — gain-invariant by construction), then the I5b banded
+    // Hamming join. Planted per id < 15: a half-gain copy (Hamming
+    // ~0) and an 8-bit requantized copy (a few bits) — all three
+    // pairings collapse. Melodies are md5-mixed per (seed, window)
+    // so no modular seed structure aliases clips; a surviving pair
+    // between distinct seeds means ≥ 13 of 16 shared tone windows —
+    // clips that genuinely sound alike (the i9-twin honesty note:
+    // at sf0.01's 2000 seeds, MEASURED exactly one such pair —
+    // seeds 272/459 at Hamming 6 — so the entry records 46 rows =
+    // 45 planted + 1). Rows-only (no SQL engine decodes WAV);
+    // MediaCodecSpec pins the transforms and the operator. Scale:
+    // samples never shuffle (8-byte prints out of the decode
+    // partition), candidates Σ bucket² over fingerprint bands.
+    QueryDef("i10_audio_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 2000)
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
+        val recs = ids.mapPartitions(it => it.flatMap { id =>
+          val wav = graft.operators.MediaCodec.synthWavMelody(id, 8000, 160)
+          val orig = graft.operators.Multimodal.MediaRecord(id, wav, "audio", "wav")
+          if (id < 15)
+            Iterator(orig,
+              graft.operators.Multimodal.MediaRecord(id + 100000L,
+                graft.operators.MediaCodec.scaleWavGain(wav, 1, 2).get, "audio", "wav"),
+              graft.operators.Multimodal.MediaRecord(id + 200000L,
+                graft.operators.MediaCodec.requantizeWav8(wav).get, "audio", "wav"))
+          else Iterator(orig)
+        })
+        graft.operators.Multimodal.audioNearDupPairs(s, recs)
+          .orderBy("a", "b")
+      },
+      None),
+
     // F11: shingle document-frequency report — the instrument that
     // SIZES F2/F3's df-cap (currently 100) instead of trusting it:
     // a log2 histogram of shingle document frequencies with, per

@@ -254,6 +254,47 @@ class MediaCodecSpec extends SparkSpecBase {
       MediaCodec.trimGif(gif, 8).isEmpty)
   }
 
+  test("audio fingerprint: gain-invariant, requantize-robust, melody-discriminating (I10 transforms)") {
+    val wav = MediaCodec.synthWavMelody(5L, 8000, 160)
+    val fp = MediaCodec.audioFingerprint64(wav).get
+    // gain scaling preserves every band comparison exactly
+    val half = MediaCodec.scaleWavGain(wav, 1, 2).get
+    assert(hamming(fp, MediaCodec.audioFingerprint64(half).get) == 0)
+    // 8-bit requantization perturbs energies ~1%: a few near-tie bits
+    val rq = MediaCodec.requantizeWav8(wav).get
+    assert(hamming(fp, MediaCodec.audioFingerprint64(rq).get) <= 7)
+    // distinct melodies differ in ~3/4 of tone windows (~24 bits)
+    val far = (6L until 30L).map(s => hamming(fp,
+      MediaCodec.audioFingerprint64(MediaCodec.synthWavMelody(s, 8000, 160)).get))
+    assert(far.forall(_ > 7), far.toString)
+    // fingerprint is deterministic and the WAV is a real RIFF payload
+    assert(MediaCodec.parseWav(wav).isDefined)
+    assert(MediaCodec.audioFingerprint64(
+      MediaCodec.synthWavMelody(5L, 8000, 160)).get == fp)
+  }
+
+  test("audio near-dup collapses gain and requantized copies, distinct recordings stay apart (I10)") {
+    val n = 200L
+    val ids = spark.range(n).select(col("id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+    val recs = ids.mapPartitions(_.flatMap { id =>
+      val wav = MediaCodec.synthWavMelody(id, 8000, 160)
+      val orig = MediaRecord(id, wav, "audio", "wav")
+      if (id < 6)
+        Iterator(orig,
+          MediaRecord(id + 1000L, MediaCodec.scaleWavGain(wav, 1, 2).get, "audio", "wav"),
+          MediaRecord(id + 2000L, MediaCodec.requantizeWav8(wav).get, "audio", "wav"))
+      else Iterator(orig)
+    })
+    val pairs = Multimodal.audioNearDupPairs(spark, recs)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 6L).flatMap(i =>
+      Seq((i, i + 1000L), (i, i + 2000L), (i + 1000L, i + 2000L))).toSet
+    assert(planted.subsetOf(pairs), s"missed: ${planted -- pairs}")
+    val cross = pairs.filter { case (a, b) => a % 1000L != b % 1000L }
+    assert(cross.isEmpty, s"distinct recordings collapsed: $cross")
+  }
+
   test("video near-dup collapses re-encoded and trimmed copies at the asset grain, distinct clips stay apart (I9)") {
     val n = 40L
     val ids = spark.range(n).select(col("id")).as[Long]

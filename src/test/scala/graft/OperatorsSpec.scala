@@ -267,4 +267,46 @@ class OperatorsSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toMap
     assert(got(1L) == "es" && got(2L) == "en")
   }
+
+  test("band-probe n_bands is a faithful audit even when both endpoints are probe-side (r11 ADVICE)") {
+    // x and y differ in exactly ONE bit (Hamming 1): every one of the
+    // 8 bands is within Hamming ≤ 1, so the true matching-band count
+    // is 8. With BOTH endpoints in the probe set the pair is found in
+    // both probe directions — the pre-fix count(1) read up to 16.
+    val x = 0x0123456789abcdefL
+    val y = x ^ 1L
+    val both = Seq((1L, x), (2L, y)).toDF("id", "phash")
+    val pairs = Dedup.hammingBandProbePairs(both, both, "id", "phash",
+        minHamming = 0, maxHamming = 10)
+      .select("a", "b", "hamming", "n_bands")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1, 8L)), pairs.toSeq.toString)
+    // a pair whose bands differ by one bit in TWO bands: 8 distinct
+    // bands still match (each differing band matches via its flip),
+    // and the count must not inflate with probe direction either
+    val z = x ^ 1L ^ (1L << 9) // bits in band 0 and band 1
+    val two = Seq((1L, x), (3L, z)).toDF("id", "phash")
+    val p2 = Dedup.hammingBandProbePairs(two, two, "id", "phash",
+        minHamming = 0, maxHamming = 10)
+      .select("a", "b", "hamming", "n_bands")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(p2.toSeq == Seq((1L, 3L, 2, 8L)), p2.toSeq.toString)
+  }
+
+  test("audio fingerprint stays inside the operating radius across gains (I10)") {
+    // energy RATIOS are exactly gain-invariant; integer sample
+    // truncation adds ~1-LSB noise, so a band with NO on-windows
+    // (all-leakage energies, near-tie bits) can flip a few bits —
+    // the honest property is the operator's radius, not equality
+    (3L until 9L).foreach { seed =>
+      val wav = MediaCodec.synthWavMelody(seed, 8000, 160)
+      val fp = MediaCodec.audioFingerprint64(wav).get
+      Seq((1, 2), (1, 4), (3, 4), (2, 3)).foreach { case (num, den) =>
+        val scaled = MediaCodec.scaleWavGain(wav, num, den).get
+        val h = java.lang.Long.bitCount(
+          MediaCodec.audioFingerprint64(scaled).get ^ fp)
+        assert(h <= 7, s"seed $seed gain $num/$den drifted $h bits")
+      }
+    }
+  }
 }

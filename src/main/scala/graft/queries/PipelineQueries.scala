@@ -2938,6 +2938,103 @@ object PipelineQueries {
         FROM tok CROSS JOIN tot GROUP BY w, n
         HAVING COUNT(*) * 1500 > n ORDER BY w""")),
 
+    // E25d: CMS SIZING report (the e14f/F10 instrument treatment for
+    // the Count-Min sketch): measured overestimate error per width —
+    // per W ∈ {256, 1024, 4096} (depth 4), the per-token-type error
+    // est − true (≥ 0 always: the CMS overcount guarantee), reported
+    // as max / sum / #exact with n_cells as the cost axis, so a
+    // pipeline owner sizes the screen's width against a measured
+    // error instead of the ε = e/W bound. FULLY ORACLED: the sketch
+    // hashing (splitmix64 Kirsch–Mitzenmacher double hashing) is
+    // replayed cell-by-cell in DuckDB via unsigned-HUGEINT limb
+    // arithmetic — wrap-around multiplies decomposed into 32-bit
+    // limbs, logical shifts as integer division, both engines
+    // byte-agreeing on every counter. Scale: each width is one
+    // sketch-sized aggregation over the token stream + one pass over
+    // the TYPE frame (vocabulary grain, not occurrences).
+    QueryDef("e25d_cms_sizing_report",
+      (s, dir) => {
+        import graft.functions.CmsFunctions
+        val tok = tokFrame(s, dir)
+          .withColumn("h", HashFunctions.md5prefix64(col("w")))
+        val types = graft.operators.TrackedCache.persist(
+          tok.groupBy("w", "h").agg(count(lit(1)).as("cnt")))
+        val per = Seq(256, 1024, 4096).map { wdt =>
+          val bytes = tok.agg(CmsFunctions.cmsAgg(col("h"), 4, wdt))
+            .head().getAs[Array[Byte]](0)
+          types.select(col("cnt"),
+              (CmsFunctions.cmsEstimate(bytes, col("h")) - col("cnt")).as("err"))
+            .agg(count(lit(1)).as("n_types"),
+              max(col("err")).as("max_overestimate"),
+              sum(col("err")).as("sum_overestimate"),
+              sum(when(col("err") === 0, 1L).otherwise(0L)).as("n_exact"))
+            .select(lit(wdt.toLong).as("width"), lit(4L).as("depth"),
+              lit(4L * wdt).as("n_cells"), col("n_types"),
+              col("max_overestimate"), col("sum_overestimate"),
+              col("n_exact"))
+        }
+        QueryDefs.sortedSmall(per.reduce(_ unionByName _), col("width"))
+      },
+      Some {
+        val P = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+        def umul(a: String, c: BigInt): String =
+          s"(((($a) % 4294967296) * CAST($c AS HUGEINT)) % $P + " +
+            s"(((($a) // 4294967296) * CAST($c AS HUGEINT)) % 4294967296) * 4294967296) % $P"
+        val C1 = BigInt("11400714819323198485") // 0x9E3779B97F4A7C15
+        val C2 = BigInt("13787848793156543929") // 0xBF58476D1CE4E5B9
+        val C3 = BigInt("10723151780598845931") // 0x94D049BB133111EB
+        val S2 = BigInt("14106333701151145020") // CMS Salt2 = 0xC3C3C3C33C3C3C3C
+        def rep(w: Int): String = {
+          val counters = (0 until 4).map(r =>
+            s"""cw${w}_$r AS (SELECT c$r % $w AS cell, SUM(cnt) AS cc
+               FROM cc GROUP BY 1)""").mkString(",\n          ")
+          val joins = (0 until 4).map(r =>
+            s"JOIN cw${w}_$r e$r ON t.c$r % $w = e$r.cell").mkString(" ")
+          s"""$counters,
+          est$w AS (
+            SELECT t.cnt, LEAST(e0.cc, e1.cc, e2.cc, e3.cc) AS est
+            FROM cc t $joins),
+          rep$w AS (
+            SELECT CAST($w AS BIGINT) AS width, CAST(4 AS BIGINT) AS depth,
+              CAST(${4 * w} AS BIGINT) AS n_cells,
+              CAST(COUNT(*) AS BIGINT) AS n_types,
+              CAST(MAX(est - cnt) AS BIGINT) AS max_overestimate,
+              CAST(SUM(est - cnt) AS BIGINT) AS sum_overestimate,
+              CAST(SUM(CASE WHEN est = cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+            FROM est$w)"""
+        }
+        s"""WITH tok AS (
+            SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS w
+            FROM documents),
+          types AS (
+            SELECT w, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY w),
+          x0 AS (SELECT w, cnt, CAST(h AS HUGEINT) AS a,
+                   xor(CAST(h AS HUGEINT), CAST($S2 AS HUGEINT)) AS b FROM types),
+          x1 AS (SELECT w, cnt, (a + CAST($C1 AS HUGEINT)) % $P AS a,
+                   (b + CAST($C1 AS HUGEINT)) % $P AS b FROM x0),
+          x2 AS (SELECT w, cnt, xor(a, a // 1073741824) AS a,
+                   xor(b, b // 1073741824) AS b FROM x1),
+          x3 AS (SELECT w, cnt, ${umul("a", C2)} AS a, ${umul("b", C2)} AS b FROM x2),
+          x4 AS (SELECT w, cnt, xor(a, a // 134217728) AS a,
+                   xor(b, b // 134217728) AS b FROM x3),
+          x5 AS (SELECT w, cnt, ${umul("a", C3)} AS a, ${umul("b", C3)} AS b FROM x4),
+          x6 AS (SELECT w, cnt, xor(a, a // 2147483648) AS h1,
+                   xor(b, b // 2147483648) AS h2r FROM x5),
+          hh AS (SELECT w, cnt, h1, h2r - (h2r % 2) + 1 AS h2 FROM x6),
+          cc AS (SELECT w, cnt,
+                   h1 % $P AS c0, (h1 + h2) % $P AS c1,
+                   (h1 + 2 * h2) % $P AS c2, (h1 + 3 * h2) % $P AS c3 FROM hh),
+          ${rep(256)},
+          ${rep(1024)},
+          ${rep(4096)}
+          SELECT * FROM rep256 UNION ALL SELECT * FROM rep1024
+          UNION ALL SELECT * FROM rep4096
+          ORDER BY width"""
+      }),
+
     // P13: DSIR-style importance resampling (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling") — the
     // public-method data-selection step: score every raw document by

@@ -293,6 +293,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(p2.toSeq == Seq((1L, 3L, 2, 8L)), p2.toSeq.toString)
   }
 
+  test("CMS sizing: estimates never undercount at any width, and measured error shrinks with width (E25d)") {
+    import graft.functions.CmsUtil
+    // zipf-ish deterministic stream: key k occurs ~N/k times
+    val keys = (1 to 400).flatMap(k =>
+      Seq.fill(4000 / k)(HashUtil.md5Prefix64(s"cms,$k")))
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val errSums = Seq(64, 256, 1024).map { w =>
+      val m = new Array[Long](4 * w)
+      keys.foreach(CmsUtil.add(m, 4, w, _))
+      val errs = truth.map { case (k, c) =>
+        val est = CmsUtil.estimate(m, 4, w, k)
+        assert(est >= c, s"width $w undercounted: $est < $c") // the guarantee
+        est - c
+      }
+      errs.sum
+    }
+    // collisions thin sharply as width quadruples on the fixed
+    // stream (measured: 47530 → 3144 → 68 — a residual all-4-row
+    // collision survives even at 1024 cells, which is exactly why
+    // the instrument MEASURES instead of assuming exactness)
+    assert(errSums(0) > errSums(1) * 4 && errSums(1) > errSums(2),
+      errSums.toString)
+  }
+
   test("audio fingerprint stays inside the operating radius across gains (I10)") {
     // energy RATIOS are exactly gain-invariant; integer sample
     // truncation adds ~1-LSB noise, so a band with NO on-windows

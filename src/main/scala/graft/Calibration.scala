@@ -36,10 +36,12 @@ object Calibration {
     x
   }
 
-  /** Expected mix(1, Iters) — pinned so a wrong iteration count or a
-    * changed kernel is an error, not a silently incomparable anchor.
+  /** Expected mix(1, Iters), computed ONCE offline and hard-coded as a
+    * literal — so a changed kernel or iteration count actually trips
+    * the require below (a runtime-derived value could never disagree
+    * with itself).
     */
-  private lazy val Expected: Long = mix(1L, Iters)
+  private val Expected: Long = -2650096840644895936L
 
   /** Run the anchor; returns a JSON object string
     * `{"iters":…,"cpus":…,"t1_sec":…,"mt_sec":…}`. Each leg is

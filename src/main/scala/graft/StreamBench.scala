@@ -353,6 +353,59 @@ object StreamBench {
         s""","served_rows":$served,"read_serve_s":${f"$tServe%.2f"}""")
     }
 
+    // ---- J23: streaming-index compaction ----------------------------
+    // THE small-file scale killer, measured: the J11 screen loop run
+    // for ~100 microbatches with and without the background merge.
+    // Uncompacted, the index accumulates one batch_id= partition per
+    // batch and the per-batch screen wall grows with batch COUNT
+    // (listing + many tiny files); compacted every 10 batches
+    // (keepRecent=2), the history read is one consolidated segment +
+    // a few recent partitions and the tail-10-batch wall stays FLAT.
+    // Both runs must produce the IDENTICAL survivor set — compaction
+    // is invisible to screen semantics.
+    if (only("j23_compaction")) {
+      import graft.streaming.StreamIndexCompaction
+      val rate = 500
+      val nB = 100
+      def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
+        val dup = b > 0 && i < rate / 10
+        val (ob, oi) = if (dup) (b - 1, rate / 10 + i) else (b, i)
+        StreamDoc(b.toLong * rate + i,
+          (0 until 30).map(w => s"w${ob}_${oi}_$w").mkString(" "))
+      }
+      def run(compactEvery: Int, tag: String): (Double, Double, Int, Long) = {
+        val (index, surv) = (s"$tmp/j23_$tag/index", s"$tmp/j23_$tag/surv")
+        val t0 = System.nanoTime()
+        var tail0 = t0
+        (0 until nB).foreach { b =>
+          if (b == nB - 10) tail0 = System.nanoTime()
+          AdsbStream.screenAndIndexBatch(docBatch(b).toDF("doc_id", "text"),
+            b, "doc_id", "text", 3, index, surv)
+          if (compactEvery > 0 && b % compactEvery == compactEvery - 1) {
+            StreamIndexCompaction.compactIndex(spark, index, keepRecent = 2)
+            StreamIndexCompaction.compactIndex(spark, surv, keepRecent = 2)
+          }
+        }
+        val t1 = System.nanoTime()
+        val parts = new java.io.File(index).listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        val survivors = spark.read.parquet(surv).count()
+        ((t1 - t0) / 1e9, (t1 - tail0) / 1e9, parts, survivors)
+      }
+      val (uTot, uTail, uParts, uSurv) = run(0, "plain")
+      val (cTot, cTail, cParts, cSurv) = run(10, "merged")
+      require(uSurv == cSurv,
+        s"compaction changed the survivor count: $uSurv vs $cSurv")
+      println(s"""{"scenario":"j23_compaction","rows_per_batch":$rate,""" +
+        s""""batches":$nB,"survivors":$cSurv,""" +
+        s""""uncompacted_total_s":${f"$uTot%.2f"},""" +
+        s""""uncompacted_tail10_s":${f"$uTail%.2f"},""" +
+        s""""uncompacted_partitions":$uParts,""" +
+        s""""compacted_total_s":${f"$cTot%.2f"},""" +
+        s""""compacted_tail10_s":${f"$cTail%.2f"},""" +
+        s""""compacted_partitions":$cParts}""")
+    }
+
     spark.stop()
   }
 }

@@ -479,8 +479,12 @@ object Dedup {
         // (no distinct shuffle) is plenty — both keep the policy
         // decision at two cheap jobs on top of the detection round
         val nNodes = nNodesSeen.getOrElse(labels.count())
+        // rsd = 0.01 pins the estimate tight enough that the 40%
+        // threshold can't flip run-to-run near the boundary (default
+        // ~5% rsd could) — the policy choice stays deterministic for
+        // a given input; both legs are correct either way
         val nLabels = labels
-          .agg(approx_count_distinct("component")).head().getLong(0)
+          .agg(approx_count_distinct(col("component"), 0.01)).head().getLong(0)
         if (nLabels * 5L >= nNodes * 2L) {
           // raw-edge Star, but REUSING the prefix's symmetrized frame
           // (still persisted — see minLabelRounds): the node set and

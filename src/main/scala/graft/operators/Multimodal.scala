@@ -344,6 +344,13 @@ object Multimodal {
       it.flatMap { r =>
         MediaCodec.gifFramePHashes(r.payload) match {
           case Some(hs) if hs.nonEmpty =>
+            // the downstream band join packs (doc_id, frame_idx) as
+            // doc_id * 2^20 + frame_idx and unpacks with DIV 2^20 —
+            // fail loudly here rather than corrupt asset identity
+            require(r.doc_id >= 0 && r.doc_id < (1L << 43),
+              s"videoFramePrints: doc_id ${r.doc_id} outside [0, 2^43) breaks the composite key")
+            require(hs.length <= 1048576,
+              s"videoFramePrints: ${hs.length} frames exceeds the 2^20 frame_idx budget")
             val kf = (0 +: MediaCodec.sceneCuts(hs).toSeq).distinct.toSet
             hs.indices.map(i => (r.doc_id, i, hs(i), hs.length, kf(i)))
           case _ => Seq.empty

@@ -195,7 +195,13 @@ object AdsbStream {
     * log. Compaction of old batch partitions is B9's job.
     */
   def mergeBatchIntoAggState(batch: DataFrame, batchId: Long, tsCol: String,
-                             keyCol: String, valCol: String, path: String): Unit =
+                             keyCol: String, valCol: String, path: String): Unit = {
+    // replay of a batch already folded into the compacted segment
+    // (J23) must NOOP: its states are durable under the sentinel
+    // partition, which dynamic overwrite of batch_id=<id> can't
+    // replace — rewriting would double-count on merge-on-read
+    if (StreamIndexCompaction.compactedThrough(batch.sparkSession, path) >= batchId)
+      return
     batch
       .withColumn("day", date_format(col(tsCol), "yyyyMMdd"))
       .groupBy(col("day"), col(keyCol))
@@ -208,6 +214,7 @@ object AdsbStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(path)
+  }
 
   /** Streaming AggregatingMergeTree path (J10): the streaming half of
     * B11 — each microbatch reduces to mergeable partial states before
@@ -253,13 +260,17 @@ object AdsbStream {
     */
   def mergeBatchIntoQuantileState(batch: DataFrame, batchId: Long,
                                   groupCol: String, valCol: String,
-                                  gridPerUnit: Int, path: String): Unit =
+                                  gridPerUnit: Int, path: String): Unit = {
+    // J23 replay noop-guard — same double-count argument as J10
+    if (StreamIndexCompaction.compactedThrough(batch.sparkSession, path) >= batchId)
+      return
     graft.operators.ScaleOps.gridQuantileSketch(batch, groupCol, valCol, gridPerUnit)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(path)
+  }
 
   /** The J20 sink: the streaming percentile dashboard's write side —
     * every microbatch appends its (group, cell) partial counts.
@@ -305,7 +316,11 @@ object AdsbStream {
     */
   def ingestVectorBatch(batch: DataFrame, batchId: Long, idCol: String,
                         vecCol: String, codebook: Seq[Array[Double]],
-                        path: String): Unit =
+                        path: String): Unit = {
+    // J23 replay noop-guard: a folded batch's vectors are already in
+    // the segment; re-ingesting them would duplicate serving rows
+    if (StreamIndexCompaction.compactedThrough(batch.sparkSession, path) >= batchId)
+      return
     batch.select(col(idCol).as("vid"), col(vecCol).as("vec"),
         graft.functions.VectorFunctions.ivfCellFold(col(vecCol), codebook)
           .as("cell"))
@@ -314,6 +329,7 @@ object AdsbStream {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "cell")
       .parquet(path)
+  }
 
   /** The J21 sink: vectors arriving on a stream accumulate into the
     * cell-partitioned ANN index, exchange-free on the assignment side.
@@ -500,6 +516,12 @@ object AdsbStream {
                           bandFn: (DataFrame, String, String, Int) => DataFrame =
                             graft.operators.Dedup.minhashBandsRowLocal): Unit = {
     val spark = batch.sparkSession
+    // J23 replay noop-guard: a folded batch's survivors/bands are
+    // durable in the sentinel segment — rerunning would both
+    // duplicate them AND screen the batch against its own first
+    // attempt (the segment evades the batch_id != current filter)
+    if (StreamIndexCompaction.compactedThrough(spark, indexPath) >= batchId)
+      return
     val bands = bandFn(batch, idCol, textCol, n)
     val priorBands =
       try spark.read.parquet(indexPath)
@@ -693,6 +715,9 @@ object AdsbStream {
                            textCol: String, k: Int, indexPath: String,
                            survivorsPath: String): Unit = {
     val spark = batch.sparkSession
+    // J23 replay noop-guard (see screenAndIndexBatch)
+    if (StreamIndexCompaction.compactedThrough(spark, indexPath) >= batchId)
+      return
     // explode_outer, not explode: the inferred size()>0 filter of the
     // plain variant would re-run the kernel (the p13 lesson), and
     // sub-k-token docs must still flow through the anti join as
@@ -771,6 +796,9 @@ object AdsbStream {
                            textCol: String, indexPath: String,
                            survivorsPath: String): Unit = {
     val spark = batch.sparkSession
+    // J23 replay noop-guard (see screenAndIndexBatch)
+    if (StreamIndexCompaction.compactedThrough(spark, indexPath) >= batchId)
+      return
     val nrm = regexp_replace(
       regexp_replace(lower(col("para")), "[0-9]", "0"), "[^a-z0-9 ]", "")
     // persist: the normalize+hash pass feeds the keeper election AND
@@ -872,6 +900,9 @@ object AdsbStream {
                        payloadCol: String, indexPath: String,
                        survivorsPath: String, maxHamming: Int = 7): Unit = {
     val spark = batch.sparkSession
+    // J23 replay noop-guard (see screenAndIndexBatch)
+    if (StreamIndexCompaction.compactedThrough(spark, indexPath) >= batchId)
+      return
     import spark.implicits._
     val prints = batch.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]

@@ -71,6 +71,35 @@ object CmsUtil {
     bb.array()
   }
 
+  /** Fold a sketch down to a narrower power-of-two width — BIT-EXACT
+    * equal to aggregating at `newWidth` directly, with zero extra
+    * corpus scans: the cell index is `(h1 + r·h2) & (width−1)`, and
+    * power-of-two masks NEST (`x & (W−1) & (W'−1) = x & (W'−1)` when
+    * W' | W), so every increment that landed in cell c at width W
+    * belongs in cell `c & (W'−1)` at width W' — counter groups
+    * congruent mod W' sum down. The e25d sizing instrument uses this
+    * to price all its operating points from ONE finest sketch
+    * (driver-side arithmetic on the ~KBs matrix; spec-pinned fold ≡
+    * direct in CmsSpec).
+    */
+  def foldWidth(bytes: Array[Byte], newWidth: Int): Array[Byte] = {
+    val d = deserialize(bytes)
+    require(newWidth >= 64 && (newWidth & (newWidth - 1)) == 0 &&
+      d.width % newWidth == 0,
+      s"newWidth must be a power of two >= 64 dividing ${d.width}, got $newWidth")
+    val m = new Array[Long](d.depth * newWidth)
+    var r = 0
+    while (r < d.depth) {
+      var c = 0
+      while (c < d.width) {
+        m(r * newWidth + (c & (newWidth - 1))) += d.m(r * d.width + c)
+        c += 1
+      }
+      r += 1
+    }
+    serialize(m, d.depth, newWidth)
+  }
+
   def deserialize(bytes: Array[Byte]): CmsData = {
     val bb = ByteBuffer.wrap(bytes)
     val depth = bb.getInt

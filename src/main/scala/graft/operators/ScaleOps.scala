@@ -110,14 +110,35 @@ object ScaleOps {
     * and so the grids NEST — for nested grids the rank error is
     * provably non-increasing in G (the finer answer cell is a
     * sub-cell at or before the coarser one), which the spec pins.
-    * Each G costs one sketch aggregation (map-side combined) + a
-    * window over the SKETCH — the corpus is scanned once per G,
-    * never shuffled wider than (group, cell).
+    * The corpus is scanned ONCE, at the finest grid: because the
+    * grids nest, `cell@G = floorDiv(cell@Gmax, Gmax/G)` — value·G is
+    * an exact power-of-two scaling, so the identity is BIT-EXACT, not
+    * approximate (spec-pinned fold ≡ direct) — and every coarser
+    * sketch is derived by folding the finest one in SKETCH space
+    * (cells per group, never corpus rows). Each G then pays only a
+    * window over its folded sketch.
     */
   def gridSizingReport(df: DataFrame, groupCol: String, valueCol: String,
                        gs: Seq[Int], qsPercent: Seq[Int]): DataFrame = {
+    require(gs.nonEmpty, "at least one grid density required")
+    val gMax = gs.max
+    gs.foreach(g => require(g > 0 && (g & (g - 1)) == 0 && gMax % g == 0,
+      s"grids must be nesting powers of two (got $g against max $gMax): " +
+        "the one-scan fold and its bit-exactness depend on it"))
+    val finest = graft.operators.TrackedCache.persist(
+      gridQuantileSketch(df, groupCol, valueCol, gMax))
     val per = gs.map { g =>
-      val sk = gridQuantileSketch(df, groupCol, valueCol, g)
+      val sk =
+        if (g == gMax) finest
+        else {
+          // floor division (not DIV, which truncates toward zero and
+          // would mis-fold negative cells): cell@G = floor(cell@Gmax/k)
+          val k = (gMax / g).toLong
+          finest.groupBy(col(groupCol),
+              expr(s"(cast(cell as bigint) - pmod(cast(cell as bigint), ${k}L))" +
+                s" div ${k}L").as("cell"))
+            .agg(sum(col("c")).as("c"))
+        }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(groupCol).orderBy("cell")
       val cum = sk.withColumn("cum", sum(col("c")).over(w))

@@ -2954,14 +2954,21 @@ object PipelineQueries {
     // the TYPE frame (vocabulary grain, not occurrences).
     QueryDef("e25d_cms_sizing_report",
       (s, dir) => {
-        import graft.functions.CmsFunctions
+        // ONE corpus aggregation prices ALL widths: the coarser
+        // sketches fold down from the finest matrix driver-side
+        // (power-of-two cell masks nest, so counter groups congruent
+        // mod the narrower width sum to the direct sketch BIT-EXACTLY
+        // — CmsUtil.foldWidth, fold ≡ direct spec-pinned in CmsSpec)
+        import graft.functions.{CmsFunctions, CmsUtil}
         val tok = tokFrame(s, dir)
           .withColumn("h", HashFunctions.md5prefix64(col("w")))
         val types = graft.operators.TrackedCache.persist(
           tok.groupBy("w", "h").agg(count(lit(1)).as("cnt")))
+        val finest = tok.agg(CmsFunctions.cmsAgg(col("h"), 4, 4096))
+          .head().getAs[Array[Byte]](0)
         val per = Seq(256, 1024, 4096).map { wdt =>
-          val bytes = tok.agg(CmsFunctions.cmsAgg(col("h"), 4, wdt))
-            .head().getAs[Array[Byte]](0)
+          val bytes =
+            if (wdt == 4096) finest else CmsUtil.foldWidth(finest, wdt)
           types.select(col("cnt"),
               (CmsFunctions.cmsEstimate(bytes, col("h")) - col("cnt")).as("err"))
             .agg(count(lit(1)).as("n_types"),

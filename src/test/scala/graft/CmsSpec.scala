@@ -88,6 +88,23 @@ class CmsSpec extends SparkSpecBase {
     assert(CmsUtil.deserialize(viaSql).estimate(7L) == 20L) // exact at this density
   }
 
+  test("width fold: folding the finest sketch down is BYTE-IDENTICAL to aggregating at each width directly") {
+    // the e25d one-scan contract: power-of-two cell masks nest, so
+    // counter groups congruent mod the narrower width sum to the
+    // direct sketch exactly — per width AND per depth row
+    val keys = spark.range(0, 5000).select((col("id") * col("id") % 733).as("k"))
+    val finest = keys.agg(CmsFunctions.cmsAgg(col("k"), 4, 4096))
+      .head().getAs[Array[Byte]](0)
+    for (w <- Seq(1024, 256, 64)) {
+      val direct = keys.agg(CmsFunctions.cmsAgg(col("k"), 4, w))
+        .head().getAs[Array[Byte]](0)
+      assert(java.util.Arrays.equals(CmsUtil.foldWidth(finest, w), direct),
+        s"fold to width $w diverged from the direct sketch")
+    }
+    // non-dividing or non-power-of-two targets are refused loudly
+    intercept[IllegalArgumentException](CmsUtil.foldWidth(finest, 768))
+  }
+
   test("error bound: estimates stay within the e*n/width envelope on the corpus") {
     // classic CMS bound: overcount <= e*n/width with prob 1-e^-depth
     // per key; assert the MAX overcount over all keys stays inside

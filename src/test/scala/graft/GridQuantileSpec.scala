@@ -86,4 +86,29 @@ class GridQuantileSpec extends SparkSpecBase {
     assert(exact.length == 1 &&
       exact(0).getLong(4) == 0L && exact(0).getLong(5) == 0L)
   }
+
+  test("sizing report one-scan fold: folded coarse sketch equals the direct sketch, negatives included") {
+    // the e14f one-scan contract: cell@G = floorDiv(cell@Gmax, Gmax/G)
+    // bit-exactly for nesting power-of-two grids — including NEGATIVE
+    // values, where a truncating DIV (unlike floor division) would
+    // mis-fold cells
+    import org.apache.spark.sql.functions._
+    val df = (0 until 2000)
+      .map(i => ("a", ((i * 37 % 401) - 200) / 8.0)).toDF("g", "v")
+    for (g <- Seq(1, 2, 4)) {
+      val k = 8 / g
+      val direct = ScaleOps.gridQuantileSketch(df, "g", "v", g)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val folded = ScaleOps.gridQuantileSketch(df, "g", "v", 8)
+        .groupBy(col("g"),
+          expr(s"(cast(cell as bigint) - pmod(cast(cell as bigint), ${k}L))" +
+            s" div ${k}L").as("cell"))
+        .agg(sum(col("c")).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(folded == direct, s"fold to G=$g diverged from the direct sketch")
+    }
+    // non-nesting grids are refused loudly
+    intercept[IllegalArgumentException](
+      ScaleOps.gridSizingReport(df, "g", "v", Seq(3, 8), Seq(50)))
+  }
 }

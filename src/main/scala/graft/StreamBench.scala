@@ -316,6 +316,42 @@ object StreamBench {
         s""","groups":$qRows,"read_merge_s":${f"$tRead%.2f"}""")
     }
 
+    // ---- J22: streaming heavy-hitter state ---------------------------
+    // each microbatch reduces to ONE CMS matrix row (rate-independent:
+    // the trajectory below counts SKETCH rows and stays exactly
+    // #batches at any input rate) plus vocabulary-grain exact counts;
+    // merge-on-read = driver-side matrix addition + a screened exact
+    // aggregation over STATE rows. The streaming trending-keys
+    // dashboard, state bounded by sketch + vocabulary, never events.
+    if (only("j22_heavy_hitter_state")) for (rate <- rates) {
+      import org.apache.spark.sql.functions._
+      val path = s"$tmp/j22_$rate/state"
+      def keyBatch(b: Int): org.apache.spark.sql.DataFrame =
+        spark.range(rate).select(col("id"),
+          when(pmod(col("id"), lit(3)) === 0, lit("hot0"))
+            .when(pmod(col("id"), lit(7)) === 0, lit("hot1"))
+            .otherwise(concat(lit("cold_"),
+              pmod(col("id") * 31 + lit(b.toLong), lit(8192L)))).as("w"))
+      val t0 = System.nanoTime()
+      val traj = (0 until batches).map { b =>
+        AdsbStream.mergeBatchIntoHeavyHitterState(keyBatch(b), b, "w", path)
+        spark.read.parquet(s"$path/sketch").count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val countRows = spark.read.parquet(s"$path/counts").count()
+      val (hh, tRead) = {
+        val r0 = System.nanoTime()
+        val rows = AdsbStream.readHeavyHitterState(spark, path, "w", 50L)
+          .collect()
+        (rows, (System.nanoTime() - r0) / 1e9)
+      }
+      require(hh.map(_.getString(0)).toSet == Set("hot0", "hot1"),
+        s"expected the two planted heavy keys, got ${hh.mkString(",")}")
+      emit("j22_heavy_hitter_state", rate, batches.toLong * rate, secs, traj,
+        s""","count_state_rows":$countRows,"heavy_keys":${hh.length},""" +
+          s""""read_merge_s":${f"$tRead%.2f"}""")
+    }
+
     // ---- J21: streaming ANN ingest + partition-pruned serving ------
     // cell assignment is a row-local compiled fold over codebook
     // literals (no joins, no shuffle beyond the partitioned write),

@@ -100,6 +100,23 @@ object CmsUtil {
     serialize(m, d.depth, newWidth)
   }
 
+  /** Merge two serialized sketches by counter addition — the
+    * mergeable-summaries property at the WIRE level (J22's
+    * merge-on-read): byte-identical to aggregating both inputs'
+    * key streams into one sketch, because the matrix is a sum of
+    * per-key increments and sums commute.
+    */
+  def mergeBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val da = deserialize(a)
+    val db = deserialize(b)
+    require(da.depth == db.depth && da.width == db.width,
+      s"sketch dims differ: ${da.depth}x${da.width} vs ${db.depth}x${db.width}")
+    val m = new Array[Long](da.m.length)
+    var i = 0
+    while (i < m.length) { m(i) = da.m(i) + db.m(i); i += 1 }
+    serialize(m, da.depth, da.width)
+  }
+
   def deserialize(bytes: Array[Byte]): CmsData = {
     val bb = ByteBuffer.wrap(bytes)
     val depth = bb.getInt

@@ -303,6 +303,121 @@ object AdsbStream {
         .groupBy(col(groupCol), col("cell")).agg(sum(col("c")).as("c")),
       groupCol, qsPercent)
 
+  /** Fold one microbatch into the on-disk HEAVY-HITTER state (J22 —
+    * E25c's CMS screen + exact verify as streaming agg-state,
+    * completing the mergeable-state trio: B11 aggregates → J10, E14e
+    * quantiles → J20, E25c frequencies → J22). Each batch reduces to
+    * TWO mergeable artifacts before anything lands on disk, both
+    * under the J10 batch_id discipline (dynamic partition overwrite,
+    * replay replaces):
+    *
+    *  - `$path/sketch`: ONE row — the batch's K25 CMS counter matrix
+    *    over the key stream. Rate-independent size (depth×width
+    *    longs); merge-on-read is matrix ADDITION
+    *    ([[graft.functions.CmsUtil.mergeBytes]]), so the merged
+    *    sketch is byte-identical to the one-shot batch sketch under
+    *    ANY batch boundaries.
+    *  - `$path/counts`: the batch's exact per-key counts (vocabulary
+    *    grain, never event grain) — the candidate-verify side.
+    *    Merge-on-read is counter addition per key.
+    *
+    * Read-out ([[readHeavyHitterState]]) replays e25c's composition
+    * over STATE rows: the merged matrix screens the merged vocabulary
+    * inside the scan (CMS never underestimates ⇒ no false negatives
+    * above threshold), and only candidate keys take the exact
+    * aggregation — result ≡ the batch e25c heavy-hitter query over
+    * every ingested row, the trending-keys dashboard maintained
+    * incrementally.
+    */
+  def mergeBatchIntoHeavyHitterState(batch: DataFrame, batchId: Long,
+                                     keyCol: String, path: String,
+                                     depth: Int = 4, width: Int = 2048): Unit = {
+    import graft.functions.{CmsFunctions, HashFunctions}
+    val spark = batch.sparkSession
+    // J23 replay noop-guard (both sub-tables compact in lockstep —
+    // guard on the sketch side)
+    if (StreamIndexCompaction.compactedThrough(spark, s"$path/sketch") >= batchId)
+      return
+    val keyed = batch.withColumn("h", HashFunctions.md5prefix64(col(keyCol)))
+    keyed.agg(CmsFunctions.cmsAgg(col("h"), depth, width).as("sketch"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$path/sketch")
+    keyed.groupBy(col(keyCol), col("h")).agg(count(lit(1)).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$path/counts")
+  }
+
+  /** The J22 sink: every microbatch folds its matrix + vocabulary
+    * counts into the heavy-hitter state.
+    */
+  def startHeavyHitterSink(stream: DataFrame, keyCol: String, path: String,
+                           checkpoint: String, depth: Int = 4,
+                           width: Int = 2048)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchIntoHeavyHitterState(batch, batchId, keyCol, path,
+          depth, width)
+      }
+      .start()
+
+  /** Read side of J22: merge the per-batch matrices (driver-side
+    * matrix addition over O(batches) ~KBs rows — a sketch collect,
+    * not a data collect), screen the merged VOCABULARY state with the
+    * merged sketch inside the scan, and exactly verify only the
+    * candidates — e25c's screen + verify composition over state rows.
+    * Output ≡ the one-shot exact heavy-hitter query (keys whose count
+    * × `thresholdDen` exceeds total events) over every ingested row,
+    * under any batch boundaries — CMS overcount means the screen has
+    * no false negatives, and the exact filter kills its false
+    * positives.
+    */
+  def readHeavyHitterState(spark: SparkSession, path: String, keyCol: String,
+                           thresholdDen: Long = 1500L): DataFrame = {
+    import graft.functions.{CmsFunctions, CmsUtil}
+    val merged = spark.read.parquet(s"$path/sketch")
+      .select("sketch").collect().map(_.getAs[Array[Byte]](0))
+      .reduce(CmsUtil.mergeBytes)
+    val counts = spark.read.parquet(s"$path/counts")
+    val n = counts.agg(sum(col("cnt"))).head().getLong(0)
+    counts
+      .filter(CmsFunctions.cmsEstimate(merged, col("h")) * thresholdDen > n)
+      .groupBy(col(keyCol)).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") * thresholdDen > n)
+      .select(col(keyCol), col("cnt"))
+  }
+
+  /** Compact both J22 sub-tables (the J23 treatment): counts merge by
+    * per-key addition; sketch rows merge by driver-side matrix
+    * addition into ONE segment row — read-out unchanged by either.
+    */
+  def compactHeavyHitterState(spark: SparkSession, path: String,
+                              keyCol: String, keepRecent: Int = 2): Unit = {
+    import graft.functions.CmsUtil
+    // SKETCH FIRST: the replay noop-guard reads the sketch marker, so
+    // once it advances a folded replay can no longer rewrite its
+    // counts partition either — a crash between the two compactions
+    // leaves counts uncompacted (converges next run), never
+    // double-counted
+    StreamIndexCompaction.compactIndex(spark, s"$path/sketch", keepRecent,
+      merge = seg => {
+        import spark.implicits._
+        // O(batches) ~KBs matrix rows — driver-bounded by design
+        val m = seg.select("sketch").collect()
+          .map(_.getAs[Array[Byte]](0))
+        if (m.isEmpty) seg
+        else Seq(m.reduce(CmsUtil.mergeBytes)).toDF("sketch")
+      })
+    StreamIndexCompaction.compactIndex(spark, s"$path/counts", keepRecent,
+      merge = seg => seg.groupBy(col(keyCol), col("h"))
+        .agg(sum(col("cnt")).as("cnt")))
+  }
+
   /** Fold one microbatch of vectors into the cell-partitioned
     * streaming ANN index (J21 helper — G3c/G7b's IVF serving made
     * INCREMENTAL, the way J11 makes F3's screen incremental): each

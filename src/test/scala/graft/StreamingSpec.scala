@@ -322,6 +322,66 @@ class StreamingSpec extends SparkSpecBase {
     assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
   }
 
+  test("streaming heavy-hitter state: read-out equals exact batch heavy hitters under any batch boundaries, replay idempotent, compaction invisible (J22)") {
+    // skewed key stream: hot0 ~1/3, hot1 ~2/21, ~500 cold keys in the
+    // tail — at thresholdDen=50 (freq > 2%) exactly the two hot keys
+    // are heavy
+    def toks(lo: Int, hi: Int): Seq[(Long, String)] = (lo until hi).map { i =>
+      val w = if (i % 3 == 0) "hot0"
+              else if (i % 7 == 0) "hot1"
+              else s"cold_${i % 509}"
+      (i.toLong, w)
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_j22").toString
+    // three batches with different sizes — boundaries must not matter
+    val cuts = Seq((0, 900), (900, 1500), (1500, 3000))
+    cuts.zipWithIndex.foreach { case ((lo, hi), b) =>
+      AdsbStream.mergeBatchIntoHeavyHitterState(
+        toks(lo, hi).toDF("id", "w"), b.toLong, "w", path, width = 256)
+    }
+    val direct = {
+      val all = toks(0, 3000).toDF("id", "w")
+      val n = all.count()
+      all.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 50 > n).select("w", "cnt")
+    }
+    val merged = AdsbStream.readHeavyHitterState(spark, path, "w", 50L)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    assert(merged.select("w").as[String].collect().toSet == Set("hot0", "hot1"))
+    // the sketch side is ONE matrix row per batch, rate-independent
+    assert(spark.read.parquet(s"$path/sketch").count() == cuts.length)
+
+    // failure replay: re-folding batch 0 must REPLACE its partials
+    AdsbStream.mergeBatchIntoHeavyHitterState(
+      toks(0, 900).toDF("id", "w"), 0L, "w", path, width = 256)
+    val after = AdsbStream.readHeavyHitterState(spark, path, "w", 50L)
+    assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
+
+    // J23 compaction: read-out unchanged, sketch segment collapses to
+    // ONE row, and a FOLDED replay noops instead of double-counting
+    AdsbStream.compactHeavyHitterState(spark, path, "w", keepRecent = 1)
+    val compacted = AdsbStream.readHeavyHitterState(spark, path, "w", 50L)
+    assert(compacted.exceptAll(direct).isEmpty && direct.exceptAll(compacted).isEmpty)
+    assert(spark.read.parquet(s"$path/sketch/batch_id=-1").count() == 1)
+    AdsbStream.mergeBatchIntoHeavyHitterState(
+      toks(0, 900).toDF("id", "w"), 0L, "w", path, width = 256)
+    val replayed = AdsbStream.readHeavyHitterState(spark, path, "w", 50L)
+    assert(replayed.exceptAll(direct).isEmpty && direct.exceptAll(replayed).isEmpty,
+      "folded heavy-hitter replay double-counted")
+
+    // same loop through the actual streaming sink
+    val path2 = java.nio.file.Files.createTempDirectory("graft_j22s").toString
+    val input = MemoryStream[(Long, String)](spark)
+    val q = AdsbStream.startHeavyHitterSink(input.toDF().toDF("id", "w"),
+      "w", path2, s"$path2/ckpt", width = 256)
+    input.addData(toks(0, 1500))
+    q.processAllAvailable()
+    input.addData(toks(1500, 3000))
+    q.processAllAvailable(); q.stop()
+    val streamed = AdsbStream.readHeavyHitterState(spark, path2, "w", 50L)
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming ANN ingest: cell-partitioned index serves identically to batch IVF, replay idempotent, scan pruned (J21)") {
     import graft.operators.Embeddings
     import graft.functions.VectorFunctions

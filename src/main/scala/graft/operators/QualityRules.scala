@@ -224,6 +224,103 @@ object QualityRules {
       .drop("__ws", "__lines", "__paras")
   }
 
+  // ---- FineWeb/DCLM LINE-LEVEL battery (H21) ------------------------
+
+  /** FineWeb/DCLM rule names in first-fail order: the 2024 published
+    * siblings of the Gopher/C4 batteries — FineWeb's three custom
+    * line-level filters (Penedo et al. 2024, "The FineWeb Datasets",
+    * §3.6: terminal-punctuation line ratio ≤ 0.12 removed, fraction
+    * of characters in duplicated lines ≥ 0.10 removed, fraction of
+    * lines shorter than 30 chars ≥ 0.67 removed) plus the
+    * RefinedWeb-lineage list-like-page heuristic DCLM reproduces
+    * (Li et al. 2024; Penedo et al. 2023 §G: a page whose lines are
+    * mostly bullets/enumerations is navigation, not prose — spelled
+    * here as list-like lines ≥ 1/2 removed).
+    */
+  val FwRuleOrder: Seq[(String, String)] = Seq(
+    "fw_term_punct" -> "fineweb_term_punct_lines",
+    "fw_dup_line_chars" -> "fineweb_dup_line_chars",
+    "fw_short_lines" -> "fineweb_short_lines",
+    "fw_list_lines" -> "dclm_list_lines")
+
+  /** Adds the H21 line-grain signal columns, the 4 per-rule booleans,
+    * `fw_pass`, and `fw_first_fail` (NULL when the doc passes). Lines
+    * are the NONEMPTY '\n'-split segments; every ratio threshold is
+    * an integer cross-multiplication (H17's exact treatment — no
+    * float in any verdict). A doc with zero nonempty lines fails
+    * `fw_term_punct` (0 > 0 is false) — deterministic in both
+    * engines. Row-local single-scan work, streaming-safe.
+    */
+  def withFineWebColumns(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val sig = df
+      .withColumn("__lines", filter(split(t, "\n"), l => l =!= ""))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_term_lines",
+        size(filter(col("__lines"), l => l.rlike("[.!?\"]$"))).cast("long"))
+      .withColumn("line_chars", sumLen(col("__lines")))
+      .withColumn("dup_line_chars",
+        sumLen(col("__lines")) - sumLen(array_distinct(col("__lines"))))
+      .withColumn("n_short_lines",
+        size(filter(col("__lines"), l => length(l) < 30)).cast("long"))
+      .withColumn("n_list_lines",
+        size(filter(col("__lines"),
+          l => l.rlike("^\\s*([-*•]|[0-9]+[.)])"))).cast("long"))
+      .drop("__lines")
+    val ruled = sig
+      // keep iff terminal-punctuation lines > 12% of lines
+      .withColumn("fw_term_punct",
+        lit(100L) * col("n_term_lines") > lit(12L) * col("n_lines"))
+      // keep iff duplicated-line char mass < 10% of line chars
+      .withColumn("fw_dup_line_chars",
+        lit(10L) * col("dup_line_chars") < col("line_chars"))
+      // keep iff lines under 30 chars are < 67% of lines
+      .withColumn("fw_short_lines",
+        lit(100L) * col("n_short_lines") < lit(67L) * col("n_lines"))
+      // keep iff list-like lines are < 1/2 of lines
+      .withColumn("fw_list_lines",
+        lit(2L) * col("n_list_lines") < col("n_lines"))
+    val firstFail = FwRuleOrder.foldRight(lit(null).cast("string"): Column) {
+      case ((ruleCol, name), rest) => when(!col(ruleCol), name).otherwise(rest)
+    }
+    ruled
+      .withColumn("fw_pass", FwRuleOrder.map(r => col(r._1)).reduce(_ && _))
+      .withColumn("fw_first_fail", firstFail)
+  }
+
+  /** H21 literals (ids ≥ 920000): a golden doc and one engineered
+    * first-fail per rule — every rule provably fires at every SF
+    * (the synthetic corpus is single-line word salad, which fails
+    * fw_term_punct wholesale, so the battery is what exercises the
+    * later rules).
+    */
+  val FwBatteryDocs: Seq[(Long, String)] = {
+    val prose = (k: Int) =>
+      s"the quick brown fox number $k jumps over the lazy dog tonight."
+    Seq(
+      // 5 long, distinct, punctuation-terminated prose lines: passes all 4
+      920000L -> (0 until 5).map(prose).mkString("\n"),
+      // same lines, periods stripped: term ratio 0 ≤ 12% → fw_term_punct
+      920001L -> (0 until 5).map(prose(_).dropRight(1)).mkString("\n"),
+      // one long line ×3 among 8 distinct: dup char mass 114/659 ≥ 10%
+      // while term 11/11, short 0, list 0 → fw_dup_line_chars
+      920002L -> ((0 until 8).map(prose) ++ Seq.fill(3)(
+        "this exact sentence appears twice in the page body today."))
+        .mkString("\n"),
+      // 9 of 12 lines under 30 chars (75% ≥ 67%) but dup-free,
+      // punctuation-terminated, non-list → fw_short_lines
+      920003L -> ((0 until 9).map(k => s"tiny line number $k.") ++
+        (0 until 3).map(prose)).mkString("\n"),
+      // 6 of 10 lines bulleted (≥ 1/2) but long, distinct,
+      // punctuation-terminated → dclm_list_lines
+      920004L -> ((0 until 6).map(k =>
+        s"- bullet item $k with plenty of words to cross thirty chars.") ++
+        (0 until 4).map(prose)).mkString("\n"))
+  }
+
+  /** [[sqlValues]] over [[FwBatteryDocs]]. */
+  def fwBatterySqlValues: String = sqlValues(FwBatteryDocs)
+
   private def wtok(prefix: String, n: Int): Seq[String] =
     (0 until n).map(i => f"$prefix$i%02d")
 

@@ -3721,6 +3721,72 @@ object PipelineQueries {
         FROM rr ORDER BY doc_id"""
       }),
 
+    // H21: the FineWeb/DCLM LINE-LEVEL battery — the 2024 published
+    // siblings of h17's Gopher/C4 rules (Penedo et al. 2024 §3.6;
+    // Li et al. 2024 / RefinedWeb §G): terminal-punctuation line
+    // ratio, duplicated-line char fraction at LINE grain, short-line
+    // fraction, list-like-line ratio — integer cross-multiplication
+    // verdicts with a first-failing-rule report, H17's exact
+    // treatment. Corpus ∪ a 5-doc literal battery (ids ≥ 920000, one
+    // golden pass + one engineered first-fail per rule — the
+    // synthetic corpus is single-line word salad, which fails the
+    // terminal-punctuation rule wholesale). Composes into P12b's
+    // funnel as a third gate generation and into streaming via J15's
+    // pattern (fineWebGateStream). Row-local single-scan work.
+    QueryDef("h21_fineweb_rules",
+      (s, dir) => {
+        import s.implicits._
+        val battery = graft.operators.QualityRules.FwBatteryDocs
+          .toDF("doc_id", "text")
+        val corpus = Tables.documents(s, dir).select("doc_id", "text")
+          .unionByName(battery)
+        val outCols = Seq("doc_id", "n_lines", "n_term_lines", "line_chars",
+          "dup_line_chars", "n_short_lines", "n_list_lines") ++
+          graft.operators.QualityRules.FwRuleOrder.map(_._1) ++
+          Seq("fw_pass", "fw_first_fail")
+        graft.operators.QualityRules.withFineWebColumns(corpus, "text")
+          .select(outCols.map(col): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        def sl(l: String) =
+          s"coalesce(list_aggregate(list_transform($l, x -> length(x)), 'sum'), 0)"
+        s"""WITH fwcorpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id, text FROM (VALUES ${graft.operators.QualityRules.fwBatterySqlValues}) AS t(doc_id, text)),
+        ff AS (
+          SELECT doc_id,
+            list_filter(string_split(text, chr(10)), l -> l != '') AS lns
+          FROM fwcorpus),
+        fsig AS (
+          SELECT doc_id,
+            CAST(len(lns) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(lns, l -> regexp_matches(l, '[.!?"]$$'))) AS BIGINT) AS n_term_lines,
+            CAST(${sl("lns")} AS BIGINT) AS line_chars,
+            CAST(${sl("lns")} - ${sl("list_distinct(lns)")} AS BIGINT) AS dup_line_chars,
+            CAST(len(list_filter(lns, l -> length(l) < 30)) AS BIGINT) AS n_short_lines,
+            CAST(len(list_filter(lns, l -> regexp_matches(l, '^\\s*([-*•]|[0-9]+[.)])'))) AS BIGINT) AS n_list_lines
+          FROM ff),
+        fr AS (SELECT *,
+          100 * n_term_lines > 12 * n_lines AS fw_term_punct,
+          10 * dup_line_chars < line_chars AS fw_dup_line_chars,
+          100 * n_short_lines < 67 * n_lines AS fw_short_lines,
+          2 * n_list_lines < n_lines AS fw_list_lines
+          FROM fsig)
+        SELECT doc_id, n_lines, n_term_lines, line_chars, dup_line_chars,
+          n_short_lines, n_list_lines,
+          fw_term_punct, fw_dup_line_chars, fw_short_lines, fw_list_lines,
+          (fw_term_punct AND fw_dup_line_chars AND fw_short_lines
+            AND fw_list_lines) AS fw_pass,
+          CASE WHEN NOT fw_term_punct THEN 'fineweb_term_punct_lines'
+               WHEN NOT fw_dup_line_chars THEN 'fineweb_dup_line_chars'
+               WHEN NOT fw_short_lines THEN 'fineweb_short_lines'
+               WHEN NOT fw_list_lines THEN 'dclm_list_lines'
+               ELSE NULL END AS fw_first_fail
+        FROM fr ORDER BY doc_id"""
+      }),
+
     // P18: curriculum phases — order the corpus by a difficulty
     // signal (h7's unigram NLL: low = predictable/easy text) and cut
     // it into 4 equal phases (ntile), reporting the source mix per

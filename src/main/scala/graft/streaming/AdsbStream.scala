@@ -741,6 +741,20 @@ object AdsbStream {
       .select(col(idCol), col(textCol), col("n_words"), col("first_fail"))
   }
 
+  /** Streaming FineWeb/DCLM line-rule gate (the streaming face of
+    * H21, by J15's pattern): apply the 2024 line-level battery
+    * ([[graft.operators.QualityRules.withFineWebColumns]]) to each
+    * arriving document and keep only passing docs. Stateless
+    * row-local HOF/regex work inside the microbatch's scan stage —
+    * composes with the Gopher gate (J15) as a second published rule
+    * generation in front of the screening loops.
+    */
+  def fineWebGateStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.QualityRules
+      .withFineWebColumns(docs.select(col(idCol), col(textCol)), textCol)
+      .filter(col("fw_pass"))
+      .select(col(idCol), col(textCol), col("n_lines"), col("fw_first_fail"))
+
   /** Streaming MIXING gate (J18 — the streaming face of P5/P11): the
     * hash-vs-threshold keep rule applied per arriving document, so
     * the published curation order (paragraph cut → quality gates →

@@ -167,4 +167,70 @@ class QualityRulesSpec extends SparkSpecBase {
       .select("n_sentences").collect()(0)
     assert(row.getLong(0) === 6L) // . ! ? plus the 3 ellipsis dots
   }
+
+  // ---- H21: the FineWeb/DCLM line-level battery ---------------------
+
+  private def fwRows(docs: Seq[(Long, String)]) =
+    QualityRules.withFineWebColumns(docs.toDF("doc_id", "text"), "text")
+      .select("doc_id", "fw_pass", "fw_first_fail")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) null else r.getString(2))))
+      .toMap
+
+  test("H21 battery docs fail with exactly their targeted first rule") {
+    val got = fwRows(QualityRules.FwBatteryDocs)
+    assert(got(920000L) === ((true, null)), "golden doc must pass all 4")
+    val expected = Map(
+      920001L -> "fineweb_term_punct_lines",
+      920002L -> "fineweb_dup_line_chars",
+      920003L -> "fineweb_short_lines",
+      920004L -> "dclm_list_lines")
+    expected.foreach { case (id, rule) =>
+      val (pass, firstFail) = got(id)
+      assert(!pass, s"doc $id should fail")
+      assert(firstFail === rule, s"doc $id first_fail")
+    }
+  }
+
+  test("H21 thresholds sit on exact integer boundaries") {
+    def prose(k: Int) =
+      s"the quick brown fox number $k jumps over the lazy dog tonight."
+    // terminal-punct ratio: 3/25 = 0.12 is NOT > 0.12 → fail; 4/25 pass
+    def termDoc(nTerm: Int) = ((0 until nTerm).map(prose) ++
+      (0 until 25 - nTerm).map(k => prose(k + 50).dropRight(1))).mkString("\n")
+    // short-line fraction: 67/100 fails (>= 0.67), 66/100 passes
+    def shortDoc(nShort: Int) = ((0 until nShort).map(k => s"tiny line $k.") ++
+      (0 until 100 - nShort).map(prose)).mkString("\n")
+    // list-line ratio: 5/10 fails (>= 1/2), 4/10 passes
+    def listDoc(nList: Int) = ((0 until nList).map(k =>
+      s"- bullet item $k with plenty of words to cross thirty chars.") ++
+      (0 until 10 - nList).map(prose)).mkString("\n")
+    val got = fwRows(Seq(
+      1L -> termDoc(3), 2L -> termDoc(4),
+      3L -> shortDoc(67), 4L -> shortDoc(66),
+      5L -> listDoc(5), 6L -> listDoc(4)))
+    assert(got(1L)._2 === "fineweb_term_punct_lines")
+    assert(got(2L)._1 === true)
+    assert(got(3L)._2 === "fineweb_short_lines")
+    assert(got(4L)._1 === true)
+    assert(got(5L)._2 === "dclm_list_lines")
+    assert(got(6L)._1 === true)
+    // numbered lines ("1." / "2)") count as list-like, like bullets
+    val numbered = (0 until 6).map(k =>
+      s"$k. a numbered enumeration entry number $k for this check.") ++
+      (0 until 4).map(prose)
+    assert(fwRows(Seq(7L -> numbered.mkString("\n")))(7L)._2 === "dclm_list_lines")
+    // empty lines never count: 5 prose lines + 5 blanks pass
+    val blanky = ((0 until 5).map(prose) ++ Seq.fill(5)("")).mkString("\n")
+    assert(fwRows(Seq(8L -> blanky))(8L)._1 === true)
+  }
+
+  test("H21 streaming gate keeps exactly the fw_pass docs (batch parity)") {
+    val docs = QualityRules.FwBatteryDocs.toDF("doc_id", "text")
+    val kept = graft.streaming.AdsbStream
+      .fineWebGateStream(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(920000L))
+  }
 }

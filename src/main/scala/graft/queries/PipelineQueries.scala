@@ -1132,6 +1132,56 @@ object PipelineQueries {
           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
         FROM c ORDER BY doc_id""")),
 
+    // P25: training-shard WRITER with manifest — the pipeline's
+    // OUTPUT artifact, closed b2-style: materialize P4's packing as
+    // deterministic shard=-partitioned files, then RECOMPUTE the
+    // manifest (doc-id range, token count, XOR content checksum,
+    // source mix) from the read-back files alone — tokens and hashes
+    // re-derived from file CONTENTS, only the layout trusted. The
+    // oracle computes the same manifest from the PLAN in SQL, so a
+    // hash match proves write→read-back fidelity end-to-end; a
+    // re-write of the same corpus is byte-identical (spec-pinned in
+    // ShardWriterSpec). Scale: P4's prefix-sum plan + one shuffle of
+    // each doc to its shard + shard-grain aggregations.
+    QueryDef("p25_shard_manifest",
+      (s, dir) => {
+        val out =
+          s"${sys.props("java.io.tmpdir")}/graft_p25_${math.abs(dir.hashCode)}"
+        val planned = graft.operators.ShardWriter
+          .planShards(Tables.documents(s, dir))
+        graft.operators.ShardWriter.writeShards(planned, out)
+        graft.operators.ShardWriter.manifestFromFiles(s, out)
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, source,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT AS doc_hash
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens, doc_hash,
+            SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+        sh AS (
+          SELECT doc_id, source, n_tokens, doc_hash,
+            CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
+          FROM c),
+        mixs AS (
+          SELECT shard, string_agg(source || ':' || n, ',' ORDER BY source || ':' || n) AS source_mix
+          FROM (SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM sh GROUP BY shard, source)
+          GROUP BY shard),
+        m AS (
+          SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+            bit_xor(doc_hash) AS content_hash
+          FROM sh GROUP BY shard)
+        SELECT m.shard, n_docs, min_doc_id, max_doc_id, n_tokens,
+          content_hash, source_mix
+        FROM m JOIN mixs USING (shard) ORDER BY shard""")),
+
     // P6: canonical selection by QUALITY — per near-dup component,
     // keep the highest-quality member (ties → min doc_id) instead of
     // P1's min-id convention: the curation choice real pipelines make

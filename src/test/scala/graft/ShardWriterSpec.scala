@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.ShardWriter
+import org.apache.spark.sql.functions._
+
+/** P25 specs: deterministic shard materialization with a
+  * read-back-verifiable manifest.
+  */
+class ShardWriterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsDf = sources.Tables.documents(spark, sf)
+    .select("doc_id", "text", "source")
+
+  private def fileHashes(path: String): Map[String, Seq[String]] = {
+    val root = new java.io.File(path)
+    root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .map { d =>
+        val hs = d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+          .map { f =>
+            val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+            java.security.MessageDigest.getInstance("MD5").digest(bytes)
+              .map("%02x".format(_)).mkString
+          }.sorted
+        d.getName -> hs
+      }.toMap
+  }
+
+  test("re-write of the same corpus is byte-identical per shard") {
+    val out1 = java.nio.file.Files.createTempDirectory("graft_p25a").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_p25b").toString
+    val planned = ShardWriter.planShards(docsDf)
+    ShardWriter.writeShards(planned, out1)
+    ShardWriter.writeShards(planned, out2)
+    val (h1, h2) = (fileHashes(out1), fileHashes(out2))
+    assert(h1.nonEmpty && h1.keySet == h2.keySet)
+    h1.foreach { case (shard, hs) =>
+      assert(hs == h2(shard), s"$shard bytes differ between identical writes")
+    }
+    // idempotent overwrite of the SAME path too
+    ShardWriter.writeShards(planned, out1)
+    assert(fileHashes(out1) == h1, "overwrite changed the bytes")
+  }
+
+  test("read-back manifest equals the planned manifest; ranges partition doc-id space; totals conserve") {
+    val out = java.nio.file.Files.createTempDirectory("graft_p25m").toString
+    val planned = ShardWriter.planShards(docsDf)
+    ShardWriter.writeShards(planned, out)
+    val fromPlan = ShardWriter.manifestOf(planned)
+    val fromFiles = ShardWriter.manifestFromFiles(spark, out)
+    assert(fromFiles.exceptAll(fromPlan).isEmpty &&
+      fromPlan.exceptAll(fromFiles).isEmpty,
+      "read-back manifest diverged from the plan")
+    val rows = fromFiles.orderBy("shard").collect()
+    assert(rows.length > 1, "expect multiple shards at this SF")
+    // doc-id ranges are contiguous, non-overlapping, in shard order
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_doc_id") < b.getAs[Long]("min_doc_id"),
+        s"shard ranges overlap: $a vs $b")
+    }
+    // token + doc totals conserve across the split
+    val totTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val totDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val direct = docsDf.agg(
+      sum(graft.operators.TextOps.bpeTokenCount(col("text")).cast("long")),
+      count(lit(1))).head()
+    assert(totTokens == direct.getLong(0) && totDocs == direct.getLong(1))
+    // bin rule: a doc goes to the bin its START offset falls in, so a
+    // shard's token mass can only exceed the budget by its LAST doc's
+    // overhang — tokens minus the last doc must be under the budget
+    val lastTok = planned.groupBy("shard")
+      .agg(max_by(col("n_tokens"), col("doc_id")).as("last_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val sh = r.getAs[Long]("shard")
+      assert(r.getAs[Long]("n_tokens") - lastTok(sh) < ShardWriter.TokensPerShard,
+        s"shard $sh exceeds the bin rule")
+    }
+  }
+
+  test("a tampered shard hash-mismatches the planned manifest") {
+    val out = java.nio.file.Files.createTempDirectory("graft_p25t").toString
+    val planned = ShardWriter.planShards(docsDf)
+    ShardWriter.writeShards(planned, out)
+    // corrupt one doc's text in shard 0: stage the tampered rewrite
+    // elsewhere, then swap it in (an in-place overwrite would lazily
+    // read the files it is deleting)
+    val staged = s"$out/.tamper"
+    val s0 = spark.read.parquet(s"$out/shard=0")
+    val firstId = s0.agg(min("doc_id")).head().getLong(0)
+    s0.withColumn("text",
+        when(col("doc_id") === firstId, lit("tampered")).otherwise(col("text")))
+      .write.mode("overwrite").parquet(staged)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/shard=0"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(staged),
+      new org.apache.hadoop.fs.Path(s"$out/shard=0")))
+    val fromPlan = ShardWriter.manifestOf(planned)
+    val fromFiles = ShardWriter.manifestFromFiles(spark, out)
+    val diff = fromFiles.exceptAll(fromPlan).collect()
+    assert(diff.length == 1 && diff.head.getAs[Long]("shard") == 0L,
+      "tampering must surface as exactly the touched shard mismatching")
+  }
+}

@@ -325,6 +325,33 @@ object Multimodal {
       audioFingerprints(spark, records).toDF().select(col("doc_id"), col("phash")),
       "doc_id", "phash", maxHamming, nBands = 8)
 
+  /** I11 — CROSS-MODAL dedup agreement (the F12 treatment across
+    * modalities): do the text pass (f3's banded MinHash pairs over
+    * captions/metadata) and the perceptual media pass (i5b's banded
+    * pHash pairs) find the SAME duplicate pairs on this corpus? The
+    * instrument a pipeline owner reads before deciding whether
+    * perceptual dedup adds anything over text dedup on THEIR data:
+    * high agreement → re-scrapes carry their captions along and the
+    * text pass already catches them; low → images get re-posted
+    * under fresh text (or captions re-used over fresh images) and
+    * the passes are complementary. Output is one row of integer
+    * pair-set counts + the set Jaccard — exact by construction.
+    * Both inputs must be canonical (a < b) pair frames, which every
+    * pair operator in this library emits; the intersection joins two
+    * PAIR LISTS, never the corpus.
+    */
+  def crossModalAgreement(textPairs: DataFrame, mediaPairs: DataFrame): DataFrame = {
+    val t = TrackedCache.persist(textPairs.select("a", "b"))
+    val m = TrackedCache.persist(mediaPairs.select("a", "b"))
+    val both = t.join(m, Seq("a", "b"))
+    t.agg(count(lit(1)).as("n_text"))
+      .crossJoin(broadcast(m.agg(count(lit(1)).as("n_media"))))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+      .withColumn("pair_jaccard",
+        col("n_both").cast("double") /
+          (col("n_text") + col("n_media") - col("n_both")))
+  }
+
   // ------------------------------------------------------------------
   // I9 — SEQUENCE-level (video) dedup: multi-frame assets dedup at the
   // ASSET grain, so re-encoded or trimmed copies of one clip collapse.

@@ -2881,6 +2881,59 @@ object PipelineQueries {
       },
       None),
 
+    // I11: CROSS-MODAL dedup agreement — the F12 treatment across
+    // modalities: text near-dup pairs (f3's banded MinHash on the
+    // caption text) ∩ perceptual media pairs (i5b's real
+    // decode→DCT→band pipeline) as integer set counts + Jaccard.
+    // Three planted twin populations over docs 0..9 exercise every
+    // agreement cell: +100000 = same caption + re-encoded image
+    // (BOTH passes), +200000 = same caption + fresh image (text
+    // only — an image re-posted under a recycled caption), +300000 =
+    // fresh caption + re-encoded image (media only — the re-post
+    // under new text that ONLY perceptual dedup catches). Rows-only
+    // (no SQL engine decodes PNG); MultimodalSpec pins the exact
+    // planted counts on a controlled corpus. Scale: two documented
+    // banded pair pipelines + one join of PAIR LISTS — the corpus is
+    // never pairwise-compared.
+    QueryDef("i11_crossmodal_agreement",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") < 2000)
+        val planted = docs.filter(col("doc_id") < 10)
+        val freshCaption = concat_ws(" ", lit("media"), lit("only"),
+          lit("twin"), concat(lit("nr"), col("doc_id")),
+          concat(lit("alpha"), col("doc_id")), concat(lit("beta"), col("doc_id")),
+          concat(lit("gamma"), col("doc_id")), concat(lit("delta"), col("doc_id")))
+        val corpus = docs
+          .unionByName(planted.withColumn("doc_id", col("doc_id") + 100000))
+          .unionByName(planted.withColumn("doc_id", col("doc_id") + 200000))
+          .unionByName(planted.select((col("doc_id") + 300000).as("doc_id"),
+            freshCaption.as("text")))
+        val textPairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 4)
+          .select("a", "b")
+        val ids = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 2000)
+          .repartition(s.sparkContext.defaultParallelism).as[Long]
+        val recs = ids.mapPartitions(it => it.flatMap { id =>
+          val png = graft.operators.MediaCodec.synthImagePng(id, 96, 96)
+          val orig = graft.operators.Multimodal.MediaRecord(id, png, "image", "png")
+          if (id < 10) {
+            val re = graft.operators.MediaCodec.reencodeJpeg(png).get
+            Iterator(orig,
+              graft.operators.Multimodal.MediaRecord(id + 100000, re, "image", "jpeg"),
+              graft.operators.Multimodal.MediaRecord(id + 200000,
+                graft.operators.MediaCodec.synthImagePng(id + 200000, 96, 96),
+                "image", "png"),
+              graft.operators.Multimodal.MediaRecord(id + 300000, re, "image", "jpeg"))
+          } else Iterator(orig)
+        })
+        val mediaPairs = graft.operators.Multimodal
+          .mediaNearDupPairsReal(s, recs, maxHamming = 7).select("a", "b")
+        graft.operators.Multimodal.crossModalAgreement(textPairs, mediaPairs)
+      },
+      None),
+
     // F11: shingle document-frequency report — the instrument that
     // SIZES F2/F3's df-cap (currently 100) instead of trusting it:
     // a log2 histogram of shingle document frequencies with, per

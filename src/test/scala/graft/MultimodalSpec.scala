@@ -39,4 +39,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(perDoc.values.forall(_ <= 3))
     assert(frames.collect().forall(_.frame_bytes.length <= 64))
   }
+
+  test("cross-modal agreement counts exactly the planted twin populations (I11)") {
+    import graft.operators.{Dedup, MediaCodec}
+    // 20 base docs of id-salted word salad (no natural text pairs),
+    // 20 distinct synth images; ids 0..2 get the three twin kinds
+    def salad(id: Long) =
+      (0 until 12).map(j => s"w${id}_$j").mkString(" ")
+    val base = (0L until 20L).map(id => (id, salad(id)))
+    val twins = (0L until 3L).flatMap { id =>
+      Seq((id + 100000L, salad(id)),          // both: same caption (+ re-encode below)
+        (id + 200000L, salad(id)),            // text-only: same caption, fresh image
+        (id + 300000L, (0 until 12).map(j => s"fresh${id}_$j").mkString(" ")))
+    }
+    val corpus = (base ++ twins).toDF("doc_id", "text")
+    val textPairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 4)
+      .select("a", "b")
+    val recs = spark.createDataset((0L until 20L).flatMap { id =>
+      val png = MediaCodec.synthImagePng(id, 96, 96)
+      val orig = Multimodal.MediaRecord(id, png, "image", "png")
+      if (id < 3) {
+        val re = MediaCodec.reencodeJpeg(png).get
+        Seq(orig,
+          Multimodal.MediaRecord(id + 100000L, re, "image", "jpeg"),
+          Multimodal.MediaRecord(id + 200000L,
+            MediaCodec.synthImagePng(id + 200000L, 96, 96), "image", "png"),
+          Multimodal.MediaRecord(id + 300000L, re, "image", "jpeg"))
+      } else Seq(orig)
+    })
+    val mediaPairs = Multimodal.mediaNearDupPairsReal(spark, recs, 7)
+      .select("a", "b")
+    val row = Multimodal.crossModalAgreement(textPairs, mediaPairs).head()
+    // text: {i, i+100k, i+200k} pairwise = 3 per planted id
+    assert(row.getAs[Long]("n_text") == 9L, row.toString)
+    // media: {i, i+100k, i+300k} pairwise (two re-encodes of one PNG
+    // sit within radius 7 of the original and each other) = 3 per id
+    assert(row.getAs[Long]("n_media") == 9L, row.toString)
+    // both: exactly the (i, i+100k) cross-modal twins
+    assert(row.getAs[Long]("n_both") == 3L, row.toString)
+    assert(math.abs(row.getAs[Double]("pair_jaccard") - 0.2) < 1e-12)
+  }
 }

@@ -125,8 +125,17 @@ object ScaleOps {
     gs.foreach(g => require(g > 0 && (g & (g - 1)) == 0 && gMax % g == 0,
       s"grids must be nesting powers of two (got $g against max $gMax): " +
         "the one-scan fold and its bit-exactness depend on it"))
-    val finest = graft.operators.TrackedCache.persist(
-      gridQuantileSketch(df, groupCol, valueCol, gMax))
+    // NO explicit cache: every leg builds on the IDENTICAL finest
+    // sketch subplan, so its exchange is deduplicated by Spark's
+    // ReuseExchange — the corpus is scanned and aggregated once per
+    // EXECUTION even though four legs consume it (plan-pinned in
+    // PlanRegressionSpec). An explicit persist was measured SLOWER
+    // at sf0.1 (r13: 2.2 s vs 0.99 s for the scan-per-G spelling —
+    // cache materialization + InMemoryRelation scans cost more than
+    // the map-side-combined re-aggregation at bench scale) while the
+    // reused exchange keeps the one-scan property that matters at
+    // 100 TB.
+    val finest = gridQuantileSketch(df, groupCol, valueCol, gMax)
     val per = gs.map { g =>
       val sk =
         if (g == gMax) finest

@@ -537,4 +537,28 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "Generate") == 0, p.take(400))
     assert(count(p, "CartesianProduct") == 0)
   }
+
+  test("e14f sizing report: one corpus scan — the finest sketch's exchange is reused by every coarser leg") {
+    // AQE finalizes reuse at runtime: collect, then read the FINAL
+    // adaptive plan — all 8 consumers of the finest sketch (4 legs ×
+    // cum/n) must share ONE materialized shuffle stage, so the
+    // events scan runs once per execution
+    val df = SparkEntry.queries("e14f_grid_sizing_report")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.replace("\n", " ")
+    assert(p.contains("isFinalPlan=true"), p.take(300))
+    // exchange-level dedup must be present (reuse sites re-print the
+    // shared subtree, so counting "Scan parquet" text overcounts —
+    // the evidence of sharing is ReusedExchange leaves plus one
+    // ShuffleQueryStage id feeding many consumer sites: one
+    // MATERIALIZED map stage, i.e. the corpus scanned once per
+    // execution however many legs read the sketch)
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
+    // (which still shows one scan per leg) — assert on the FINAL
+    // section only: one real FileScan, every other consumer a
+    // ReusedExchange leaf over the finest sketch's map stage
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(count(finalSection, "ReusedExchange") >= 5, finalSection.take(3000))
+    assert(count(finalSection, "FileScan parquet") == 1, finalSection.take(3000))
+  }
 }

@@ -113,10 +113,14 @@ object ScaleOps {
     * The corpus is scanned ONCE, at the finest grid: because the
     * grids nest, `cell@G = floorDiv(cell@Gmax, Gmax/G)` — value·G is
     * an exact power-of-two scaling, so the identity is BIT-EXACT, not
-    * approximate (spec-pinned fold ≡ direct) — and every coarser
-    * sketch is derived by folding the finest one in SKETCH space
-    * (cells per group, never corpus rows). Each G then pays only a
-    * window over its folded sketch.
+    * approximate (spec-pinned fold ≡ direct). Every coarser sketch is
+    * derived in SKETCH space by exploding each finest cell row into
+    * one row per requested grid and re-keying ONE shuffle on
+    * (grid, group, cell) — the one-scan property is STRUCTURAL (a
+    * single scan node in the plan), not an optimizer courtesy, and
+    * all grids share a single window/read-out pass instead of one
+    * leg each. The explode fan-out is |gs|× over SKETCH rows
+    * (≤ value-range·Gmax per group), never corpus rows.
     */
   def gridSizingReport(df: DataFrame, groupCol: String, valueCol: String,
                        gs: Seq[Int], qsPercent: Seq[Int]): DataFrame = {
@@ -125,48 +129,36 @@ object ScaleOps {
     gs.foreach(g => require(g > 0 && (g & (g - 1)) == 0 && gMax % g == 0,
       s"grids must be nesting powers of two (got $g against max $gMax): " +
         "the one-scan fold and its bit-exactness depend on it"))
-    // NO explicit cache: every leg builds on the IDENTICAL finest
-    // sketch subplan, so its exchange is deduplicated by Spark's
-    // ReuseExchange — the corpus is scanned and aggregated once per
-    // EXECUTION even though four legs consume it (plan-pinned in
-    // PlanRegressionSpec). An explicit persist was measured SLOWER
-    // at sf0.1 (r13: 2.2 s vs 0.99 s for the scan-per-G spelling —
-    // cache materialization + InMemoryRelation scans cost more than
-    // the map-side-combined re-aggregation at bench scale) while the
-    // reused exchange keeps the one-scan property that matters at
-    // 100 TB.
     val finest = gridQuantileSketch(df, groupCol, valueCol, gMax)
-    val per = gs.map { g =>
-      val sk =
-        if (g == gMax) finest
-        else {
-          // floor division (not DIV, which truncates toward zero and
-          // would mis-fold negative cells): cell@G = floor(cell@Gmax/k)
-          val k = (gMax / g).toLong
-          finest.groupBy(col(groupCol),
-              expr(s"(cast(cell as bigint) - pmod(cast(cell as bigint), ${k}L))" +
-                s" div ${k}L").as("cell"))
-            .agg(sum(col("c")).as("c"))
-        }
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(groupCol).orderBy("cell")
-      val cum = sk.withColumn("cum", sum(col("c")).over(w))
-      val n = sk.groupBy(groupCol).agg(
-        sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
-      val minCums = qsPercent.map { q =>
-        min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"), col("cum")))
-          .as(s"__c$q")
-      }
-      cum.join(n, Seq(groupCol))
-        .groupBy(col(groupCol), col("n"), col("n_cells"))
-        .agg(minCums.head, minCums.tail: _*)
-        .select(Seq(lit(g.toLong).as("grid"), col(groupCol), col("n"),
-          col("n_cells")) ++
-          qsPercent.map(q =>
-            (col(s"__c$q") - expr(s"(n * $q + 99) DIV 100"))
-              .as(s"rank_err_p$q")): _*)
+    // one row per (finest cell, grid level); lv.k = Gmax/G, and
+    // floor division (not DIV, which truncates toward zero and would
+    // mis-fold negative cells): cell@G = floor(cell@Gmax / k)
+    val lv = explode(array(gs.map(g =>
+      struct(lit(g.toLong).as("grid"), lit((gMax / g).toLong).as("k"))): _*))
+    val sk = finest
+      .select(col(groupCol), col("cell"), col("c"), lv.as("lv"))
+      .select(col("lv.grid").as("grid"), col(groupCol),
+        expr("(cast(cell as bigint) - pmod(cast(cell as bigint), lv.k))" +
+          " div lv.k").as("cell"),
+        col("c"))
+      .groupBy(col("grid"), col(groupCol), col("cell"))
+      .agg(sum(col("c")).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grid", groupCol).orderBy("cell")
+    val cum = sk.withColumn("cum", sum(col("c")).over(w))
+    val n = sk.groupBy(col("grid"), col(groupCol)).agg(
+      sum(col("c")).as("n"), count(lit(1)).as("n_cells"))
+    val minCums = qsPercent.map { q =>
+      min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"), col("cum")))
+        .as(s"__c$q")
     }
-    per.reduce(_ unionByName _)
+    cum.join(n, Seq("grid", groupCol))
+      .groupBy(col("grid"), col(groupCol), col("n"), col("n_cells"))
+      .agg(minCums.head, minCums.tail: _*)
+      .select(Seq(col("grid"), col(groupCol), col("n"), col("n_cells")) ++
+        qsPercent.map(q =>
+          (col(s"__c$q") - expr(s"(n * $q + 99) DIV 100"))
+            .as(s"rank_err_p$q")): _*)
   }
 
   /** Scalable prefix sum over a dense numeric order column — the

@@ -734,8 +734,9 @@ object RelationalQueries {
     // are powers of two so value·G is float-exact in BOTH engines
     // and the grids NEST — nested grids make the error provably
     // non-increasing in G (spec-pinned). Integer arithmetic
-    // end-to-end; one corpus scan per G, shuffles bounded by
-    // (group, cell).
+    // end-to-end; ONE corpus scan total (the finest sketch, with the
+    // grid fan-out exploded in sketch space), shuffles bounded by
+    // (grid, group, cell).
     QueryDef("e14f_grid_sizing_report",
       (s, dir) => {
         graft.operators.ScaleOps.gridSizingReport(

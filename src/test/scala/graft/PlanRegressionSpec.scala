@@ -520,13 +520,19 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "HashAggregate") >= 2, p.take(400))
   }
 
-  test("e14f sizing report: per-G sketches are hash aggregates, no corpus-wide window, no cartesian") {
+  test("e14f sizing report: sketches are hash aggregates, no corpus-wide window, no cartesian") {
     val p = executedPlan("e14f_grid_sizing_report")
     assert(count(p, "SortAggregate") == 0, p.take(400))
     assert(count(p, "CartesianProduct") == 0)
-    // 4 G values → at least 4 partial+final sketch aggregations; the
-    // windows sort ≤ cells rows per group, downstream of the sketch
-    assert(count(p, "HashAggregate") >= 8, p.take(400))
+    // finest sketch + per-grid fold + n + report read-out, each a
+    // partial+final hash aggregate pair; the windows sort ≤ cells
+    // rows per (grid, group), downstream of the sketch
+    assert(count(p, "HashAggregate") >= 6, p.take(400))
+    // the grid fan-out is the sketch-space explode — once per static
+    // consumer of the folded sketch (cum + n; AQE dedups the subtree
+    // at runtime via ReusedExchange, pinned by the one-scan test)
+    assert(count(p, "Generate") <= 2, p.take(400))
+    assert(count(p, "Generate") >= 1, p.take(400))
   }
 
   test("h20c confusable eval: both servings are join-free kernel passes; only matrix-scale joins remain") {
@@ -538,27 +544,19 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "CartesianProduct") == 0)
   }
 
-  test("e14f sizing report: one corpus scan — the finest sketch's exchange is reused by every coarser leg") {
-    // AQE finalizes reuse at runtime: collect, then read the FINAL
-    // adaptive plan — all 8 consumers of the finest sketch (4 legs ×
-    // cum/n) must share ONE materialized shuffle stage, so the
-    // events scan runs once per execution
+  test("e14f sizing report: one corpus scan, structurally — a single FileScan feeds every grid") {
+    // the one-scan property is now STRUCTURAL: the finest sketch is
+    // built once and the grid fan-out happens in sketch space (the
+    // explode), so even the pre-AQE plan has exactly one corpus scan
+    // — no reliance on ReuseExchange firing. The folded sketch is
+    // still consumed twice (cum + n), which AQE dedups via
+    // ReusedExchange; assert both.
     val df = SparkEntry.queries("e14f_grid_sizing_report")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.replace("\n", " ")
     assert(p.contains("isFinalPlan=true"), p.take(300))
-    // exchange-level dedup must be present (reuse sites re-print the
-    // shared subtree, so counting "Scan parquet" text overcounts —
-    // the evidence of sharing is ReusedExchange leaves plus one
-    // ShuffleQueryStage id feeding many consumer sites: one
-    // MATERIALIZED map stage, i.e. the corpus scanned once per
-    // execution however many legs read the sketch)
-    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan"
-    // (which still shows one scan per leg) — assert on the FINAL
-    // section only: one real FileScan, every other consumer a
-    // ReusedExchange leaf over the finest sketch's map stage
     val finalSection = p.split("== Initial Plan ==").head
-    assert(count(finalSection, "ReusedExchange") >= 5, finalSection.take(3000))
     assert(count(finalSection, "FileScan parquet") == 1, finalSection.take(3000))
+    assert(count(finalSection, "ReusedExchange") >= 1, finalSection.take(3000))
   }
 }

@@ -872,6 +872,49 @@ object PipelineQueries {
       Some(s"""WITH RECURSIVE $componentCtes
         SELECT doc_id, component FROM comp ORDER BY doc_id""")),
 
+    // F16: SOFT dedup — reweight duplicates instead of dropping them
+    // (SoftDeDup, He et al. 2024: hard dedup keeps one copy of an
+    // n-way near-dup cluster at weight 1, erasing the cluster's
+    // natural prevalence; keeping all n copies at weight 1/n removes
+    // the duplication BIAS while preserving the corpus distribution
+    // and every copy's context). Per doc: its f7 component
+    // (singletons are their own), the cluster size, the integer
+    // sampling weight floor(1e6/size) in ppm, and the effective
+    // token contribution after reweighting — the frame a sampler
+    // joins at training time. Scale: cluster size is a count window
+    // over ONE shuffle on component (no groupBy + second join-scan);
+    // the component frame is the f7 memo (paired docs only), the
+    // corpus takes the same left join p16 takes. Integer arithmetic
+    // end-to-end — fully oracled.
+    QueryDef("f16_softdedup_weights",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        docs.join(componentsFor(s, dir), Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .withColumn("weight_ppm", expr("1000000L div cluster_size"))
+          .withColumn("eff_tokens",
+            expr("(n_tokens * (1000000L div cluster_size)) div 1000000L"))
+          .select("doc_id", "component", "cluster_size", "weight_ppm",
+            "n_tokens", "eff_tokens")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $componentCtes,
+        toks AS (SELECT doc_id, CAST(len(list_filter(
+            regexp_split_to_array(lower(text), '\\s+'), w -> w != '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        wc AS (SELECT t.doc_id, t.n_tokens, COALESCE(c.component, t.doc_id) AS component
+          FROM toks t LEFT JOIN comp c USING (doc_id)),
+        cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM wc GROUP BY component)
+        SELECT doc_id, component, cluster_size,
+          CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm, n_tokens,
+          CAST(n_tokens * (1000000 // cluster_size) // 1000000 AS BIGINT) AS eff_tokens
+        FROM wc JOIN cs USING (component) ORDER BY doc_id""")),
+
     // P16: leakage-safe train/eval split — the published practice
     // (e.g. the Pile / C4 dedup-then-split discussions; Lee et al.
     // 2022 measure the cross-split leakage this prevents): assign

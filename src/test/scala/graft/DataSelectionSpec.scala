@@ -58,6 +58,30 @@ class DataSelectionSpec extends SparkSpecBase {
     assert(trainFrac > 0.6 && trainFrac < 0.95, s"split skewed: $trainFrac")
   }
 
+  test("f16 soft-dedup weights: 1e6/size per cluster member, singletons untouched, tokens conserved") {
+    val out = SparkEntry.queries("f16_softdedup_weights")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every member of a cluster carries the same size and the ppm
+    // weight is exactly floor(1e6 / size); effective tokens follow
+    val byComp = out.groupBy(_.getLong(1))
+    byComp.foreach { case (_, rows) =>
+      val size = rows.head.getLong(2)
+      assert(rows.length == size.toInt, s"cluster size $size but ${rows.length} members")
+      rows.foreach { r =>
+        assert(r.getLong(3) == 1000000L / size)
+        assert(r.getLong(5) == r.getLong(4) * (1000000L / size) / 1000000L)
+      }
+    }
+    // singletons keep full weight; the corpus has real near-dup
+    // clusters so at least one doc is downweighted
+    assert(out.filter(_.getLong(2) == 1L).forall(_.getLong(3) == 1000000L))
+    assert(out.exists(_.getLong(2) > 1L))
+    // reweighting never inflates: effective ≤ raw tokens, strictly
+    // less inside any real cluster
+    assert(out.forall(r => r.getLong(5) <= r.getLong(4)))
+    assert(out.filter(_.getLong(2) > 1L).forall(r => r.getLong(5) < r.getLong(4)))
+  }
+
   test("p14 buckets are tercile-bounded and head is kept at 100%") {
     val out = SparkEntry.queries("p14_perplexity_buckets")(spark, sf).collect()
     val n = out.length

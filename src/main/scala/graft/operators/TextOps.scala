@@ -129,4 +129,69 @@ object TextOps {
       .when(es >= de && es >= fr, "es")
       .when(de >= fr, "de")
       .otherwise("fr")
+
+  /** H22 — token-distribution DRIFT report: per corpus slice (a
+    * source, a snapshot, a crawl), the Jensen–Shannon divergence of
+    * its unigram token distribution against the WHOLE corpus, plus
+    * the single most drifted token by integer ppm rate delta — the
+    * monitoring instrument a pipeline owner reads when a new crawl
+    * lands ("which source moved, and what word moved it"). JSD is
+    * the standard choice here: symmetric, bounded by ln 2, finite
+    * even when a token is absent from one side (where KL blows up).
+    *
+    * Determinism/oracle contract: each (slice, token) contribution
+    * 0.5·p·ln(p/m) + 0.5·q·ln(q/m) (m the midpoint; the p-term is 0
+    * when the slice lacks the token) is quantized to 6 dp via the
+    * tie-stable floor(x·1e6 + 0.5)/1e6 and summed as DECIMAL(18,6) —
+    * exact, order-independent — the h7 pattern, so DuckDB replays the
+    * float path bit-exactly. Rates are integer ppm (c·1e6 div n; the
+    * 1e6 multiply bounds n at ~9·10¹² tokens per slice — fine for an
+    * instrument run, noted here for honesty). Top drifted token =
+    * row_number over (delta desc, token asc): total order, no ties.
+    *
+    * Scale: token facts shuffle at (slice, w) DISTINCT grain (K28's
+    * argument); the JSD grid is |slices| × |vocab| — slice totals and
+    * the corpus total broadcast; the only corpus-vocab-sized shuffle
+    * is the left join putting slice counts onto the grid.
+    */
+  def tokenDriftReport(docs: DataFrame, sliceCol: String): DataFrame = {
+    // tie-stable 6-dp quantize — the same four IEEE ops in both
+    // engines (multiply, add, floor, divide); see h7's rationale
+    def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val cs = docs
+      .select(col(sliceCol), explode(tokens(col("text"))).as("w"))
+      .groupBy(col(sliceCol), col("w")).agg(count(lit(1)).as("c_s"))
+    val cw = cs.groupBy(col("w")).agg(sum(col("c_s")).as("c"))
+    val ns = cs.groupBy(col(sliceCol)).agg(
+      sum(col("c_s")).as("n_s"), count(lit(1)).as("n_types"))
+    val tot = cw.agg(sum(col("c")).as("n"))
+    val grid = cw.crossJoin(broadcast(ns)).crossJoin(broadcast(tot))
+      .join(cs, Seq(sliceCol, "w"), "left")
+      .withColumn("c_s", coalesce(col("c_s"), lit(0L)))
+    val p = col("c_s").cast("double") / col("n_s")
+    val q = col("c").cast("double") / col("n")
+    val m = (p + q) / lit(2.0)
+    val contrib = grid
+      .withColumn("j6", q6(
+        when(col("c_s") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0))
+          + lit(0.5) * q * log(q / m)))
+      .withColumn("s_ppm", expr("c_s * 1000000L div n_s"))
+      .withColumn("q_ppm", expr("c * 1000000L div n"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(sliceCol)
+      .orderBy(abs(col("s_ppm") - col("q_ppm")).desc, col("w").asc)
+    val top = contrib
+      .withColumn("delta_ppm", abs(col("s_ppm") - col("q_ppm")))
+      .withColumn("rk", row_number().over(wnd))
+      .filter(col("rk") === 1)
+      .select(col(sliceCol), col("w").as("top_w"),
+        col("s_ppm").as("top_slice_ppm"), col("q_ppm").as("top_corpus_ppm"),
+        col("delta_ppm").as("top_delta_ppm"))
+    val js = contrib.groupBy(col(sliceCol), col("n_s"), col("n_types"))
+      .agg(q6(sum(col("j6").cast("decimal(18,6)")).cast("double")).as("jsd6"))
+    js.join(top, Seq(sliceCol))
+      .select(col(sliceCol), col("n_s").as("n_tokens"), col("n_types"),
+        col("jsd6"), col("top_w"), col("top_slice_ppm"),
+        col("top_corpus_ppm"), col("top_delta_ppm"))
+  }
 }

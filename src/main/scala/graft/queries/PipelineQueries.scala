@@ -3867,6 +3867,66 @@ object PipelineQueries {
         FROM rr ORDER BY doc_id"""
       }),
 
+    // H22: token-distribution DRIFT report — per SOURCE, the
+    // Jensen–Shannon divergence of its unigram distribution against
+    // the whole corpus plus the most drifted token by integer ppm
+    // delta: the monitoring instrument read when a new crawl lands
+    // ("which source moved, and what word moved it"). Per-(slice,
+    // token) JSD contributions are q6-quantized and DECIMAL-summed
+    // (h7's float-oracle pattern — bit-replayable in DuckDB); rates
+    // are integer ppm; the top token is a row_number total order.
+    // Scale: (slice, w) distinct-grain shuffle; the JSD grid is
+    // |sources| × |vocab| with slice totals broadcast.
+    QueryDef("h22_token_drift_report",
+      (s, dir) => graft.operators.TextOps
+        .tokenDriftReport(Tables.documents(s, dir), "source")
+        .orderBy("source"),
+      Some("""WITH tok AS (
+          SELECT source, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        cs AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_s
+          FROM tok GROUP BY 1, 2),
+        cw AS (SELECT w, CAST(SUM(c_s) AS BIGINT) AS c FROM cs GROUP BY w),
+        ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s,
+            CAST(COUNT(*) AS BIGINT) AS n_types
+          FROM cs GROUP BY source),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cw),
+        grid AS (
+          SELECT ns.source, ns.n_s, ns.n_types, cw.w, cw.c,
+            COALESCE(cs.c_s, 0) AS c_s, tot.n
+          FROM ns CROSS JOIN cw CROSS JOIN tot
+          LEFT JOIN cs ON cs.source = ns.source AND cs.w = cw.w),
+        contrib AS (
+          SELECT source, n_s, n_types, w,
+            floor((
+              CASE WHEN c_s > 0 THEN
+                0.5 * (CAST(c_s AS DOUBLE) / n_s)
+                  * ln((CAST(c_s AS DOUBLE) / n_s)
+                    / ((CAST(c_s AS DOUBLE) / n_s + CAST(c AS DOUBLE) / n) / 2.0))
+              ELSE 0.0 END
+              + 0.5 * (CAST(c AS DOUBLE) / n)
+                * ln((CAST(c AS DOUBLE) / n)
+                  / ((CAST(c_s AS DOUBLE) / n_s + CAST(c AS DOUBLE) / n) / 2.0))
+            ) * 1000000.0 + 0.5) / 1000000.0 AS j6,
+            CAST(c_s * 1000000 // n_s AS BIGINT) AS s_ppm,
+            CAST(c * 1000000 // n AS BIGINT) AS q_ppm
+          FROM grid),
+        ranked AS (
+          SELECT source, w, s_ppm, q_ppm, abs(s_ppm - q_ppm) AS delta_ppm,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY abs(s_ppm - q_ppm) DESC, w ASC) AS rk
+          FROM contrib),
+        js AS (SELECT source, n_s, n_types,
+            floor(CAST(SUM(CAST(j6 AS DECIMAL(18,6))) AS DOUBLE)
+              * 1000000.0 + 0.5) / 1000000.0 AS jsd6
+          FROM contrib GROUP BY 1, 2, 3)
+        SELECT js.source, js.n_s AS n_tokens, js.n_types, js.jsd6,
+          r.w AS top_w, r.s_ppm AS top_slice_ppm, r.q_ppm AS top_corpus_ppm,
+          r.delta_ppm AS top_delta_ppm
+        FROM js JOIN ranked r ON r.source = js.source AND r.rk = 1
+        ORDER BY js.source""")),
+
     // H21: the FineWeb/DCLM LINE-LEVEL battery — the 2024 published
     // siblings of h17's Gopher/C4 rules (Penedo et al. 2024 §3.6;
     // Li et al. 2024 / RefinedWeb §G): terminal-punctuation line

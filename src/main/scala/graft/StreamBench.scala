@@ -389,6 +389,40 @@ object StreamBench {
         s""","served_rows":$served,"read_serve_s":${f"$tServe%.2f"}""")
     }
 
+    // ---- J24: streaming training-shard emitter -----------------------
+    // the pipeline's OUTPUT maintained by the stream: each microbatch
+    // of curated docs becomes token-budget-packed (batch_id, shard)
+    // parquet plus planned manifest rows; the trajectory counts shard
+    // directories (bounded by batch tokens / budget, not by doc
+    // count), and the end-of-run audit recomputes every manifest from
+    // file contents — a fast-but-corrupting path cannot win.
+    if (only("j24_shard_emitter")) for (rate <- rates) {
+      import org.apache.spark.sql.functions._
+      val path = s"$tmp/j24_$rate/store"
+      def docBatch(b: Int): org.apache.spark.sql.DataFrame =
+        spark.range(rate).select(
+          (lit(b.toLong * rate) + col("id")).as("doc_id"),
+          concat(lit("document "), col("id"),
+            expr("repeat(' token word text', CAST(pmod(id, 9) + 4 AS INT))"))
+            .as("text"),
+          concat(lit("src"), pmod(col("id"), lit(5))).as("source"))
+      val t0 = System.nanoTime()
+      val traj = (0 until batches).map { b =>
+        AdsbStream.emitShardBatch(docBatch(b), b, path, tokensPerShard = 2048L)
+        spark.read.parquet(s"$path/manifest").count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (auditBad, tAudit) = {
+        val a0 = System.nanoTime()
+        val bad = AdsbStream.auditShardStore(spark, path)
+          .filter(!col("content_match") || !col("token_match")).count()
+        (bad, (System.nanoTime() - a0) / 1e9)
+      }
+      require(auditBad == 0, s"$auditBad shards failed the read-back audit")
+      emit("j24_shard_emitter", rate, batches.toLong * rate, secs, traj,
+        s""","shards_total":${traj.last},"audit_bad":$auditBad,"audit_s":${f"$tAudit%.2f"}""")
+    }
+
     // ---- J23: streaming-index compaction ----------------------------
     // THE small-file scale killer, measured: the J11 screen loop run
     // for ~100 microbatches with and without the background merge.

@@ -66,29 +66,34 @@ object ShardWriter {
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
-  /** Manifest at shard grain from any frame carrying (shard, doc_id,
+  /** Manifest at shard grain from any frame carrying (keys..., doc_id,
     * text, source): doc-id range, doc and token counts, XOR content
     * hash, and the per-source mix as a deterministic sorted string
     * (`src:count,...`) — harness- and SQL-friendly. Signals are
-    * recomputed from the TEXT, never read from stored columns.
+    * recomputed from the TEXT, never read from stored columns. The
+    * default key is P25's global `shard`; J24's streaming emitter
+    * passes (batch_id, shard) — shard ids are batch-scoped there.
     */
-  def manifestOf(rows: DataFrame): DataFrame = {
-    // partition discovery infers shard= as INT; normalize to LONG so
-    // plan-side and file-side manifests agree in schema
-    val sig = withSignals(rows.select(col("shard").cast("long").as("shard"),
-      col("doc_id"), col("text"), col("source")))
-    val mix = sig.groupBy("shard", "source").agg(count(lit(1)).as("n"))
-      .groupBy("shard")
+  def manifestOf(rows: DataFrame,
+                 keys: Seq[String] = Seq("shard")): DataFrame = {
+    // partition discovery infers shard=/batch_id= as INT; normalize
+    // to LONG so plan-side and file-side manifests agree in schema
+    val keyCols = keys.map(k => col(k).cast("long").as(k))
+    val sig = withSignals(rows.select(keyCols ++
+      Seq(col("doc_id"), col("text"), col("source")): _*))
+    val mix = sig.groupBy(keys.map(col) :+ col("source"): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(keys.map(col): _*)
       .agg(concat_ws(",",
         array_sort(collect_list(concat(col("source"), lit(":"), col("n")))))
         .as("source_mix"))
-    sig.groupBy("shard")
+    sig.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"),
         sum(col("n_tokens")).as("n_tokens"),
         expr("bit_xor(doc_hash)").as("content_hash"))
-      .join(mix, "shard")
+      .join(mix, keys)
   }
 
   /** The read-back manifest: recomputed from the files alone. Equal

@@ -494,6 +494,91 @@ object AdsbStream {
       .select("qid", "rank", "cid", "cell", "cos")
   }
 
+  /** Fold one microbatch of CURATED docs into the on-disk training
+    * shard store (J24 helper — P25's shard writer under the J10
+    * batch_id discipline: the pipeline's OUTPUT artifact maintained
+    * by the stream, closing the streaming curation loop end-to-end).
+    * Packing is BATCH-SCOPED: P4's deterministic token-budget prefix
+    * sum runs over this batch's doc_ids, so shard identity is
+    * (batch_id, shard) and a failure-replayed batch — deterministic
+    * by the exactly-once contract — re-plans the IDENTICAL shards and
+    * dynamic partition overwrite replaces them byte-for-byte (an
+    * overwrite-or-noop, never a duplicate). The planned manifest
+    * lands beside the shards under the same batch_id partition, so
+    * manifest and data cannot drift under replay.
+    *
+    * Scale: per batch, one prefix sum over batch rows + one shuffle
+    * to shard files + one shard-grain manifest aggregate; nothing is
+    * driver-collected, and shard files are token-budget-sized —
+    * the small-file pressure is bounded by batch docs / budget, and
+    * the training reader consumes (batch_id, shard) dirs directly.
+    */
+  def emitShardBatch(batch: DataFrame, batchId: Long, path: String,
+                     tokensPerShard: Long =
+                       graft.operators.ShardWriter.TokensPerShard): Unit = {
+    import graft.operators.ShardWriter
+    val planned = ShardWriter
+      .planShards(batch.select("doc_id", "text", "source"), tokensPerShard)
+      .withColumn("batch_id", lit(batchId))
+    planned
+      .select("doc_id", "text", "source", "n_tokens", "doc_hash",
+        "batch_id", "shard")
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "shard")
+      .parquet(s"$path/shards")
+    ShardWriter.manifestOf(planned, Seq("batch_id", "shard"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(s"$path/manifest")
+  }
+
+  /** The J24 sink: every microbatch of curated docs becomes
+    * token-budget-packed training shards plus their manifest rows.
+    */
+  def startShardEmitterSink(docs: DataFrame, path: String,
+                            checkpoint: String,
+                            tokensPerShard: Long =
+                              graft.operators.ShardWriter.TokensPerShard)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emitShardBatch(batch, batchId, path, tokensPerShard)
+      }
+      .start()
+
+  /** Read side of J24 — the shard AUDIT: recompute every shard's
+    * manifest from the read-back file CONTENTS alone (tokens and
+    * hashes re-derived, only the (batch_id, shard) layout trusted)
+    * and join it against the planned manifest written at emit time.
+    * `content_match`/`token_match` false means a shard was corrupted
+    * or tampered after emission; a missing side means data/manifest
+    * drifted — P25's round-trip proof, maintained incrementally.
+    */
+  def auditShardStore(spark: SparkSession, path: String): DataFrame = {
+    import graft.operators.ShardWriter
+    val planned = spark.read.parquet(s"$path/manifest")
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("shard"), col("n_docs").as("p_docs"),
+        col("n_tokens").as("p_tokens"), col("content_hash").as("p_hash"))
+    val actual = ShardWriter.manifestOf(
+      spark.read.parquet(s"$path/shards"), Seq("batch_id", "shard"))
+    actual.join(planned, Seq("batch_id", "shard"), "full_outer")
+      .withColumn("content_match",
+        col("p_hash").isNotNull && col("content_hash").isNotNull &&
+          col("p_hash") === col("content_hash"))
+      .withColumn("token_match",
+        col("p_tokens").isNotNull && col("n_tokens").isNotNull &&
+          col("p_tokens") === col("n_tokens") &&
+          col("p_docs") === col("n_docs"))
+      .select("batch_id", "shard", "n_docs", "n_tokens",
+        "content_match", "token_match")
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, endUs: Long, n: Int)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

@@ -804,4 +804,64 @@ class StreamingSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(s2 == Set(1L, 3L), "streamed downscaled copy of asset 1 must be screened")
   }
+
+  test("streaming shard emitter: exactly-once docs, audited manifests, byte-stable replay (J24)") {
+    def docs(lo: Int, hi: Int): Seq[(Long, String, String)] =
+      (lo until hi).map { i =>
+        (i.toLong, s"doc $i " + (s"tok$i word " * (i % 7 + 3)), s"src${i % 3}")
+      }
+    val path = java.nio.file.Files.createTempDirectory("graft_j24").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_j24c").toString
+    val input = MemoryStream[(Long, String, String)](spark)
+    val named = input.toDF().toDF("doc_id", "text", "source")
+    val q = AdsbStream.startShardEmitterSink(named, path, ckpt,
+      tokensPerShard = 64L)
+    input.addData(docs(0, 40))
+    q.processAllAvailable()
+    input.addData(docs(40, 100))
+    q.processAllAvailable(); q.stop()
+
+    // exactly-once: the shard store holds every input doc exactly once
+    val stored = spark.read.parquet(s"$path/shards")
+    assert(stored.count() == 100)
+    assert(stored.select("doc_id").distinct().count() == 100)
+    // the audit: every (batch_id, shard)'s read-back manifest matches
+    // the planned one written at emit time
+    val audit = AdsbStream.auditShardStore(spark, path).collect()
+    assert(audit.nonEmpty && audit.forall(r =>
+      r.getBoolean(4) && r.getBoolean(5)), audit.mkString("\n"))
+    // shard ids are batch-scoped and both batches produced several
+    assert(audit.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L))
+    assert(audit.count(_.getLong(0) == 0L) > 1)
+
+    // failure replay of batch 0: deterministic re-plan, dynamic
+    // overwrite — the store is unchanged (no duplicates, audit clean)
+    val before = stored.orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    AdsbStream.emitShardBatch(docs(0, 40).toDF("doc_id", "text", "source"),
+      0L, path, tokensPerShard = 64L)
+    val after = spark.read.parquet(s"$path/shards").orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(after == before, "replay changed the shard store")
+    val audit2 = AdsbStream.auditShardStore(spark, path).collect()
+    assert(audit2.forall(r => r.getBoolean(4) && r.getBoolean(5)))
+
+    // a tampered shard file is caught by the audit: rewrite one
+    // shard's data (same layout, altered text) without its manifest
+    val victim = audit.head
+    val vdir = s"$path/shards/batch_id=${victim.getLong(0)}/shard=${victim.getLong(1)}"
+    val vrows = spark.read.parquet(vdir)
+    vrows.withColumn("text", concat(col("text"), lit(" TAMPERED")))
+      .write.mode("overwrite").parquet(s"$vdir.tmp")
+    val fs = new java.io.File(vdir)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmrf); f.delete()
+    }
+    rmrf(fs)
+    new java.io.File(s"$vdir.tmp").renameTo(fs)
+    val audit3 = AdsbStream.auditShardStore(spark, path)
+      .filter(col("batch_id") === victim.getLong(0) &&
+        col("shard") === victim.getLong(1)).head()
+    assert(!audit3.getBoolean(4), "tampered shard passed the content audit")
+  }
 }

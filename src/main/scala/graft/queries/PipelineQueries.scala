@@ -3878,9 +3878,10 @@ object PipelineQueries {
     // Scale: (slice, w) distinct-grain shuffle; the JSD grid is
     // |sources| × |vocab| with slice totals broadcast.
     QueryDef("h22_token_drift_report",
-      (s, dir) => graft.operators.TextOps
-        .tokenDriftReport(Tables.documents(s, dir), "source")
-        .orderBy("source"),
+      (s, dir) => QueryDefs.sortedSmall(
+        graft.operators.TextOps
+          .tokenDriftReport(Tables.documents(s, dir), "source"),
+        col("source")),
       Some("""WITH tok AS (
           SELECT source, unnest(list_filter(
             regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w

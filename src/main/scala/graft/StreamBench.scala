@@ -423,6 +423,39 @@ object StreamBench {
         s""","shards_total":${traj.last},"audit_bad":$auditBad,"audit_s":${f"$tAudit%.2f"}""")
     }
 
+    // ---- J25: streaming token-distribution drift state ---------------
+    // H22's drift monitor maintained by the stream: each microbatch
+    // reduces to (slice, token, count) at DISTINCT grain (vocabulary-
+    // sized state, never occurrences), merge-on-read is counter
+    // addition, and the read-out is the H22 JSD report — asserted to
+    // carry one row per slice with a bounded divergence, so a
+    // fast-but-wrong fold cannot win.
+    if (only("j25_token_drift_state")) for (rate <- rates) {
+      import org.apache.spark.sql.functions._
+      val path = s"$tmp/j25_$rate/state"
+      def docBatch(b: Int): org.apache.spark.sql.DataFrame =
+        spark.range(rate).select(
+          concat(lit("src"), pmod(col("id"), lit(6))).as("source"),
+          concat(lit("common words here w"), pmod(col("id") * 31 + lit(b.toLong), lit(2048L)),
+            lit(" tail"), pmod(col("id"), lit(97L))).as("text"))
+      val t0 = System.nanoTime()
+      val traj = (0 until batches).map { b =>
+        AdsbStream.mergeBatchIntoTokenState(docBatch(b), b, "source", "text", path)
+        spark.read.parquet(path).count()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (slices, tRead) = {
+        val r0 = System.nanoTime()
+        val rep = AdsbStream.readDriftReport(spark, path, "source").collect()
+        require(rep.forall(r => r.getDouble(3) >= 0.0 &&
+          r.getDouble(3) <= math.log(2.0)), "JSD out of [0, ln 2]")
+        (rep.length, (System.nanoTime() - r0) / 1e9)
+      }
+      require(slices == 6, s"expected 6 slice rows, got $slices")
+      emit("j25_token_drift_state", rate, batches.toLong * rate, secs, traj,
+        s""","slices":$slices,"read_report_s":${f"$tRead%.2f"}""")
+    }
+
     // ---- J23: streaming-index compaction ----------------------------
     // THE small-file scale killer, measured: the J11 screen loop run
     // for ~100 microbatches with and without the background merge.

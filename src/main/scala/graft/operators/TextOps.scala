@@ -154,13 +154,24 @@ object TextOps {
     * the corpus total broadcast; the only corpus-vocab-sized shuffle
     * is the left join putting slice counts onto the grid.
     */
-  def tokenDriftReport(docs: DataFrame, sliceCol: String): DataFrame = {
+  def tokenDriftReport(docs: DataFrame, sliceCol: String): DataFrame =
+    driftReportFromCounts(
+      docs.select(col(sliceCol), explode(tokens(col("text"))).as("w"))
+        .groupBy(col(sliceCol), col("w")).agg(count(lit(1)).as("c_s")),
+      sliceCol)
+
+  /** The drift report over a PRE-AGGREGATED (slice, w, c_s) count
+    * frame — the shared core of batch H22 and streaming J25 (whose
+    * state log merges to exactly such a frame by counter addition,
+    * making the streamed report bit-equal to the batch one under any
+    * batch boundaries).
+    */
+  def driftReportFromCounts(counts: DataFrame, sliceCol: String): DataFrame = {
     // tie-stable 6-dp quantize — the same four IEEE ops in both
     // engines (multiply, add, floor, divide); see h7's rationale
     def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
-    val cs = docs
-      .select(col(sliceCol), explode(tokens(col("text"))).as("w"))
-      .groupBy(col(sliceCol), col("w")).agg(count(lit(1)).as("c_s"))
+    val cs = counts.select(col(sliceCol), col("w"),
+      col("c_s").cast("long").as("c_s"))
     val cw = cs.groupBy(col("w")).agg(sum(col("c_s")).as("c"))
     val ns = cs.groupBy(col(sliceCol)).agg(
       sum(col("c_s")).as("n_s"), count(lit(1)).as("n_types"))

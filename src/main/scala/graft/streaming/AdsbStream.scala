@@ -579,6 +579,64 @@ object AdsbStream {
         "content_match", "token_match")
   }
 
+  /** Fold one microbatch into the on-disk TOKEN-DISTRIBUTION state
+    * log (J25 helper — H22's drift monitor as streaming agg-state by
+    * the J10 discipline, the scenario the instrument exists for: a
+    * new crawl lands batch by batch and the owner watches which
+    * source moves). Each batch reduces to (slice, token, count) at
+    * DISTINCT grain BEFORE anything lands on disk — vocabulary-sized,
+    * never token-occurrence-sized — and owns its `batch_id=`
+    * partition via dynamic partition overwrite (replayed batches
+    * replace their partials; the J23 noop guard covers folded ones).
+    * Counter addition is the merge, so the read-out report is
+    * bit-equal to batch H22 over every ingested doc, under ANY batch
+    * boundaries.
+    */
+  def mergeBatchIntoTokenState(batch: DataFrame, batchId: Long,
+                               sliceCol: String, textCol: String,
+                               path: String): Unit = {
+    if (StreamIndexCompaction.compactedThrough(batch.sparkSession, path) >= batchId)
+      return
+    batch
+      .select(col(sliceCol), explode(
+        graft.operators.TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col(sliceCol), col("w")).agg(count(lit(1)).as("c_s"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+  }
+
+  /** The J25 sink: every microbatch appends its (slice, token)
+    * partial counts. Compaction of closed batches is J23's job (the
+    * optional merge hook collapses segments to one row per key).
+    */
+  def startTokenStateSink(docs: DataFrame, sliceCol: String,
+                          textCol: String, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchIntoTokenState(batch, batchId, sliceCol, textCol, path)
+      }
+      .start()
+
+  /** Read side of J25: merge the partial-count log (counter addition
+    * per (slice, token) — state rows only) and read the H22 drift
+    * report out of it. Equals the one-shot
+    * [[graft.operators.TextOps.tokenDriftReport]] over every ingested
+    * doc — the shared [[graft.operators.TextOps.driftReportFromCounts]]
+    * core guarantees there is one report implementation, no drift
+    * possible.
+    */
+  def readDriftReport(spark: SparkSession, path: String,
+                      sliceCol: String): DataFrame =
+    graft.operators.TextOps.driftReportFromCounts(
+      spark.read.parquet(path)
+        .groupBy(col(sliceCol), col("w")).agg(sum(col("c_s")).as("c_s")),
+      sliceCol)
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, endUs: Long, n: Int)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

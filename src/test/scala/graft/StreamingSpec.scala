@@ -864,4 +864,41 @@ class StreamingSpec extends SparkSpecBase {
         col("shard") === victim.getLong(1)).head()
     assert(!audit3.getBoolean(4), "tampered shard passed the content audit")
   }
+
+  test("streaming token-distribution state: drift report equals one-shot batch h22, replay idempotent (J25)") {
+    import graft.operators.TextOps
+    // three sources with different token mixes, delivered across two
+    // uneven batches — batch boundaries must not matter
+    def docs(lo: Int, hi: Int): Seq[(Long, String, String)] =
+      (lo until hi).map { i =>
+        val src = s"src${i % 3}"
+        val skew = if (i % 3 == 0) " alpha" * (i % 5) else " beta" * (i % 4)
+        (i.toLong, s"common words here$skew", src)
+      }
+    val path = java.nio.file.Files.createTempDirectory("graft_j25").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_j25c").toString
+    val input = MemoryStream[(Long, String, String)](spark)
+    val named = input.toDF().toDF("doc_id", "text", "source")
+    val q = AdsbStream.startTokenStateSink(named, "source", "text", path, ckpt)
+    input.addData(docs(0, 70))
+    q.processAllAvailable()
+    input.addData(docs(70, 200))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = AdsbStream.readDriftReport(spark, path, "source")
+    val direct = TextOps.tokenDriftReport(
+      docs(0, 200).toDF("doc_id", "text", "source"), "source")
+    assert(streamed.exceptAll(direct).isEmpty && direct.exceptAll(streamed).isEmpty,
+      "streamed drift report diverged from the one-shot batch report")
+
+    // state is vocabulary-grain: far fewer rows than token occurrences
+    val stateRows = spark.read.parquet(path).count()
+    assert(stateRows < 200 * 4, s"state not vocabulary-bounded: $stateRows")
+
+    // failure replay: re-folding batch 0 must REPLACE its partials
+    AdsbStream.mergeBatchIntoTokenState(
+      docs(0, 70).toDF("doc_id", "text", "source"), 0L, "source", "text", path)
+    val after = AdsbStream.readDriftReport(spark, path, "source")
+    assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
+  }
 }

@@ -223,6 +223,35 @@ object EmbeddingQueries {
     ORDER BY component"""
   }
 
+  /** p8's semantic-contamination frame and oracle SQL (no
+    * presentation sort) — shared by the per-method query and the p27
+    * scoreboard in PipelineQueries (package-visible on purpose), so
+    * no drift is possible between them.
+    */
+  private[queries] def p8Frame(s: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ev = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      .crossJoin(broadcast(ev))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineSim(col("qvec"), col("cvec")))
+      .groupBy("qid")
+      .agg(max(col("cos")).as("max_cos"),
+        count(when(col("cos") >= 0.5, 1)).as("n_above"))
+  }
+
+  private[queries] val p8SqlBase: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id >= 10),
+        scored AS (
+          SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
+          FROM c CROSS JOIN q)
+        SELECT qid, max(cos) AS max_cos,
+          COUNT(CASE WHEN cos >= 0.5 THEN 1 END) AS n_above
+        FROM scored GROUP BY qid"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // G1: brute-force cosine top-5 for a fixed query set.
@@ -816,27 +845,8 @@ object EmbeddingQueries {
     // through one map-side-combined aggregation — no train-side
     // shuffle at any scale.
     QueryDef("p8_semantic_contamination",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val ev = emb.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-        emb.filter(col("vec_id") >= 10)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-          .crossJoin(broadcast(ev))
-          .withColumn("cos", graft.functions.VectorFunctions.cosineSim(col("qvec"), col("cvec")))
-          .groupBy("qid")
-          .agg(max(col("cos")).as("max_cos"),
-            count(when(col("cos") >= 0.5, 1)).as("n_above"))
-          .orderBy("qid")
-      },
-      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
-        c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id >= 10),
-        scored AS (
-          SELECT qid, cid, ${sqlCos("qvec", "cvec")} AS cos
-          FROM c CROSS JOIN q)
-        SELECT qid, max(cos) AS max_cos,
-          COUNT(CASE WHEN cos >= 0.5 THEN 1 END) AS n_above
-        FROM scored GROUP BY qid ORDER BY qid""")),
+      (s, dir) => p8Frame(s, dir).orderBy("qid"),
+      Some(s"$p8SqlBase ORDER BY qid")),
 
     // P9: SemDeDup — the composition g5 exists for (cluster, then
     // dedup WITHIN clusters): trained k-means assignment bounds the

@@ -290,6 +290,109 @@ object PipelineQueries {
         .withColumnRenamed("id", "doc_id"))
   }
 
+  /** p3 oracle SQL (no final ORDER BY) — shared verbatim by the
+    * per-method oracle and the p27 scoreboard.
+    */
+  private val p3SqlBase: String = """WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        sh0 AS (
+          SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 7, 1) + 1),
+            i -> array_to_string(ws[i:i+7], ' '))) AS sh
+          FROM words),
+        sh AS (SELECT DISTINCT doc_id,
+          ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shh FROM sh0),
+        train AS (SELECT DISTINCT shh FROM sh WHERE doc_id >= 10)
+        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(COUNT(t.shh) AS BIGINT) AS n_contaminated,
+          CAST(COUNT(t.shh) AS DOUBLE) / COUNT(*) AS contamination
+        FROM (SELECT * FROM sh WHERE doc_id < 10) e
+        LEFT JOIN train t ON e.shh = t.shh
+        GROUP BY e.doc_id"""
+
+  /** p3c oracle SQL (no final ORDER BY) — shared verbatim by the
+    * per-method oracle and the p27 scoreboard, so no drift is
+    * possible between them.
+    */
+  private val p3cSqlBase: String = """WITH words AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
+          FROM documents),
+        th AS (
+          SELECT doc_id, len(ws) AS n,
+            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007) AS t1,
+            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 998244353) AS t2
+          FROM words),
+        win AS (
+          SELECT doc_id, unnest(range(0, n - 13 + 1)) AS p, t1, t2
+          FROM th WHERE n >= 13),
+        wh AS (
+          SELECT doc_id,
+            list_reduce(t1[CAST(p + 1 AS INT) : CAST(p + 13 AS INT)],
+              (a, b) -> (a * 131 + b) % 1000000007) * 998244353
+            + list_reduce(t2[CAST(p + 1 AS INT) : CAST(p + 13 AS INT)],
+              (a, b) -> (a * 131 + b) % 998244353) AS h
+          FROM win),
+        ev AS (SELECT DISTINCT h FROM wh WHERE doc_id < 10),
+        st AS (
+          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+            CAST(COUNT(ev.h) AS BIGINT) AS n_contaminated
+          FROM (SELECT * FROM wh WHERE doc_id >= 10) t
+          LEFT JOIN ev ON t.h = ev.h
+          GROUP BY t.doc_id)
+        SELECT d.doc_id, COALESCE(st.n_windows, 0) AS n_windows,
+          COALESCE(st.n_contaminated, 0) AS n_contaminated,
+          COALESCE(st.n_contaminated, 0) = 0 AS keep
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
+        LEFT JOIN st USING (doc_id)"""
+
+  /** p3's eval-contamination frame (no presentation sort) — shared by
+    * the per-method query and the p27 scoreboard. ONE shingle
+    * computation over the whole corpus, split by doc_id (persisted
+    * like the dedup family).
+    */
+  private def p3Frame(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame = {
+    val sh = Dedup.sharedShingleSet(Tables.documents(s, dir), "doc_id", "text", 8)
+    val evalSh = sh.filter(col("doc_id") < 10)
+    val trainSh = sh.filter(col("doc_id") >= 10)
+      .select("shh").distinct().withColumn("__hit", lit(1))
+    evalSh.join(trainSh, Seq("shh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles"))
+  }
+
+  /** p3c's train-decontamination frame (no presentation sort) —
+    * shared by the per-method query and the p27 scoreboard.
+    * Sub-13-token train docs have no windows — trivially clean, but
+    * they still carry a keep verdict.
+    */
+  private def p3cFrame(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    val wins = graft.operators.TrackedCache.persist(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode_outer(graft.functions.HashFunctions
+            .tokenWindowHashes64(col("text"), 13)).as("h"))
+        .filter(col("h").isNotNull))
+    val evalW = wins.filter(col("doc_id") < 10)
+      .select("h").distinct().withColumn("__hit", lit(1))
+    val stats = wins.filter(col("doc_id") >= 10)
+      .join(broadcast(evalW), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("__hit")).as("n_contaminated"))
+    Tables.documents(s, dir).filter(col("doc_id") >= 10)
+      .select("doc_id")
+      .join(stats, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_windows", "n_contaminated"))
+      .withColumn("keep", col("n_contaminated") === 0L)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // F1: exact dedup groups by content hash.
@@ -1044,39 +1147,8 @@ object PipelineQueries {
     // the join compares longs and is Σ-bucket-bounded like the dedup
     // family.
     QueryDef("p3_contamination",
-      (s, dir) => {
-        // ONE shingle computation over the whole corpus, split by
-        // doc_id — separate eval/train shingle builds would scan and
-        // tokenize the corpus twice (persisted like the dedup family)
-        val sh = Dedup.sharedShingleSet(Tables.documents(s, dir), "doc_id", "text", 8)
-        val evalSh = sh.filter(col("doc_id") < 10)
-        val trainSh = sh.filter(col("doc_id") >= 10)
-          .select("shh").distinct().withColumn("__hit", lit(1))
-        evalSh.join(trainSh, Seq("shh"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shingles"),
-            count(col("__hit")).as("n_contaminated"))
-          .withColumn("contamination",
-            col("n_contaminated").cast("double") / col("n_shingles"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH words AS (
-          SELECT doc_id,
-            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
-          FROM documents),
-        sh0 AS (
-          SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 7, 1) + 1),
-            i -> array_to_string(ws[i:i+7], ' '))) AS sh
-          FROM words),
-        sh AS (SELECT DISTINCT doc_id,
-          ('0x' || substr(md5(sh), 1, 15))::BIGINT AS shh FROM sh0),
-        train AS (SELECT DISTINCT shh FROM sh WHERE doc_id >= 10)
-        SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
-          CAST(COUNT(t.shh) AS BIGINT) AS n_contaminated,
-          CAST(COUNT(t.shh) AS DOUBLE) / COUNT(*) AS contamination
-        FROM (SELECT * FROM sh WHERE doc_id < 10) e
-        LEFT JOIN train t ON e.shh = t.shh
-        GROUP BY e.doc_id ORDER BY e.doc_id""")),
+      (s, dir) => p3Frame(s, dir).orderBy("doc_id"),
+      Some(s"$p3SqlBase ORDER BY doc_id")),
 
     // P3c: TRAIN-side 13-gram decontamination — the GPT-3/Pile
     // direction (Brown et al. 2020 App. C): p3 measures how
@@ -1089,61 +1161,68 @@ object PipelineQueries {
     // (doc_id, 8-byte hash). Output: per-train-doc window counts,
     // contaminated-window count, and the keep/drop verdict.
     QueryDef("p3c_train_decontaminate",
+      (s, dir) => p3cFrame(s, dir).orderBy("doc_id"),
+      Some(s"$p3cSqlBase ORDER BY d.doc_id")),
+
+    // P27: contamination SCOREBOARD — the p22 treatment for the three
+    // decontamination gates (which method fires, how much it would
+    // remove, in its own units): one row per method — p3's eval-side
+    // 8-gram check (flagged eval docs + contaminated shingles), p3c's
+    // GPT-3-style train-side 13-gram drop (dropped train docs +
+    // contaminated windows), p8's embedding-space gate (eval vectors
+    // with a ≥0.5-cosine train neighbor + such neighbors). The corpus
+    // owner reads this before choosing which gate to run at full
+    // scale. Both engines replay the SAME per-method spellings — the
+    // Spark side calls the exact frames the per-method queries serve,
+    // the oracle aggregates over the exact per-method SQL (shared
+    // vals) — so no drift between the scoreboard and its methods is
+    // possible.
+    QueryDef("p27_contamination_scoreboard",
       (s, dir) => {
-        val wins = graft.operators.TrackedCache.persist(
-          Tables.documents(s, dir)
-            .select(col("doc_id"),
-              explode_outer(graft.functions.HashFunctions
-                .tokenWindowHashes64(col("text"), 13)).as("h"))
-            .filter(col("h").isNotNull))
-        val evalW = wins.filter(col("doc_id") < 10)
-          .select("h").distinct().withColumn("__hit", lit(1))
-        val stats = wins.filter(col("doc_id") >= 10)
-          .join(broadcast(evalW), Seq("h"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_windows"),
-            count(col("__hit")).as("n_contaminated"))
-        // sub-13-token train docs have no windows — they are trivially
-        // clean and must still carry a keep verdict
-        Tables.documents(s, dir).filter(col("doc_id") >= 10)
-          .select("doc_id")
-          .join(stats, Seq("doc_id"), "left")
-          .na.fill(0L, Seq("n_windows", "n_contaminated"))
-          .withColumn("keep", col("n_contaminated") === 0L)
-          .orderBy("doc_id")
+        val g8e = p3Frame(s, dir)
+          .agg(count(when(col("n_contaminated") > 0L, 1)).as("n_flagged"),
+            count(lit(1)).as("n_total"),
+            sum(col("n_contaminated")).as("n_units"))
+          .select(lit(1L).as("ord"), lit("gram8_eval").as("method"),
+            lit("eval_doc").as("grain"), col("n_flagged"), col("n_total"),
+            col("n_units"))
+        val g13t = p3cFrame(s, dir)
+          .agg(count(when(!col("keep"), 1)).as("n_flagged"),
+            count(lit(1)).as("n_total"),
+            sum(col("n_contaminated")).as("n_units"))
+          .select(lit(2L).as("ord"), lit("gram13_train").as("method"),
+            lit("train_doc").as("grain"), col("n_flagged"), col("n_total"),
+            col("n_units"))
+        val sem = EmbeddingQueries.p8Frame(s, dir)
+          .agg(count(when(col("n_above") > 0L, 1)).as("n_flagged"),
+            count(lit(1)).as("n_total"),
+            sum(col("n_above")).as("n_units"))
+          .select(lit(3L).as("ord"), lit("semantic_eval").as("method"),
+            lit("eval_vec").as("grain"), col("n_flagged"), col("n_total"),
+            col("n_units"))
+        QueryDefs.sortedSmall(
+          g8e.unionByName(g13t).unionByName(sem), col("ord"))
       },
-      Some("""WITH words AS (
-          SELECT doc_id,
-            list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
-          FROM documents),
-        th AS (
-          SELECT doc_id, len(ws) AS n,
-            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007) AS t1,
-            list_transform(ws, w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 998244353) AS t2
-          FROM words),
-        win AS (
-          SELECT doc_id, unnest(range(0, n - 13 + 1)) AS p, t1, t2
-          FROM th WHERE n >= 13),
-        wh AS (
-          SELECT doc_id,
-            list_reduce(t1[CAST(p + 1 AS INT) : CAST(p + 13 AS INT)],
-              (a, b) -> (a * 131 + b) % 1000000007) * 998244353
-            + list_reduce(t2[CAST(p + 1 AS INT) : CAST(p + 13 AS INT)],
-              (a, b) -> (a * 131 + b) % 998244353) AS h
-          FROM win),
-        ev AS (SELECT DISTINCT h FROM wh WHERE doc_id < 10),
-        st AS (
-          SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
-            CAST(COUNT(ev.h) AS BIGINT) AS n_contaminated
-          FROM (SELECT * FROM wh WHERE doc_id >= 10) t
-          LEFT JOIN ev ON t.h = ev.h
-          GROUP BY t.doc_id)
-        SELECT d.doc_id, COALESCE(st.n_windows, 0) AS n_windows,
-          COALESCE(st.n_contaminated, 0) AS n_contaminated,
-          COALESCE(st.n_contaminated, 0) = 0 AS keep
-        FROM (SELECT doc_id FROM documents WHERE doc_id >= 10) d
-        LEFT JOIN st USING (doc_id)
-        ORDER BY d.doc_id""")),
+      Some(s"""
+        SELECT CAST(1 AS BIGINT) AS ord, 'gram8_eval' AS method,
+          'eval_doc' AS grain,
+          CAST(COUNT(CASE WHEN n_contaminated > 0 THEN 1 END) AS BIGINT) AS n_flagged,
+          CAST(COUNT(*) AS BIGINT) AS n_total,
+          CAST(SUM(n_contaminated) AS BIGINT) AS n_units
+        FROM ($p3SqlBase)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'gram13_train', 'train_doc',
+          CAST(COUNT(CASE WHEN NOT keep THEN 1 END) AS BIGINT),
+          CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(n_contaminated) AS BIGINT)
+        FROM ($p3cSqlBase)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'semantic_eval', 'eval_vec',
+          CAST(COUNT(CASE WHEN n_above > 0 THEN 1 END) AS BIGINT),
+          CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(n_above) AS BIGINT)
+        FROM (${EmbeddingQueries.p8SqlBase})
+        ORDER BY ord""")),
 
     // P4: sequence packing — shard the corpus into contiguous
     // token-budget bins (the chunking step that turns a curated

@@ -82,6 +82,27 @@ class DataSelectionSpec extends SparkSpecBase {
     assert(out.filter(_.getLong(2) > 1L).forall(r => r.getLong(5) < r.getLong(4)))
   }
 
+  test("p27 scoreboard rows recompute exactly from the per-method queries") {
+    val board = SparkEntry.queries("p27_contamination_scoreboard")(spark, sf)
+      .collect().map(r => r.getString(1) -> r).toMap
+    assert(board.keySet == Set("gram8_eval", "gram13_train", "semantic_eval"))
+    val p3 = SparkEntry.queries("p3_contamination")(spark, sf).collect()
+    assert(board("gram8_eval").getLong(3) == p3.count(_.getLong(2) > 0))
+    assert(board("gram8_eval").getLong(4) == p3.length)
+    assert(board("gram8_eval").getLong(5) == p3.map(_.getLong(2)).sum)
+    val p3c = SparkEntry.queries("p3c_train_decontaminate")(spark, sf).collect()
+    assert(board("gram13_train").getLong(3) == p3c.count(!_.getBoolean(3)))
+    assert(board("gram13_train").getLong(4) == p3c.length)
+    assert(board("gram13_train").getLong(5) == p3c.map(_.getLong(2)).sum)
+    val p8 = SparkEntry.queries("p8_semantic_contamination")(spark, sf).collect()
+    assert(board("semantic_eval").getLong(3) == p8.count(_.getLong(2) > 0))
+    assert(board("semantic_eval").getLong(4) == p8.length)
+    assert(board("semantic_eval").getLong(5) == p8.map(_.getLong(2)).sum)
+    // the corpus has real contamination for the n-gram gates to find
+    assert(board("gram8_eval").getLong(5) > 0)
+    assert(board("gram13_train").getLong(3) > 0)
+  }
+
   test("p14 buckets are tercile-bounded and head is kept at 100%") {
     val out = SparkEntry.queries("p14_perplexity_buckets")(spark, sf).collect()
     val n = out.length

@@ -3619,6 +3619,125 @@ object PipelineQueries {
         FROM bk JOIN lam USING (b)
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    // P28: classifier OPERATING-THRESHOLD report — the g8/i5d/h20c
+    // instrument treatment applied to the trained quality classifier
+    // (the one trained model that still lacked an operating curve):
+    // train on a deterministic 80 % hash split, score the HELD-OUT
+    // 20 %, and for each score decile threshold report the confusion
+    // counts and integer-ppm precision/recall against the source
+    // labels — the curve a pipeline owner reads to pick the keep
+    // threshold, on data the model never saw. Everything is exact
+    // integer arithmetic (scores are micro-unit BIGINTs by
+    // construction; thresholds are integer-rank deciles; ppm is
+    // cross-multiplication) — zero float anywhere in the verdict
+    // path. Scale note: the decile ranks run over the DISTINCT-score
+    // frame (one row per distinct score, the e14e trick); at 100 TB
+    // the threshold grid would come from the e14e grid sketch
+    // instead — the confusion counts themselves are one broadcast
+    // explode + map-side-combined aggregate either way.
+    QueryDef("p28_classifier_operating_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val target = col("source").isin("src18", "src6", "src7")
+        val isTrain = pmod(HashFunctions.md5prefix64(
+          concat(lit("p28:"), col("doc_id").cast("string"))), lit(10L)) < 8
+        val w = graft.operators.QualityClassifier.collectWeights(
+          graft.operators.QualityClassifier.trainWeights(
+            docs.filter(isTrain), "text", target, 64))
+        val held = graft.operators.QualityClassifier
+          .applyWeights(docs.filter(!isTrain), "doc_id", "text", w)
+          .join(docs.select(col("doc_id"), target.as("t")), "doc_id")
+          .select("doc_id", "score", "t")
+        // decile thresholds via integer ranks over the DISTINCT-score
+        // frame: thr(q) = smallest score whose cumulative count
+        // reaches ceil(q·n/100)
+        val dist = held.groupBy("score").agg(count(lit(1)).as("c"))
+        val cum = dist.withColumn("cum",
+          sum(col("c")).over(Window.orderBy("score")))
+        val n = held.agg(count(lit(1)).as("n"))
+        val qs = (10 to 90 by 10)
+        val thrAggs = qs.map(q =>
+          min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"), col("score")))
+            .as(s"__t$q"))
+        val thr = cum.crossJoin(broadcast(n))
+          .agg(thrAggs.head, thrAggs.tail: _*)
+          .select(explode(array(qs.map(q =>
+            struct(lit(q.toLong).as("q"), col(s"__t$q").as("threshold"))): _*))
+            .as("qt"))
+          .select(col("qt.q").as("q"), col("qt.threshold").as("threshold"))
+        val counts = held.crossJoin(broadcast(thr))
+          .groupBy("q", "threshold")
+          .agg(
+            count(when(col("score") >= col("threshold") && col("t"), 1)).as("tp"),
+            count(when(col("score") >= col("threshold") && !col("t"), 1)).as("fp"),
+            count(when(col("score") < col("threshold") && col("t"), 1)).as("fn"),
+            count(when(col("score") < col("threshold") && !col("t"), 1)).as("tn"))
+        QueryDefs.sortedSmall(
+          counts
+            .withColumn("prec_ppm", expr(
+              "CASE WHEN tp + fp > 0 THEN tp * 1000000L div (tp + fp) ELSE 0L END"))
+            .withColumn("rec_ppm", expr(
+              "CASE WHEN tp + fn > 0 THEN tp * 1000000L div (tp + fn) ELSE 0L END")),
+          col("q"))
+      },
+      Some("""WITH split AS (
+          SELECT doc_id, text, (source IN ('src18', 'src6', 'src7')) AS t,
+            (('0x' || substr(md5('p28:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10 < 8) AS is_train
+          FROM documents),
+        tok AS (
+          SELECT doc_id, t, is_train,
+            unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM split),
+        bk AS (SELECT doc_id, t, is_train,
+            ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b FROM tok),
+        counts AS (SELECT b,
+            CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+            CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS n_rest
+          FROM bk WHERE is_train GROUP BY b),
+        fullb AS (
+          SELECT r.b, COALESCE(c.n_target, 0) AS n_target,
+            COALESCE(c.n_rest, 0) AS n_rest
+          FROM (SELECT unnest(range(0, 64)) AS b) r
+          LEFT JOIN counts c USING (b)),
+        tot AS (SELECT CAST(SUM(n_target) AS BIGINT) AS tt,
+            CAST(SUM(n_rest) AS BIGINT) AS tr FROM fullb),
+        lam AS (
+          SELECT b,
+            CAST(floor((ln(CAST(n_target + 1 AS DOUBLE) / CAST(tt + 64 AS DOUBLE))
+              - ln(CAST(n_rest + 1 AS DOUBLE) / CAST(tr + 64 AS DOUBLE)))
+              * 1000000.0 + 0.5) AS BIGINT) AS weight_u
+          FROM fullb CROSS JOIN tot),
+        held AS (
+          SELECT doc_id, CAST(SUM(weight_u) AS BIGINT) AS score,
+            any_value(t) AS t
+          FROM (SELECT * FROM bk WHERE NOT is_train) h JOIN lam USING (b)
+          GROUP BY doc_id),
+        dist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM held GROUP BY score),
+        cum AS (SELECT score,
+            CAST(SUM(c) OVER (ORDER BY score) AS BIGINT) AS cum FROM dist),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM held),
+        qv(q) AS (VALUES (CAST(10 AS BIGINT)), (20), (30), (40), (50),
+                         (60), (70), (80), (90)),
+        thr AS (
+          SELECT qv.q,
+            MIN(CASE WHEN cum >= (nn.n * qv.q + 99) // 100 THEN score END) AS threshold
+          FROM cum CROSS JOIN nn CROSS JOIN qv
+          GROUP BY qv.q),
+        conf AS (
+          SELECT thr.q, thr.threshold,
+            CAST(COUNT(CASE WHEN score >= threshold AND t THEN 1 END) AS BIGINT) AS tp,
+            CAST(COUNT(CASE WHEN score >= threshold AND NOT t THEN 1 END) AS BIGINT) AS fp,
+            CAST(COUNT(CASE WHEN score < threshold AND t THEN 1 END) AS BIGINT) AS fn,
+            CAST(COUNT(CASE WHEN score < threshold AND NOT t THEN 1 END) AS BIGINT) AS tn
+          FROM held CROSS JOIN thr
+          GROUP BY thr.q, thr.threshold)
+        SELECT q, threshold, tp, fp, fn, tn,
+          CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) ELSE 0 END AS BIGINT) AS prec_ppm,
+          CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) ELSE 0 END AS BIGINT) AS rec_ppm
+        FROM conf ORDER BY q""")),
+
     // H15: URL canonicalization dedup — the cheapest and FIRST dedup
     // pass a web-scale curation pipeline runs (RefinedWeb/CCNet dedup
     // by canonical URL before any content hashing): lowercase, strip

@@ -103,6 +103,32 @@ class DataSelectionSpec extends SparkSpecBase {
     assert(board("gram13_train").getLong(3) > 0)
   }
 
+  test("p28 operating report: thresholds monotone, confusion cells conserve the held-out split") {
+    val rows = SparkEntry.queries("p28_classifier_operating_report")(spark, sf)
+      .orderBy("q").collect()
+    assert(rows.length == 9)
+    // decile thresholds are non-decreasing in q
+    val thr = rows.map(_.getLong(1))
+    assert(thr.sliding(2).forall { case Array(a, b) => b >= a },
+      s"thresholds not monotone: ${thr.toSeq}")
+    // every threshold partitions the SAME held-out set: cell sums and
+    // the positive count are constant across rows
+    val totals = rows.map(r => (2 to 5).map(r.getLong).sum).distinct
+    assert(totals.length == 1, s"cell sums differ: ${totals.toSeq}")
+    val positives = rows.map(r => r.getLong(2) + r.getLong(4)).distinct
+    assert(positives.length == 1)
+    // raising the bar never ADDS kept positives
+    val tps = rows.map(_.getLong(2))
+    assert(tps.sliding(2).forall { case Array(a, b) => b <= a },
+      s"tp not non-increasing: ${tps.toSeq}")
+    // ppm columns recompute from the integer cells
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(r.getLong(6) == (if (tp + fp > 0) tp * 1000000L / (tp + fp) else 0L))
+      assert(r.getLong(7) == (if (tp + fn > 0) tp * 1000000L / (tp + fn) else 0L))
+    }
+  }
+
   test("p14 buckets are tercile-bounded and head is kept at 100%") {
     val out = SparkEntry.queries("p14_perplexity_buckets")(spark, sf).collect()
     val n = out.length

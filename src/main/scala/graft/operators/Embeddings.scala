@@ -643,9 +643,19 @@ object Embeddings {
     // contributes 0 on both sides)
     val candTotals = perNp.select("nprobe", "qid", "n_cand_q").distinct()
       .groupBy("nprobe").agg(sum(col("n_cand_q")).as("cand_rows"))
-    val rep = perNp.join(truth, Seq("qid", "cid"))
-      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
-      .join(candTotals, "nprobe")
+    // anchor on the LITERAL width list: a width with zero hits (or
+    // zero candidates on a degenerate corpus) must still grade every
+    // target — otherwise an unreachable target would report a
+    // non-widest width, or the report would come back empty exactly
+    // when the owner most needs to see met=false
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val widths = nprobes.toDF("nprobe")
+    val rep = widths
+      .join(perNp.join(truth, Seq("qid", "cid"))
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits")), Seq("nprobe"), "left")
+      .join(candTotals, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hits", "cand_rows"))
       .crossJoin(broadcast(totals))
     val graded = rep
       .select(col("*"),

@@ -125,6 +125,9 @@ object ScaleOps {
   def gridSizingReport(df: DataFrame, groupCol: String, valueCol: String,
                        gs: Seq[Int], qsPercent: Seq[Int]): DataFrame = {
     require(gs.nonEmpty, "at least one grid density required")
+    require(gs.distinct.size == gs.size,
+      s"duplicate grid densities in $gs: the explode would merge their " +
+        "counts into one double-counted row")
     val gMax = gs.max
     gs.foreach(g => require(g > 0 && (g & (g - 1)) == 0 && gMax % g == 0,
       s"grids must be nesting powers of two (got $g against max $gMax): " +

@@ -1190,8 +1190,10 @@ object EmbeddingQueries {
         hits AS (SELECT np, CAST(COUNT(*) AS BIGINT) AS n_hits
                  FROM topk JOIN bf USING (qid, cid) GROUP BY np),
         tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM bf),
-        rep AS (SELECT h.np, h.n_hits, c.cand_rows, tr.n_truth
-                FROM hits h JOIN candn c USING (np) CROSS JOIN tr),
+        rep AS (SELECT nv.np, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+            CAST(COALESCE(c.cand_rows, 0) AS BIGINT) AS cand_rows, tr.n_truth
+          FROM nv LEFT JOIN hits h ON h.np = nv.np
+          LEFT JOIN candn c ON c.np = nv.np CROSS JOIN tr),
         tg(target) AS (VALUES (CAST(50 AS BIGINT)), (CAST(80 AS BIGINT)),
                               (CAST(90 AS BIGINT)), (CAST(99 AS BIGINT))),
         graded AS (SELECT tg.target, r.np, r.n_hits, r.n_truth, r.cand_rows,

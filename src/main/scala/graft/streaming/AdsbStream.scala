@@ -517,23 +517,30 @@ object AdsbStream {
                      tokensPerShard: Long =
                        graft.operators.ShardWriter.TokensPerShard): Unit = {
     import graft.operators.ShardWriter
+    // LOCAL persist (not TrackedCache, which retains entries until an
+    // explicit release — a leak at streaming cadence): the plan fans
+    // out to BOTH writes, and without it each would recompute the
+    // token counts, doc hashes and prefix sum from the raw batch
     val planned = ShardWriter
       .planShards(batch.select("doc_id", "text", "source"), tokensPerShard)
       .withColumn("batch_id", lit(batchId))
-    planned
-      .select("doc_id", "text", "source", "n_tokens", "doc_hash",
-        "batch_id", "shard")
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "shard")
-      .parquet(s"$path/shards")
-    ShardWriter.manifestOf(planned, Seq("batch_id", "shard"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(s"$path/manifest")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      planned
+        .select("doc_id", "text", "source", "n_tokens", "doc_hash",
+          "batch_id", "shard")
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("doc_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "shard")
+        .parquet(s"$path/shards")
+      ShardWriter.manifestOf(planned, Seq("batch_id", "shard"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$path/manifest")
+    } finally planned.unpersist(false)
   }
 
   /** The J24 sink: every microbatch of curated docs becomes

@@ -148,4 +148,23 @@ class AnnRecallSpec extends SparkSpecBase {
       .forall { case Seq(a, b) => b >= a case _ => true },
       s"cand_rows not monotone in nprobe: $byWidth")
   }
+
+  test("g16 zero-hit degenerate: every target still reports the widest width, met=false") {
+    // rerankPerProbe = 0 keeps no candidates at any width — the exact
+    // corner where a hits-only join would drop all widths and return
+    // an empty report instead of the documented best-effort rows
+    val emb = Tables.embeddings(spark, sf)
+    val coarse = Embeddings.collectCodebook(
+      Embeddings.kmeansCentroids(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", 2))
+    val cbs = Embeddings.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 16, 2)
+    val rep = Embeddings.nprobeSizingReport(emb, emb.filter(col("vec_id") < 10),
+      coarse, cbs, "vec_id", "embedding", 16, Seq(1, 2, 4), 0, 10, Seq(50, 90))
+      .collect()
+    assert(rep.length == 2, s"expected one row per target: ${rep.toSeq}")
+    rep.foreach { r =>
+      assert(!r.getBoolean(2) && r.getInt(1) == 4 && r.getLong(3) == 0L,
+        s"degenerate row wrong: $r")
+    }
+  }
 }

@@ -110,5 +110,9 @@ class GridQuantileSpec extends SparkSpecBase {
     // non-nesting grids are refused loudly
     intercept[IllegalArgumentException](
       ScaleOps.gridSizingReport(df, "g", "v", Seq(3, 8), Seq(50)))
+    // duplicate grids too — the explode would merge their counts into
+    // one double-counted row instead of the old two duplicate rows
+    intercept[IllegalArgumentException](
+      ScaleOps.gridSizingReport(df, "g", "v", Seq(8, 8), Seq(50)))
   }
 }

@@ -559,4 +559,17 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(finalSection, "FileScan parquet") == 1, finalSection.take(3000))
     assert(count(finalSection, "ReusedExchange") >= 1, finalSection.take(3000))
   }
+
+  test("r13 additions: every small-frame join broadcasts — no cartesian anywhere") {
+    // f16's component-size window, h22's JSD grid, p27's three-method
+    // scoreboard, p28's threshold explode and g16's probe chain all
+    // cross small frames into corpus-sized ones: each must compile to
+    // a broadcast join, never CartesianProduct
+    for (q <- Seq("f16_softdedup_weights", "h22_token_drift_report",
+        "p27_contamination_scoreboard", "p28_classifier_operating_report",
+        "g16_nprobe_sizing")) {
+      val p = executedPlan(q)
+      assert(count(p, "CartesianProduct") == 0, s"$q: ${p.take(400)}")
+    }
+  }
 }

@@ -40,8 +40,22 @@ object Bench {
     val onlyPrefix: Option[String] = args.headOption
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => onlyPrefix.forall(n.startsWith))
+    // Warm pass doubles as the CLASSIFICATION pass (the r13 verdict's
+    // two-baseline item): each query's executed plan is classified
+    // compute-bound vs shuffle-bound ONCE, from its exchange count —
+    // cross-round diffs (tools/bench_diff.py) then normalize each
+    // class by its own anchor (t1 for compute, the sh shuffle leg for
+    // shuffle), because one compute anchor provably under-corrects
+    // shuffle-heavy walls on a contended host (r13 run 3: +15 %).
+    val queryClass = scala.collection.mutable.Map[String, String]()
     names.foreach { name =>
-      try run(SparkEntry.queries(name)(spark, warmDir))
+      try {
+        val df = SparkEntry.queries(name)(spark, warmDir)
+        run(df)
+        val ex = "Exchange".r
+          .findAllIn(df.queryExecution.executedPlan.toString).length
+        queryClass(name) = if (ex >= 3) "shuffle" else "compute"
+      }
       catch { case _: Throwable => () }
     }
 
@@ -233,9 +247,16 @@ object Bench {
     // field order = tail-truncation priority: the bulky evidence
     // (per-pass arrays, sf1 section) prints FIRST and the headline
     // numbers LAST, so a bounded-tail capture always keeps them.
+    // the two @sized entries are banded-join constructions — shuffle
+    // class by plan shape (their base queries classify the same way)
+    mainSized.foreach { case (n, _) => queryClass(n) = "shuffle" }
+    val classesJson = results.map { case (k, _) =>
+      "\"" + k + "\":\"" + queryClass.getOrElse(k, "compute") + "\""
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""passes":$passes,""" + sf1Json +
       s""""queries":$qs,"n_queries":${results.size},""" +
+      s""""classes":$classesJson,""" +
       s""""max_query":"${mx._1}","max_sec":${fmt(mx._2)},""" +
       s""""slowest10":$slowest10,""" +
       s""""anchor":$anchor,""" +

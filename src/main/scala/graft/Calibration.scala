@@ -65,8 +65,31 @@ object Calibration {
         .mapPartitions(it => it.map(s => mix(s + 1, Iters)))
         .reduce(_ ^ _)
     }
+    // SHUFFLE anchor (the r13 two-baseline finding: a mid-range host
+    // ran shuffle-heavy legs +15 % vs compute-normalized expectation
+    // — one compute anchor cannot normalize both classes): a fixed
+    // pure-shuffle scenario — 4M rows hashed to 1M keys, one forced
+    // exchange + hash aggregation, no I/O — whose result is asserted
+    // (Σ id = n(n−1)/2), so a short-circuited plan can't pass.
+    // Shuffle-classified queries normalize by THIS ratio in
+    // tools/bench_diff.py; compute-classified ones by t1.
+    def shLeg(): Double = timed {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val n = 4000000L
+      val got = spark.range(n)
+        .select(pmod(org.apache.spark.sql.functions.col("id") * 2654435761L,
+          lit(1048576L)).as("k"), org.apache.spark.sql.functions.col("id").as("v"))
+        .repartition(org.apache.spark.sql.functions.col("k"))
+        .groupBy("k").agg(sum("v").as("s"))
+        .agg(sum("s")).as[Long].head()
+      require(got == n * (n - 1) / 2, s"shuffle anchor result wrong: $got")
+      got
+    }
     val t1 = math.min(t1Leg(), t1Leg())
     val mt = math.min(mtLeg(), mtLeg())
-    s"""{"iters":$Iters,"cpus":$cpus,"t1_sec":${fmt(t1)},"mt_sec":${fmt(mt)}}"""
+    val sh = math.min(shLeg(), shLeg())
+    s"""{"iters":$Iters,"cpus":$cpus,"t1_sec":${fmt(t1)},"mt_sec":${fmt(mt)},""" +
+      s""""sh_sec":${fmt(sh)}}"""
   }
 }

@@ -535,6 +535,110 @@ object HashUtil {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Positioned window hashes at NESTED doubling window sizes
+    * (k0, 2·k0, 4·k0, …) in ONE row-local pass — the f14c one-scan
+    * fold (the e14f grid-in-sketch-space treatment applied to
+    * exact-substring sizing). The k0 level is [[tokenWindowHashes]]'
+    * double Rabin–Karp verbatim except the two prime streams are
+    * kept SEPARATE through the fold; each wider level composes per
+    * prime by the polynomial-hash identity
+    * h_2k(p) = (h_k(p)·B^k + h_k(p+k)) mod P, so every level is
+    * bit-identical to the direct k-window hash (the Horner fold over
+    * 2k tokens splits exactly at token k) — spec-pinned. Products
+    * stay < 2⁶⁰ (both operands < 2³⁰). The combined h = h1·P2 + h2
+    * recomposes only at emit, exactly like the direct kernel.
+    *
+    * Output: struct rows (k, pos, h), level-major then position —
+    * one array a query explodes once, replacing one corpus scan +
+    * tokenize + hash PER window size with one scan total. A level
+    * with no windows (doc shorter than its k) emits nothing, same
+    * as the direct kernel's empty array.
+    */
+  def tokenWindowHashGrid(s: UTF8String, k0: Int, levels: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks0 = Whitespace.split(s.toLowerCase.toString)
+    var nt = 0
+    val toks = new Array[String](toks0.length)
+    var i = 0
+    while (i < toks0.length) {
+      if (toks0(i).nonEmpty) { toks(nt) = toks0(i); nt += 1 }
+      i += 1
+    }
+    if (nt < k0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val P1 = HashUtil.P
+    val P2 = RollP2
+    val B = RollB
+    val t1 = new Array[Long](nt)
+    val t2 = new Array[Long](nt)
+    i = 0
+    while (i < nt) {
+      val h = md5Prefix64(UTF8String.fromString(toks(i)))
+      t1(i) = h % P1
+      t2(i) = h % P2
+      i += 1
+    }
+    // level 0: rolling k0-window streams, primes separate
+    var m = nt - k0 + 1
+    var a1 = new Array[Long](m)
+    var a2 = new Array[Long](m)
+    var bk1 = 1L
+    var bk2 = 1L
+    var t = 0
+    while (t < k0 - 1) { bk1 = (bk1 * B) % P1; bk2 = (bk2 * B) % P2; t += 1 }
+    var h1 = 0L
+    var h2 = 0L
+    i = 0
+    while (i < k0) { h1 = (h1 * B + t1(i)) % P1; h2 = (h2 * B + t2(i)) % P2; i += 1 }
+    a1(0) = h1; a2(0) = h2
+    var j = 1
+    while (j < m) {
+      h1 = ((h1 - t1(j - 1) * bk1) % P1 + P1) % P1
+      h1 = (h1 * B + t1(j + k0 - 1)) % P1
+      h2 = ((h2 - t2(j - 1) * bk2) % P2 + P2) % P2
+      h2 = (h2 * B + t2(j + k0 - 1)) % P2
+      a1(j) = h1; a2(j) = h2
+      j += 1
+    }
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](levels * m)
+    var k = k0
+    var lvl = 0
+    while (lvl < levels && m >= 1) {
+      j = 0
+      while (j < m) {
+        buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](k, j, a1(j) * P2 + a2(j)))
+        j += 1
+      }
+      lvl += 1
+      if (lvl < levels) {
+        // compose k → 2k per prime: B^k mod P from repeated squaring
+        // of literals is overkill at these sizes — a k-step product
+        // stays exact and runs once per level per row
+        var pk1 = 1L
+        var pk2 = 1L
+        t = 0
+        while (t < k) { pk1 = (pk1 * B) % P1; pk2 = (pk2 * B) % P2; t += 1 }
+        val m2 = m - k
+        if (m2 >= 1) {
+          val n1 = new Array[Long](m2)
+          val n2 = new Array[Long](m2)
+          j = 0
+          while (j < m2) {
+            n1(j) = (a1(j) * pk1 + a1(j + k)) % P1
+            n2(j) = (a2(j) * pk2 + a2(j + k)) % P2
+            j += 1
+          }
+          a1 = n1; a2 = n2
+        }
+        m = m2
+        k = k * 2
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+
   /** Fused tokenize→hash→SimHash kernel for
     * [[graft.functions.SimHash32]]: one pass over the lowercased
     * whitespace tokens of `s`; each token's 32-bit hash
@@ -1061,6 +1165,34 @@ case class TokenWindowHashes64(child: Expression, k: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** Positioned window hashes at nested doubling window sizes
+  * (k0, 2k0, …) in one compiled pass — see
+  * [[HashUtil.tokenWindowHashGrid]] (the f14c one-scan fold). Each
+  * level is bit-identical to [[TokenWindowHashes64]] at that k.
+  */
+case class TokenWindowHashGrid(child: Expression, k0: Int, levels: Int)
+    extends UnaryExpression {
+  require(k0 >= 1, s"base window size must be >= 1, got $k0")
+  require(levels >= 1, s"levels must be >= 1, got $levels")
+  override def dataType: DataType = {
+    import org.apache.spark.sql.types._
+    ArrayType(StructType(Seq(
+      StructField("k", IntegerType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.tokenWindowHashGrid(v.asInstanceOf[UTF8String], k0, levels)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil.tokenWindowHashGrid($c, $k0, $levels)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashGrid =
+    copy(child = newChild)
+}
+
 /** The 64-bit per-document SimHash pipeline as one native kernel —
   * see [[HashUtil.simhash64]].
   */
@@ -1132,6 +1264,13 @@ object HashFunctions {
     */
   def tokenWindowHashes64(c: Column, k: Int): Column =
     ColumnBridge.column(TokenWindowHashes64(ColumnBridge.expression(c), k))
+
+  /** Nested doubling-window hash grid (native, codegen'd) — see
+    * [[TokenWindowHashGrid]].
+    */
+  def tokenWindowHashGrid(c: Column, k0: Int, levels: Int): Column =
+    ColumnBridge.column(
+      TokenWindowHashGrid(ColumnBridge.expression(c), k0, levels))
 
   /** All nine Gopher-repetition n-gram stats in one compiled pass
     * (native, codegen'd) — see [[GramRepStats64]].

@@ -928,6 +928,74 @@ object Dedup {
       .na.fill(0L, Seq("n_dup_windows", "n_dup_tokens"))
   }
 
+  /** F14c's window-length sizing report in ONE corpus scan — the
+    * e14f/e25d one-scan-instrument treatment applied to
+    * exact-substring dedup: corpus-total window count, duplicate
+    * windows and duplicate-token coverage at every window size in
+    * `ks`, from a single tokenize+hash pass. The window sizes must
+    * form a doubling chain (25, 50, 100, …): the
+    * [[graft.functions.HashFunctions.tokenWindowHashGrid]] kernel
+    * computes the base-k streams once and composes each wider level
+    * per prime via h_2k(p) = (h_k(p)·B^k + h_k(p+k)) mod P — exact
+    * for a polynomial hash, so every level is bit-identical to the
+    * direct [[substringDedupStats]] hashes (spec-pinned), and the
+    * three-scan spelling (one full F14 pass per k) collapses to one.
+    *
+    * Scale shape: ONE FileScan by construction (the grid explodes in
+    * hash space, level-tagged; the exploded frame persists and feeds
+    * keeper aggregation, marking join and totals). All corpus-sized
+    * shuffles carry (k, 8-byte hash) keys; the level fan-out is
+    * Σ_k (n−k+1) ≈ |ks|·n rows over the SAME exchange, where the
+    * per-k spelling paid |ks| separate scans + tokenizations + hash
+    * passes. Levels with no windows anywhere still report (anchored
+    * on the literal k list, zeros filled — the honest "this k cuts
+    * nothing" row).
+    */
+  def substringWindowLengthReport(df: DataFrame, idCol: String,
+                                  textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty, "at least one window size required")
+    require(ks.distinct.size == ks.size,
+      s"duplicate window sizes in $ks: the level explode would " +
+        "double-count their windows (gridSizingReport's rule)")
+    val sorted = ks.sorted
+    val k0 = sorted.head
+    sorted.zipWithIndex.foreach { case (k, i) =>
+      require(k == (k0 << i),
+        s"window sizes must form a doubling chain from $k0 (got $k at " +
+          s"level $i): the one-scan Horner composition depends on it") }
+    val frame = persistTracked(df
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(graft.functions.HashFunctions.tokenWindowHashGrid(
+          col(textCol), k0, sorted.size)).as("kw"))
+      .select(col(idCol), col("kw.k").as("k"),
+        col("kw.pos").as("pos"), col("kw.h").as("h")))
+    val kdoc = frame.groupBy("k", "h").agg(min(col(idCol)).as("kdoc"))
+    val keeper = frame.join(kdoc, Seq("k", "h"))
+      .filter(col(idCol) === col("kdoc"))
+      .groupBy("k", "h", "kdoc").agg(min(col("pos")).as("kpos"))
+    val dup = frame.join(keeper, Seq("k", "h"))
+      .filter(!(col(idCol) === col("kdoc") && col("pos") === col("kpos")))
+      .select(col("k"), col(idCol), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col(idCol)).orderBy(col("pos"))
+    val covTot = dup.withColumn("np", lead(col("pos"), 1).over(w))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("np").isNull, col("k"))
+          .otherwise(least(col("k"), col("np") - col("pos"))))
+          .cast("long").as("n_dup_tokens"))
+    val winTot = frame.groupBy("k").agg(count(lit(1)).as("n_windows"))
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    sorted.toDF("k")
+      .join(winTot, Seq("k"), "left")
+      .join(covTot, Seq("k"), "left")
+      .na.fill(0L, Seq("n_windows", "n_dup_windows", "n_dup_tokens"))
+      .select(col("k"), col("n_windows"), col("n_dup_windows"),
+        col("n_dup_tokens"))
+  }
+
   /** The CUT step of exact-substring dedup (F14b) — what
     * [[substringDedupStats]] measures, applied: every token covered
     * by a duplicate (non-keeper) window is REMOVED from the

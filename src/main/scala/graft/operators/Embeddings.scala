@@ -579,6 +579,10 @@ object Embeddings {
                          idCol: String, vecCol: String, subDim: Int,
                          nprobes: Seq[Int], rerankPerProbe: Int, k: Int)
       : (DataFrame, DataFrame) = {
+    require(nprobes.distinct.size == nprobes.size,
+      s"duplicate probe widths in $nprobes: the per-width union would " +
+        "double-count n_hits while candTotals' distinct dedupes cand_rows " +
+        "— silently inconsistent output (gridSizingReport's rule)")
     import graft.functions.VectorFunctions
     val codes = array(cbs.zipWithIndex.map { case (cb, m) =>
       VectorFunctions.pqSubCodeFrom(col(vecCol), cb, m, subDim)

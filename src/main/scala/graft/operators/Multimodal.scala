@@ -352,6 +352,40 @@ object Multimodal {
           (col("n_text") + col("n_media") - col("n_both")))
   }
 
+  /** I12 — cross-modal CANONICAL selection (what I11 measures,
+    * APPLIED): union the text and media pair lists into ONE component
+    * graph at asset grain and run P6 keep-best over it — the joint
+    * dedup decision a multimodal corpus actually ships. A text-only
+    * twin, a media-only twin and a both-modality twin of one asset
+    * all collapse into a single cluster and exactly one canonical
+    * survives (highest `qualityCol`, ties to the smallest id — P6's
+    * deterministic two-stage argmax); an asset neither pass paired
+    * stays its own canonical.
+    *
+    * Scale: the union graph is PAIR-BOUNDED — both inputs are banded
+    * candidate pair lists (Σ bucket², never all-pairs), their union
+    * is at most their sum, and components run over that edge list
+    * alone; the corpus joins in once, by id, for the quality argmax.
+    */
+  def crossModalCanonical(textPairs: DataFrame, mediaPairs: DataFrame,
+                          docs: DataFrame, idCol: String,
+                          qualityCol: String): DataFrame = {
+    val edges = textPairs.select("a", "b")
+      .unionByName(mediaPairs.select("a", "b")).distinct()
+    val comp = Dedup.connectedComponents(edges, "a", "b")
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    val best = labeled.groupBy(col("component"))
+      .agg(max(col(qualityCol)).as("__bq"), count(lit(1)).as("n_members"))
+    labeled.join(best, "component")
+      .filter(col(qualityCol) === col("__bq"))
+      .groupBy(col("component"), col("__bq"), col("n_members"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .select(col("component"), col("keep_id"),
+        col("__bq").as("best_quality"), col("n_members"))
+  }
+
   // ------------------------------------------------------------------
   // I9 — SEQUENCE-level (video) dedup: multi-frame assets dedup at the
   // ASSET grain, so re-encoded or trimmed copies of one clip collapse.

@@ -43,12 +43,17 @@ object ShardWriter {
 
   /** The packing plan: P4's shard assignment over (doc_id, text,
     * source) plus the per-doc signals the manifest aggregates.
+    * `orderCol` is the numeric total-order key the prefix sum packs
+    * along — doc_id by default (today's contract); P26 passes a
+    * composed (phase, doc_id) key so shards come out in CURRICULUM
+    * order and a staged training run consumes them sequentially.
+    * Extra input columns (e.g. the phase label) ride through to the
+    * plan for the shard files and manifest mixes.
     */
   def planShards(docs: DataFrame,
-                 tokensPerShard: Long = TokensPerShard): DataFrame =
-    ScaleOps.prefixSum(
-        withSignals(docs.select("doc_id", "text", "source")),
-        "doc_id", "n_tokens", 64L)
+                 tokensPerShard: Long = TokensPerShard,
+                 orderCol: String = "doc_id"): DataFrame =
+    ScaleOps.prefixSum(withSignals(docs), orderCol, "n_tokens", 64L)
       .withColumn("shard",
         floor((col("cum") - col("n_tokens")).cast("double") / tokensPerShard)
           .cast("long"))
@@ -59,9 +64,11 @@ object ShardWriter {
     * hash-route to one task). mode=overwrite makes the re-write
     * idempotent: same corpus ⇒ byte-identical shard files.
     */
-  def writeShards(planned: DataFrame, path: String): Unit =
+  def writeShards(planned: DataFrame, path: String,
+                  extraCols: Seq[String] = Nil): Unit =
     planned
-      .select("doc_id", "text", "source", "n_tokens", "doc_hash", "shard")
+      .select(("doc_id" +: "text" +: "source" +: "n_tokens" +: "doc_hash" +:
+        extraCols :+ "shard").map(col): _*)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
@@ -75,31 +82,36 @@ object ShardWriter {
     * passes (batch_id, shard) — shard ids are batch-scoped there.
     */
   def manifestOf(rows: DataFrame,
-                 keys: Seq[String] = Seq("shard")): DataFrame = {
+                 keys: Seq[String] = Seq("shard"),
+                 mixCols: Seq[String] = Seq("source")): DataFrame = {
     // partition discovery infers shard=/batch_id= as INT; normalize
     // to LONG so plan-side and file-side manifests agree in schema
     val keyCols = keys.map(k => col(k).cast("long").as(k))
-    val sig = withSignals(rows.select(keyCols ++
-      Seq(col("doc_id"), col("text"), col("source")): _*))
-    val mix = sig.groupBy(keys.map(col) :+ col("source"): _*)
-      .agg(count(lit(1)).as("n"))
-      .groupBy(keys.map(col): _*)
-      .agg(concat_ws(",",
-        array_sort(collect_list(concat(col("source"), lit(":"), col("n")))))
-        .as("source_mix"))
-    sig.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("doc_id")).as("min_doc_id"),
-        max(col("doc_id")).as("max_doc_id"),
-        sum(col("n_tokens")).as("n_tokens"),
-        expr("bit_xor(doc_hash)").as("content_hash"))
-      .join(mix, keys)
+    val carry = (Seq("doc_id", "text", "source") ++ mixCols).distinct
+    val sig = withSignals(rows.select(keyCols ++ carry.map(col): _*))
+    val mixes = mixCols.map { mc =>
+      sig.groupBy(keys.map(col) :+ col(mc): _*)
+        .agg(count(lit(1)).as("n"))
+        .groupBy(keys.map(col): _*)
+        .agg(concat_ws(",",
+          array_sort(collect_list(concat(col(mc), lit(":"), col("n")))))
+          .as(s"${mc}_mix"))
+    }
+    mixes.foldLeft(
+      sig.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"),
+          sum(col("n_tokens")).as("n_tokens"),
+          expr("bit_xor(doc_hash)").as("content_hash")))(
+      (acc, m) => acc.join(m, keys))
   }
 
   /** The read-back manifest: recomputed from the files alone. Equal
     * to `manifestOf(planShards(corpus))` iff the round trip was
     * faithful — the p25 oracle's claim.
     */
-  def manifestFromFiles(spark: SparkSession, path: String): DataFrame =
-    manifestOf(spark.read.parquet(path))
+  def manifestFromFiles(spark: SparkSession, path: String,
+                        mixCols: Seq[String] = Seq("source")): DataFrame =
+    manifestOf(spark.read.parquet(path), Seq("shard"), mixCols)
 }

@@ -167,6 +167,13 @@ object TextOps {
     * batch boundaries).
     */
   def driftReportFromCounts(counts: DataFrame, sliceCol: String): DataFrame = {
+    // Quantization bound: each per-token contribution is rounded
+    // half-up at 6 dp BEFORE the decimal sum (cross-engine
+    // exactness), so jsd6 ≤ ln 2 + |corpus vocab|·5e-7 — the true
+    // divergence is ≤ ln 2, but a large vocabulary with near-disjoint
+    // slice distributions can push the quantized sum past it by the
+    // accumulated half-ulps. Consumers asserting the ln 2 invariant
+    // must allow that epsilon (StreamBench's J25 read-out does).
     // tie-stable 6-dp quantize — the same four IEEE ops in both
     // engines (multiply, add, floor, divide); see h7's rationale
     def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)

@@ -258,6 +258,103 @@ object PipelineQueries {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"),
         col("bg.c").as("c"))
 
+  /** P18/P26 shared per-doc curriculum frame: (doc_id, phase 1..4) —
+    * difficulty is h7's unigram NLL (exact q6/decimal spelling, so
+    * the ORDERING KEY is bit-identical across engines), phases are
+    * ntile(4) over the total order (avg_nll, doc_id). P18 reports the
+    * per-phase source mix; P26 PACKS the corpus in this order. Both
+    * consume this exact frame (and the matching SQL CTEs below), so
+    * the two instruments cannot drift — the p27 scoreboard rule.
+    */
+  private def curriculumPhaseFrame(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.operators.TrackedCache.persist(sharedTokenCounts(s, dir))
+    val totals = tok.agg(sum(col("c")).as("__n_total"))
+    val freq = tok.groupBy(col("w")).agg(sum(col("c")).as("__cnt"))
+    val nll = QueryDefs.q6(-log(col("__cnt").cast("double") / col("__n_total")))
+    tok.join(freq, "w")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(QueryDefs.q6(
+        sum(nll.cast("decimal(18,6)") * col("c")).cast("double") / sum(col("c")))
+        .as("avg_nll"))
+      .withColumn("phase",
+        ntile(4).over(Window.orderBy(col("avg_nll"), col("doc_id"))))
+      .select(col("doc_id"), col("phase"))
+  }
+
+  /** The SQL mirror of [[curriculumPhaseFrame]] — CTEs ending in
+    * `phased(doc_id, phase)`, shared verbatim by the p18 and p26
+    * oracles.
+    */
+  private val curriculumPhasesSql: String = """tok AS (
+          SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        perdoc AS (
+          SELECT doc_id,
+            floor(CAST(SUM(CAST(
+                floor(-ln(CAST(cnt AS DOUBLE) / n_total) * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
+          FROM tok JOIN freq USING (w) CROSS JOIN tot
+          GROUP BY doc_id),
+        phased AS (SELECT doc_id,
+            ntile(4) OVER (ORDER BY avg_nll, doc_id) AS phase
+          FROM perdoc)"""
+
+  /** Shared I11/I12 construction (the p27 one-frame rule): the
+    * planted multimodal corpus — sf docs 0..1999 plus, for base ids
+    * 0..9, a both-modality twin (+100000: same caption, re-encoded
+    * image), a text-only twin (+200000: same caption, fresh image)
+    * and a media-only twin (+300000: fresh caption, re-encoded
+    * image) — with its text pair list (f3's banded MinHash over
+    * captions) and media pair list (i5b's real decode→DCT→band
+    * pipeline). I11 measures the agreement between the two lists;
+    * I12 unions them into the joint component graph. Both consume
+    * these exact frames, so instrument and decision cannot drift.
+    */
+  private def crossModalFrames(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .filter(col("doc_id") < 2000)
+    val planted = docs.filter(col("doc_id") < 10)
+    val freshCaption = concat_ws(" ", lit("media"), lit("only"),
+      lit("twin"), concat(lit("nr"), col("doc_id")),
+      concat(lit("alpha"), col("doc_id")), concat(lit("beta"), col("doc_id")),
+      concat(lit("gamma"), col("doc_id")), concat(lit("delta"), col("doc_id")))
+    val corpus = docs
+      .unionByName(planted.withColumn("doc_id", col("doc_id") + 100000))
+      .unionByName(planted.withColumn("doc_id", col("doc_id") + 200000))
+      .unionByName(planted.select((col("doc_id") + 300000).as("doc_id"),
+        freshCaption.as("text")))
+    val textPairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 4)
+      .select("a", "b")
+    val ids = Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 2000)
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
+    val recs = ids.mapPartitions(it => it.flatMap { id =>
+      val png = graft.operators.MediaCodec.synthImagePng(id, 96, 96)
+      val orig = graft.operators.Multimodal.MediaRecord(id, png, "image", "png")
+      if (id < 10) {
+        val re = graft.operators.MediaCodec.reencodeJpeg(png).get
+        Iterator(orig,
+          graft.operators.Multimodal.MediaRecord(id + 100000, re, "image", "jpeg"),
+          graft.operators.Multimodal.MediaRecord(id + 200000,
+            graft.operators.MediaCodec.synthImagePng(id + 200000, 96, 96),
+            "image", "png"),
+          graft.operators.Multimodal.MediaRecord(id + 300000, re, "image", "jpeg"))
+      } else Iterator(orig)
+    })
+    val mediaPairs = graft.operators.Multimodal
+      .mediaNearDupPairsReal(s, recs, maxHamming = 7).select("a", "b")
+    (corpus, textPairs, mediaPairs)
+  }
+
   // Memo entries hold session-backed plans and localCheckpoint RDDs;
   // without eviction they outlive the application in multi-session
   // processes (test suites, notebook hosts). One listener per
@@ -862,21 +959,17 @@ object PipelineQueries {
     // and duplicate-token coverage at k = 25 / 50 / 100. Halving k
     // roughly doubles the cut volume on a boilerplate-heavy corpus;
     // this 3-row table is what a pipeline owner reads before
-    // committing to the paper's k=50 default. Three passes of the
-    // F14 machinery (each persisting its own window frame), three
-    // scalar aggregates out.
+    // committing to the paper's k=50 default. ONE pass of the F14
+    // machinery: the TokenWindowHashGrid kernel computes the k=25
+    // streams once and Horner-composes 50 and 100 per prime
+    // (bit-identical to the direct hashes, spec-pinned), so the
+    // level fan-out happens in hash space and a single FileScan
+    // feeds all three k — where the per-k spelling paid three
+    // corpus scans + tokenizations (the e14f/e25d treatment).
     QueryDef("f14c_window_length_report",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        Seq(25, 50, 100).map { k =>
-          Dedup.substringDedupStats(docs, "doc_id", "text", k)
-            .agg(sum("n_windows").as("n_windows"),
-              sum("n_dup_windows").as("n_dup_windows"),
-              sum("n_dup_tokens").as("n_dup_tokens"))
-            .select(lit(k).as("k"), col("n_windows"),
-              col("n_dup_windows"), col("n_dup_tokens"))
-        }.reduce(_ unionByName _).orderBy("k")
-      },
+      (s, dir) => Dedup.substringWindowLengthReport(
+        Tables.documents(s, dir), "doc_id", "text", Seq(25, 50, 100))
+        .orderBy("k"),
       Some {
         def block(k: Int) = s"""SELECT * FROM (
           WITH words AS (
@@ -3019,40 +3112,33 @@ object PipelineQueries {
     // never pairwise-compared.
     QueryDef("i11_crossmodal_agreement",
       (s, dir) => {
-        import s.implicits._
-        val docs = Tables.documents(s, dir).select("doc_id", "text")
-          .filter(col("doc_id") < 2000)
-        val planted = docs.filter(col("doc_id") < 10)
-        val freshCaption = concat_ws(" ", lit("media"), lit("only"),
-          lit("twin"), concat(lit("nr"), col("doc_id")),
-          concat(lit("alpha"), col("doc_id")), concat(lit("beta"), col("doc_id")),
-          concat(lit("gamma"), col("doc_id")), concat(lit("delta"), col("doc_id")))
-        val corpus = docs
-          .unionByName(planted.withColumn("doc_id", col("doc_id") + 100000))
-          .unionByName(planted.withColumn("doc_id", col("doc_id") + 200000))
-          .unionByName(planted.select((col("doc_id") + 300000).as("doc_id"),
-            freshCaption.as("text")))
-        val textPairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", 4)
-          .select("a", "b")
-        val ids = Tables.documents(s, dir).select(col("doc_id"))
-          .filter(col("doc_id") < 2000)
-          .repartition(s.sparkContext.defaultParallelism).as[Long]
-        val recs = ids.mapPartitions(it => it.flatMap { id =>
-          val png = graft.operators.MediaCodec.synthImagePng(id, 96, 96)
-          val orig = graft.operators.Multimodal.MediaRecord(id, png, "image", "png")
-          if (id < 10) {
-            val re = graft.operators.MediaCodec.reencodeJpeg(png).get
-            Iterator(orig,
-              graft.operators.Multimodal.MediaRecord(id + 100000, re, "image", "jpeg"),
-              graft.operators.Multimodal.MediaRecord(id + 200000,
-                graft.operators.MediaCodec.synthImagePng(id + 200000, 96, 96),
-                "image", "png"),
-              graft.operators.Multimodal.MediaRecord(id + 300000, re, "image", "jpeg"))
-          } else Iterator(orig)
-        })
-        val mediaPairs = graft.operators.Multimodal
-          .mediaNearDupPairsReal(s, recs, maxHamming = 7).select("a", "b")
+        val (_, textPairs, mediaPairs) = crossModalFrames(s, dir)
         graft.operators.Multimodal.crossModalAgreement(textPairs, mediaPairs)
+      },
+      None),
+
+    // I12: cross-modal CANONICAL selection — I11's two pair lists
+    // composed into ONE component graph (union of text and media
+    // edges at asset grain) with P6 keep-best over it: the joint
+    // dedup decision a multimodal corpus actually ships. Each planted
+    // base doc's three twins (text-only, media-only, both) collapse
+    // into a single 4-member cluster with exactly one canonical
+    // (longest caption wins, ties to the smallest id); everything
+    // unpaired keeps itself. Rows-only (media hashes aren't SQL-
+    // replayable); MultimodalSpec pins the planted component and
+    // canonical counts on a controlled corpus. Scale: the union
+    // graph stays PAIR-BOUNDED (sum of two banded candidate lists —
+    // Σ bucket², never all-pairs); the corpus joins once by id for
+    // the quality argmax (§5 note).
+    QueryDef("i12_crossmodal_canonical",
+      (s, dir) => {
+        val (corpus, textPairs, mediaPairs) = crossModalFrames(s, dir)
+        val docsQ = corpus.withColumn("quality",
+          length(col("text")).cast("long"))
+          .select("doc_id", "quality")
+        graft.operators.Multimodal.crossModalCanonical(
+            textPairs, mediaPairs, docsQ, "doc_id", "quality")
+          .orderBy("component")
       },
       None),
 
@@ -3628,13 +3714,18 @@ object PipelineQueries {
     // labels — the curve a pipeline owner reads to pick the keep
     // threshold, on data the model never saw. Everything is exact
     // integer arithmetic (scores are micro-unit BIGINTs by
-    // construction; thresholds are integer-rank deciles; ppm is
-    // cross-multiplication) — zero float anywhere in the verdict
-    // path. Scale note: the decile ranks run over the DISTINCT-score
-    // frame (one row per distinct score, the e14e trick); at 100 TB
-    // the threshold grid would come from the e14e grid sketch
-    // instead — the confusion counts themselves are one broadcast
-    // explode + map-side-combined aggregate either way.
+    // construction; thresholds are integer-rank deciles over GRID
+    // EDGES; ppm is cross-multiplication) — zero float in the
+    // verdict path beyond the shared-IEEE cell quantization.
+    // Scale: scores quantize to a 100k-micro-unit grid (p14's
+    // bounded-histogram treatment) BEFORE the cumulative window, so
+    // the global rank sum runs over a frame bounded by the SCORE
+    // RANGE / step (∝ max doc length), never distinct-score
+    // cardinality (∝ corpus size — micro-unit sums are near-unique,
+    // so the r13 distinct frame grew with N). Thresholds land on
+    // grid edges — floor(score/step)·step, reported with grid_step —
+    // and the integer-rank semantics are unchanged: smallest edge
+    // whose cumulative held-out count reaches ceil(q·n/100).
     QueryDef("p28_classifier_operating_report",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -3649,17 +3740,24 @@ object PipelineQueries {
           .applyWeights(docs.filter(!isTrain), "doc_id", "text", w)
           .join(docs.select(col("doc_id"), target.as("t")), "doc_id")
           .select("doc_id", "score", "t")
-        // decile thresholds via integer ranks over the DISTINCT-score
-        // frame: thr(q) = smallest score whose cumulative count
-        // reaches ceil(q·n/100)
-        val dist = held.groupBy("score").agg(count(lit(1)).as("c"))
+        // decile thresholds via integer ranks over the GRID-CELL
+        // frame: quantize scores to 100k-micro-unit cells first (the
+        // shared-IEEE floor(double) both engines compute bit-equal),
+        // then thr(q) = smallest grid EDGE (cell·step) whose
+        // cumulative count reaches ceil(q·n/100) — the window input
+        // is bounded by score range / step, never by corpus size
+        val step = 100000L
+        val dist = held
+          .withColumn("cell",
+            floor(col("score").cast("double") / lit(step.toDouble)).cast("long"))
+          .groupBy("cell").agg(count(lit(1)).as("c"))
         val cum = dist.withColumn("cum",
-          sum(col("c")).over(Window.orderBy("score")))
+          sum(col("c")).over(Window.orderBy("cell")))
         val n = held.agg(count(lit(1)).as("n"))
         val qs = (10 to 90 by 10)
         val thrAggs = qs.map(q =>
-          min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"), col("score")))
-            .as(s"__t$q"))
+          min(when(col("cum") >= expr(s"(n * $q + 99) DIV 100"),
+            col("cell") * step)).as(s"__t$q"))
         val thr = cum.crossJoin(broadcast(n))
           .agg(thrAggs.head, thrAggs.tail: _*)
           .select(explode(array(qs.map(q =>
@@ -3678,7 +3776,8 @@ object PipelineQueries {
             .withColumn("prec_ppm", expr(
               "CASE WHEN tp + fp > 0 THEN tp * 1000000L div (tp + fp) ELSE 0L END"))
             .withColumn("rec_ppm", expr(
-              "CASE WHEN tp + fn > 0 THEN tp * 1000000L div (tp + fn) ELSE 0L END")),
+              "CASE WHEN tp + fn > 0 THEN tp * 1000000L div (tp + fn) ELSE 0L END"))
+            .withColumn("grid_step", lit(step)),
           col("q"))
       },
       Some("""WITH split AS (
@@ -3714,15 +3813,16 @@ object PipelineQueries {
             any_value(t) AS t
           FROM (SELECT * FROM bk WHERE NOT is_train) h JOIN lam USING (b)
           GROUP BY doc_id),
-        dist AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM held GROUP BY score),
-        cum AS (SELECT score,
-            CAST(SUM(c) OVER (ORDER BY score) AS BIGINT) AS cum FROM dist),
+        dist AS (SELECT CAST(floor(CAST(score AS DOUBLE) / 100000.0) AS BIGINT) AS cell,
+            CAST(COUNT(*) AS BIGINT) AS c FROM held GROUP BY 1),
+        cum AS (SELECT cell,
+            CAST(SUM(c) OVER (ORDER BY cell) AS BIGINT) AS cum FROM dist),
         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM held),
         qv(q) AS (VALUES (CAST(10 AS BIGINT)), (20), (30), (40), (50),
                          (60), (70), (80), (90)),
         thr AS (
           SELECT qv.q,
-            MIN(CASE WHEN cum >= (nn.n * qv.q + 99) // 100 THEN score END) AS threshold
+            MIN(CASE WHEN cum >= (nn.n * qv.q + 99) // 100 THEN cell * 100000 END) AS threshold
           FROM cum CROSS JOIN nn CROSS JOIN qv
           GROUP BY qv.q),
         conf AS (
@@ -3735,7 +3835,8 @@ object PipelineQueries {
           GROUP BY thr.q, thr.threshold)
         SELECT q, threshold, tp, fp, fn, tn,
           CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp) ELSE 0 END AS BIGINT) AS prec_ppm,
-          CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) ELSE 0 END AS BIGINT) AS rec_ppm
+          CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn) ELSE 0 END AS BIGINT) AS rec_ppm,
+          CAST(100000 AS BIGINT) AS grid_step
         FROM conf ORDER BY q""")),
 
     // H15: URL canonicalization dedup — the cheapest and FIRST dedup
@@ -4206,45 +4307,90 @@ object PipelineQueries {
     // tiny agg + a broadcast CASE) — the signal and cuts don't change,
     // only the assignment spelling.
     QueryDef("p18_curriculum_phases",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        // K28 distinct-grain facts, count-weighted (h7's spelling)
-        val tok = graft.operators.TrackedCache.persist(sharedTokenCounts(s, dir))
-        val totals = tok.agg(sum(col("c")).as("__n_total"))
-        val freq = tok.groupBy(col("w")).agg(sum(col("c")).as("__cnt"))
-        val nll = QueryDefs.q6(-log(col("__cnt").cast("double") / col("__n_total")))
-        val perDoc = tok.join(freq, "w")
-          .crossJoin(broadcast(totals))
-          .groupBy(col("doc_id"))
-          .agg(QueryDefs.q6(
-            sum(nll.cast("decimal(18,6)") * col("c")).cast("double") / sum(col("c")))
-            .as("avg_nll"))
-        val phased = perDoc.withColumn("phase",
-          ntile(4).over(Window.orderBy(col("avg_nll"), col("doc_id"))))
-        phased.join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+      (s, dir) =>
+        // K28 distinct-grain facts, count-weighted (h7's spelling) —
+        // the shared curriculumPhaseFrame, which P26 packs by
+        curriculumPhaseFrame(s, dir)
+          .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
           .groupBy("phase", "source")
           .agg(count(lit(1)).as("n_docs"))
-          .orderBy("phase", "source")
-      },
-      Some("""WITH tok AS (
-          SELECT doc_id, unnest(list_filter(
-            regexp_split_to_array(lower(text), '\s+'), w -> w != '')) AS w
-          FROM documents),
-        freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
-        tot AS (SELECT COUNT(*) AS n_total FROM tok),
-        perdoc AS (
-          SELECT doc_id,
-            floor(CAST(SUM(CAST(
-                floor(-ln(CAST(cnt AS DOUBLE) / n_total) * 1000000.0 + 0.5) / 1000000.0
-              AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
-          FROM tok JOIN freq USING (w) CROSS JOIN tot
-          GROUP BY doc_id),
-        phased AS (SELECT doc_id,
-            ntile(4) OVER (ORDER BY avg_nll, doc_id) AS phase
-          FROM perdoc)
+          .orderBy("phase", "source"),
+      Some(s"""WITH $curriculumPhasesSql
         SELECT phase, source, COUNT(*) AS n_docs
         FROM phased JOIN documents USING (doc_id)
         GROUP BY phase, source ORDER BY phase, source""")),
+
+    // P26: CURRICULUM-ORDERED shard emission — the P18→P25
+    // composition a staged training run actually consumes: the
+    // corpus packs into token-budget shards in (phase, doc_id) order
+    // (P18's difficulty phases first, doc_id within), so reading
+    // shards sequentially IS the curriculum schedule — no shuffle or
+    // re-sort at training time. The shard writer takes the composed
+    // numeric order key (phase·10¹⁵ + doc_id — same total order as
+    // (phase, doc_id) while doc ids stay below 10¹⁵); the manifest
+    // gains a per-shard PHASE mix next to the source mix, and the
+    // result here is the READ-BACK manifest (file contents, layout
+    // trusted only for shard/phase labels) while the oracle computes
+    // the same manifest from the PLAN in SQL — the p25 round-trip
+    // proof, now for the curriculum layout. Phases are contiguous
+    // across the shard sequence (boundary shards may straddle two) —
+    // spec-pinned in ShardWriterSpec along with byte-identical
+    // re-writes. Scale: P18's phase frame + P4's prefix sum + one
+    // doc→shard shuffle; the ntile spelling is presentation-sized
+    // (see p18's note — at corpus scale the same phases come from 3
+    // broadcast quantile boundaries).
+    QueryDef("p26_curriculum_shards",
+      (s, dir) => {
+        val out =
+          s"${sys.props("java.io.tmpdir")}/graft_p26_${math.abs(dir.hashCode)}"
+        val withPhase = Tables.documents(s, dir)
+          .select("doc_id", "text", "source")
+          .join(curriculumPhaseFrame(s, dir), "doc_id")
+          .withColumn("okey",
+            col("phase").cast("long") * lit(1000000000000000L) + col("doc_id"))
+        val planned = graft.operators.ShardWriter
+          .planShards(withPhase, orderCol = "okey")
+        graft.operators.ShardWriter.writeShards(planned, out,
+          extraCols = Seq("phase"))
+        graft.operators.ShardWriter
+          .manifestFromFiles(s, out, mixCols = Seq("source", "phase"))
+          .orderBy("shard")
+      },
+      Some(s"""WITH $curriculumPhasesSql,
+        t AS (
+          SELECT d.doc_id, d.source, p.phase,
+            CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+            ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.text), 1, 15))::BIGINT AS doc_hash
+          FROM documents d JOIN phased p USING (doc_id)),
+        c AS (
+          SELECT doc_id, source, phase, n_tokens, doc_hash,
+            SUM(n_tokens) OVER (ORDER BY phase, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+        sh AS (
+          SELECT doc_id, source, phase, n_tokens, doc_hash,
+            CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
+          FROM c),
+        mixs AS (
+          SELECT shard, string_agg(source || ':' || n, ',' ORDER BY source || ':' || n) AS source_mix
+          FROM (SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM sh GROUP BY shard, source)
+          GROUP BY shard),
+        mixp AS (
+          SELECT shard, string_agg(ph || ':' || n, ',' ORDER BY ph || ':' || n) AS phase_mix
+          FROM (SELECT shard, CAST(phase AS VARCHAR) AS ph, CAST(COUNT(*) AS BIGINT) AS n
+                FROM sh GROUP BY shard, phase)
+          GROUP BY shard),
+        m AS (
+          SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+            bit_xor(doc_hash) AS content_hash
+          FROM sh GROUP BY shard)
+        SELECT m.shard, n_docs, min_doc_id, max_doc_id, n_tokens,
+          content_hash, source_mix, phase_mix
+        FROM m JOIN mixs USING (shard) JOIN mixp USING (shard)
+        ORDER BY m.shard""")),
 
     // P19: the DATASET CARD — the per-source datasheet a corpus
     // release publishes (Gebru et al. datasheets; HF dataset cards):

@@ -526,6 +526,29 @@ object AdsbStream {
       .withColumn("batch_id", lit(batchId))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Replay hygiene: dynamic overwrite replaces only the shard
+      // partitions the NEW plan produces. If a replay ever plans
+      // FEWER shards for this batch (tokensPerShard changed between
+      // attempts — outside the determinism contract but cheap to
+      // heal), the old higher-numbered shard dirs would survive as
+      // orphans while the batch's manifest partition is fully
+      // replaced, surfacing only later as audit failures. Prune any
+      // existing shard= dir of THIS batch above the new plan's max
+      // before writing; shard ids are a contiguous 0..max prefix sum,
+      // so the numeric bound is the exact stale set. One tiny
+      // driver-side max over the already-persisted plan.
+      val maxShard = planned.agg(max(col("shard"))).head.getLong(0)
+      val batchDir = new org.apache.hadoop.fs.Path(
+        s"$path/shards/batch_id=$batchId")
+      val fs = batchDir.getFileSystem(
+        batch.sparkSession.sessionState.newHadoopConf())
+      if (fs.exists(batchDir)) fs.listStatus(batchDir).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("shard=") &&
+            scala.util.Try(nm.stripPrefix("shard=").toLong)
+              .toOption.exists(_ > maxShard))
+          fs.delete(st.getPath, true)
+      }
       planned
         .select("doc_id", "text", "source", "n_tokens", "doc_hash",
           "batch_id", "shard")
@@ -643,6 +666,163 @@ object AdsbStream {
       spark.read.parquet(path)
         .groupBy(col(sliceCol), col("w")).agg(sum(col("c_s")).as("c_s")),
       sliceCol)
+
+  /** Fold one microbatch into the streaming NEAR-DUP GROUP state
+    * (J26 — F7's connected components + P6's canonical selection made
+    * incremental, closing the keep-FIRST → keep-BEST gap J11 leaves:
+    * the screen DROPS later twins, so the kept doc is the earliest,
+    * not the best). Two on-disk logs under `path`, both batch_id=
+    * partitioned by the J10 discipline:
+    *
+    *  - `bands/` — EVERY doc's band rows (not survivor-only: group
+    *    members must stay matchable, a dropped doc's future twins
+    *    belong in its cluster),
+    *  - `labels/` — the mergeable LABEL log: (id, label) rows for
+    *    PAIRED docs only (singletons are implicit — their label is
+    *    their own id), where label = the component's min doc id and
+    *    merge = MIN per doc. Min commutes, so read-out is one
+    *    aggregation and the J23 fold hook is the same min.
+    *
+    * Per batch: row-local fingerprints; candidate edges against the
+    * band index (new↔history) plus the in-batch self-join (new↔new);
+    * old endpoints collapse to their CURRENT resolved label (one
+    * pass over the label log — state-rows-sized, near-dup-bounded);
+    * then components over that PAIR-BOUNDED subgraph assign labels.
+    * The one case pure min-merge cannot settle in-batch — a batch
+    * BRIDGING two existing components — triggers the bounded
+    * reconciliation: every member of each LOWERED component gets a
+    * fresh (member, new_label) row in THIS batch's partition, so the
+    * per-doc min is the true component min after every batch (the
+    * induction the parity spec replays). Reconciliation touches only
+    * the affected components' rows — pair-bounded, never the corpus.
+    *
+    * Replay: dynamic partition overwrite on both logs + the J23
+    * noop-guard; reads exclude the current batch id, so a replay
+    * never screens against its own half-written first attempt.
+    * Read-out parity: [[readNearDupLabels]] ≡ batch
+    * [[graft.operators.Dedup.connectedComponents]] over the SAME
+    * banded edge set on the union of all batches (the edge sets are
+    * identical by construction: a cross-batch pair meets when the
+    * later doc arrives, an in-batch pair in its self-join).
+    */
+  def labelBatchIntoGroupState(batch: DataFrame, batchId: Long, idCol: String,
+                               textCol: String, n: Int, path: String,
+                               bandFn: (DataFrame, String, String, Int) => DataFrame =
+                                 graft.operators.Dedup.minhashBandsRowLocal): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bandsPath = s"$path/bands"
+    val labelsPath = s"$path/labels"
+    if (StreamIndexCompaction.compactedThrough(spark, labelsPath) >= batchId)
+      return
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bands = bandFn(batch, idCol, textCol, n)
+      .persist(lvl)
+    val priorBands =
+      try spark.read.parquet(bandsPath)
+        .filter(col("batch_id") =!= batchId)
+        .select(col(idCol).as("__old"), col("band"), col("sig"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(Long, Int, Long)].toDF("__old", "band", "sig") }
+    val priorLabels =
+      try spark.read.parquet(labelsPath)
+        .filter(col("batch_id") =!= batchId)
+        .groupBy(col(idCol)).agg(min(col("label")).as("label"))
+        .persist(lvl)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(Long, Long)].toDF(idCol, "label") }
+    try {
+      // candidate edges, old endpoints collapsed to their resolved label
+      val oldEdges = bands.join(priorBands, Seq("band", "sig"))
+        .select(col(idCol).as("a"), col("__old")).distinct()
+        .join(priorLabels.select(col(idCol).as("__old"),
+          col("label").as("__ol")), Seq("__old"), "left")
+        .select(col("a"), coalesce(col("__ol"), col("__old")).as("b"))
+      val l = bands.select(col(idCol).as("a"), col("band"), col("sig"))
+      val r = bands.select(col(idCol).as("b"), col("band"), col("sig"))
+      val newEdges = l.join(r, Seq("band", "sig"))
+        .filter(col("a") < col("b")).select("a", "b")
+      val edges = oldEdges.unionByName(newEdges).distinct().persist(lvl)
+      try {
+        val comp = graft.operators.Dedup
+          .connectedComponents(edges, "a", "b").persist(lvl)
+        try {
+          val newIds = batch.select(col(idCol).as("id"))
+          val newRows = comp.join(newIds, "id")
+            .select(col("id").as(idCol), col("component").as("label"))
+          // bridged components: an OLD label node whose subgraph
+          // component is smaller was merged under a new min — every
+          // member it governed gets a fresh row (bounded: only
+          // affected components), plus the label doc itself (it may
+          // have no rows of its own — first pairing of an indexed
+          // singleton)
+          val lowered = comp.join(newIds, Seq("id"), "left_anti")
+            .filter(col("component") < col("id"))
+            .select(col("id").as("__oldLabel"), col("component").as("label"))
+          val memberRows = priorLabels
+            .join(lowered, priorLabels("label") === lowered("__oldLabel"))
+            .select(priorLabels(idCol), lowered("label"))
+          val selfRows = lowered.select(col("__oldLabel").as(idCol), col("label"))
+          newRows.unionByName(memberRows).unionByName(selfRows).distinct()
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(labelsPath)
+        } finally comp.unpersist(false)
+      } finally edges.unpersist(false)
+      bands.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(bandsPath)
+    } finally { bands.unpersist(false); priorLabels.unpersist(false) }
+  }
+
+  /** The J26 sink: near-dup GROUP labels maintained incrementally. */
+  def startGroupLabelSink(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        labelBatchIntoGroupState(batch, batchId, idCol, textCol, n, path)
+      }
+      .start()
+
+  /** Read side of J26: resolve the label log to (id, label) — one
+    * MIN per doc, after synthesizing each label's own self-row (a
+    * component's min member may carry no explicit row: its id IS the
+    * label others point at). Returns PAIRED docs only, exactly
+    * [[graft.operators.Dedup.connectedComponents]]' node set over
+    * the union of batches (parity spec-pinned).
+    */
+  def readNearDupLabels(spark: SparkSession, path: String,
+                        idCol: String): DataFrame = {
+    val log = spark.read.parquet(s"$path/labels").select(col(idCol), col("label"))
+    log.unionByName(log.select(col("label").as(idCol), col("label")).distinct())
+      .groupBy(col(idCol)).agg(min(col("label")).as("label"))
+  }
+
+  /** P6 keep-best over the streamed labels (the canonical-selection
+    * read-out J26 exists for): per cluster, the highest-`qualityCol`
+    * member wins, ties to the smallest id — P6's exact two-stage
+    * deterministic argmax, over clusters the STREAM discovered.
+    * `docs` supplies (id, quality); unpaired docs are their own
+    * cluster (kept, size 1).
+    */
+  def canonicalFromLabels(spark: SparkSession, path: String, docs: DataFrame,
+                          idCol: String, qualityCol: String): DataFrame = {
+    val labeled = docs
+      .join(readNearDupLabels(spark, path, idCol), Seq(idCol), "left")
+      .withColumn("label", coalesce(col("label"), col(idCol)))
+    val best = labeled.groupBy(col("label"))
+      .agg(max(col(qualityCol)).as("__bq"), count(lit(1)).as("n_members"))
+    labeled.join(best, "label")
+      .filter(col(qualityCol) === col("__bq"))
+      .groupBy(col("label"), col("__bq"), col("n_members"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .select(col("label").as("component"), col("keep_id"),
+        col("__bq").as("best_quality"), col("n_members"))
+  }
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, endUs: Long, n: Int)

@@ -216,4 +216,25 @@ object StreamIndexCompaction {
     */
   def mergeQuantileState(groupCol: String)(seg: DataFrame): DataFrame =
     seg.groupBy(col(groupCol), col("cell")).agg(sum(col("c")).as("c"))
+
+  /** The J25 token-state merge hook: counter addition per
+    * (slice, token) — [[AdsbStream.readDriftReport]]'s own read-time
+    * merge applied once at rest, shrinking the log from
+    * O(batches × vocab) to one row per (slice, token).
+    */
+  def mergeTokenState(sliceCol: String)(seg: DataFrame): DataFrame =
+    seg.groupBy(col(sliceCol), col("w")).agg(sum(col("c_s")).as("c_s"))
+
+  /** The J26 label-log merge hook: MIN per doc — exactly the
+    * resolution [[AdsbStream.readNearDupLabels]] performs on read
+    * (minus its label self-row synthesis, which stays a read-time
+    * concern: the segment must keep only rows the log actually
+    * asserted, so folding is lossless for every future
+    * reconciliation membership scan). Min commutes and is
+    * idempotent, so any fold boundary yields the same read-out; the
+    * segment shrinks from O(batches × relabels) to one row per
+    * paired doc.
+    */
+  def mergeMinLabel(idCol: String)(seg: DataFrame): DataFrame =
+    seg.groupBy(col(idCol)).agg(min(col("label")).as("label"))
 }

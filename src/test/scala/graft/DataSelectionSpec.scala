@@ -127,6 +127,12 @@ class DataSelectionSpec extends SparkSpecBase {
       assert(r.getLong(6) == (if (tp + fp > 0) tp * 1000000L / (tp + fp) else 0L))
       assert(r.getLong(7) == (if (tp + fn > 0) tp * 1000000L / (tp + fn) else 0L))
     }
+    // thresholds land on grid edges and the step is reported — the
+    // cumulative rank window runs over the bounded cell frame
+    rows.foreach { r =>
+      assert(r.getLong(8) == 100000L)
+      assert(r.getLong(1) % 100000L == 0L, s"threshold off-grid: ${r.getLong(1)}")
+    }
   }
 
   test("p14 buckets are tercile-bounded and head is kept at 100%") {

@@ -78,5 +78,36 @@ class MultimodalSpec extends SparkSpecBase {
     // both: exactly the (i, i+100k) cross-modal twins
     assert(row.getAs[Long]("n_both") == 3L, row.toString)
     assert(math.abs(row.getAs[Double]("pair_jaccard") - 0.2) < 1e-12)
+
+    // I12 over the SAME pair lists: the union graph fuses each
+    // planted id's text triangle {i, i+100k, i+200k} and media
+    // triangle {i, i+100k, i+300k} into ONE 4-member component
+    // labeled i; the 17 unpaired base docs keep themselves. Exactly
+    // one canonical per joint cluster: quality = id % 7 makes the
+    // argmax scriptable per component.
+    val docsQ = (base ++ twins).map { case (id, _) => (id, (id % 7).toDouble) }
+      .toDF("doc_id", "quality")
+    val canon = Multimodal.crossModalCanonical(textPairs, mediaPairs,
+      docsQ, "doc_id", "quality").collect()
+    assert(canon.length == 20, s"3 joint clusters + 17 singletons, got ${canon.length}")
+    val joint = canon.filter(_.getAs[Long]("n_members") == 4L)
+    assert(joint.map(_.getAs[Long]("component")).sorted.toSeq == Seq(0L, 1L, 2L))
+    // per planted id, members {i, i+100000, i+200000, i+300000} have
+    // qualities (i%7, (i+100000)%7, (i+200000)%7, (i+300000)%7);
+    // the expected keeper recomputes the same argmax directly
+    joint.foreach { r =>
+      val i = r.getAs[Long]("component")
+      val members = Seq(i, i + 100000L, i + 200000L, i + 300000L)
+      val bq = members.map(_ % 7).max.toDouble
+      val keep = members.filter(m => (m % 7).toDouble == bq).min
+      assert(r.getAs[Double]("best_quality") == bq, r.toString)
+      assert(r.getAs[Long]("keep_id") == keep, r.toString)
+    }
+    // singletons are their own canonical at their own quality
+    canon.filter(_.getAs[Long]("n_members") == 1L).foreach { r =>
+      assert(r.getAs[Long]("keep_id") == r.getAs[Long]("component"))
+      assert(r.getAs[Double]("best_quality") ==
+        (r.getAs[Long]("component") % 7).toDouble)
+    }
   }
 }

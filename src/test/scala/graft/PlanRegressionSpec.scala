@@ -310,6 +310,33 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(p, "SortAggregate") == 0, p.take(400))
   }
 
+  test("f14c window-length report: ONE corpus scan feeds all three k — the grid explodes in hash space") {
+    // the one-scan property is STRUCTURAL (TokenWindowHashGrid emits
+    // all levels from one tokenize pass; the exploded frame persists
+    // and feeds keeper agg, marking join and totals) — so every
+    // FileScan the plan prints is the SAME cached-build scan replica:
+    // exactly one distinct scan text (expr ids differ across distinct
+    // subtrees, so the r13 three-pass spelling printed three).
+    val p = executedPlan("f14c_window_length_report")
+    assert(count(p, "InMemoryTableScan") >= 4, p.take(400))
+    val scans = "FileScan parquet[^\\[]*\\[[^\\]]*\\]".r.findAllIn(p).toSet
+    assert(scans.size == 1, scans.toString.take(600))
+    assert(count(p, "CartesianProduct") == 0, p.take(400))
+    assert(count(p, "SortAggregate") == 0, p.take(400))
+  }
+
+  test("p28 operating report: the global rank window reads the grid-CELL aggregate, not a corpus-growing frame") {
+    // the SinglePartition cumulative sum is unavoidable for a global
+    // rank, but its INPUT must be the quantized-cell aggregate
+    // (bounded by score range / grid step) — r13 ran it over the
+    // distinct-score frame, which grows with corpus size because
+    // micro-unit score sums are near-unique
+    val p = executedPlan("p28_classifier_operating_report")
+    assert(
+      "Window \\[.*?Exchange SinglePartition.*?HashAggregate\\(keys=\\[cell"
+        .r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("p3c decontamination: eval window set broadcast, corpus never sort-merge joins") {
     val p = executedPlan("p3c_train_decontaminate")
     assert(count(p, "BroadcastHashJoin") >= 1, p.take(400))

@@ -78,6 +78,49 @@ class ShardWriterSpec extends SparkSpecBase {
     }
   }
 
+  test("p26 curriculum packing: re-writes byte-identical, phases contiguous across the shard sequence") {
+    // a synthetic 3-phase corpus with deterministic token lengths:
+    // packing on the composed (phase, doc_id) key must emit shards
+    // whose phase sequence never goes backwards — shard i's max
+    // phase ≤ shard i+1's min phase (boundary shards may straddle)
+    val docs = (0L until 120L).map { i =>
+      val phase = (i % 3 + 1).toInt // deliberately NOT doc_id-ordered
+      (i, Seq.fill(40 + (i % 7).toInt)("tok").mkString(" "), s"src${i % 4}", phase)
+    }.toDF("doc_id", "text", "source", "phase")
+      .withColumn("okey",
+        col("phase").cast("long") * lit(1000000000000000L) + col("doc_id"))
+    val planned = ShardWriter.planShards(docs, 512L, orderCol = "okey")
+    val out1 = java.nio.file.Files.createTempDirectory("graft_p26a").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_p26b").toString
+    ShardWriter.writeShards(planned, out1, extraCols = Seq("phase"))
+    ShardWriter.writeShards(planned, out2, extraCols = Seq("phase"))
+    val (h1, h2) = (fileHashes(out1), fileHashes(out2))
+    assert(h1.nonEmpty && h1 == h2, "curriculum re-write not byte-identical")
+    // phases contiguous across the shard sequence
+    // partition discovery infers shard= as INT; normalize to LONG
+    val span = spark.read.parquet(out1)
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy("shard").agg(min("phase").as("pmin"), max("phase").as("pmax"))
+      .orderBy("shard").collect()
+    assert(span.length > 3, "expect several shards")
+    span.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Int]("pmax") <= b.getAs[Int]("pmin"),
+        s"phase order broke between shards: $a -> $b")
+    }
+    // every phase-1 doc packs before every phase-3 doc
+    val firstP3 = span.collectFirst {
+      case r if r.getAs[Int]("pmin") == 3 => r.getAs[Long]("shard") }.get
+    val lastP1 = span.reverse.collectFirst {
+      case r if r.getAs[Int]("pmax") == 1 => r.getAs[Long]("shard") }.get
+    assert(lastP1 <= firstP3)
+    // the manifest's phase mix accounts for every doc
+    val mix = ShardWriter.manifestFromFiles(spark, out1,
+      mixCols = Seq("source", "phase")).collect()
+    val mixDocs = mix.map(_.getAs[String]("phase_mix")).map(
+      _.split(",").map(_.split(":")(1).toLong).sum).sum
+    assert(mixDocs == 120L)
+  }
+
   test("a tampered shard hash-mismatches the planned manifest") {
     val out = java.nio.file.Files.createTempDirectory("graft_p25t").toString
     val planned = ShardWriter.planShards(docsDf)

@@ -901,4 +901,104 @@ class StreamingSpec extends SparkSpecBase {
     val after = AdsbStream.readDriftReport(spark, path, "source")
     assert(after.exceptAll(direct).isEmpty && direct.exceptAll(after).isEmpty)
   }
+
+  // J26's label machinery driven with a fully deterministic band
+  // family: one band per word, so the candidate graph is EXACTLY
+  // "docs sharing a word" and every merge case is scriptable (the
+  // default minhash family is spec'd via exact dups below and in
+  // RowLocalMinhashSpec — statistics stay out of this test).
+  private def wordBands(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .select(col(idCol), lit(0).as("band"), xxhash64(col("__w")).as("sig"))
+      .distinct()
+
+  private def batchLabelsVia(
+      bandFn: (org.apache.spark.sql.DataFrame, String, String, Int) => org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+    // the batch truth J26 must reproduce: components over the SAME
+    // banded candidate graph, one-shot over the union of batches
+    val b = bandFn(docs, "doc_id", "text", 4)
+    val pairs = b.select(col("doc_id").as("a"), col("band"), col("sig"))
+      .join(b.select(col("doc_id").as("b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    graft.operators.Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("J26 group labels: bridge reconciliation, parity with batch components, replay + compaction invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_j26").toString
+    val b0 = Seq((10L, "a"), (11L, "a b"), (20L, "c"), (21L, "c d"),
+      (30L, "e")).toDF("doc_id", "text")
+    val b1 = Seq((40L, "b d"), (41L, "zz")).toDF("doc_id", "text") // 40 BRIDGES {10,11} and {20,21}
+    val b2 = Seq((5L, "e")).toDF("doc_id", "text") // pairs DOWNWARD with old singleton 30
+    AdsbStream.labelBatchIntoGroupState(b0, 0L, "doc_id", "text", 4, dir, wordBands)
+    AdsbStream.labelBatchIntoGroupState(b1, 1L, "doc_id", "text", 4, dir, wordBands)
+    AdsbStream.labelBatchIntoGroupState(b2, 2L, "doc_id", "text", 4, dir, wordBands)
+    val union = b0.unionByName(b1).unionByName(b2)
+    def streamed: Map[Long, Long] = AdsbStream.readNearDupLabels(spark, dir, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = batchLabelsVia(wordBands, union)
+    assert(want == Map(10L -> 10L, 11L -> 10L, 20L -> 10L, 21L -> 10L,
+      40L -> 10L, 5L -> 5L, 30L -> 5L), s"batch truth unexpected: $want")
+    assert(streamed == want, "streamed labels diverged from batch components")
+
+    // replay of the bridging batch: state must resolve identically
+    val rowsBefore = spark.read.parquet(s"$dir/labels").count()
+    AdsbStream.labelBatchIntoGroupState(b1, 1L, "doc_id", "text", 4, dir, wordBands)
+    assert(spark.read.parquet(s"$dir/labels").count() == rowsBefore,
+      "replay grew the label log")
+    assert(streamed == want, "replay changed resolved labels")
+
+    // compaction with the min-label hook: read-out unchanged, log
+    // shrinks to one row per paired doc
+    import graft.streaming.StreamIndexCompaction
+    StreamIndexCompaction.compactIndex(spark, s"$dir/labels", keepRecent = 1,
+      merge = StreamIndexCompaction.mergeMinLabel("doc_id"))
+    StreamIndexCompaction.compactIndex(spark, s"$dir/bands", keepRecent = 1)
+    assert(streamed == want, "compaction changed resolved labels")
+
+    // a post-compaction batch must still reconcile against the folded
+    // segment: doc 2 pairs with component 10 and LOWERS it — every
+    // member needs a fresh row even though their rows live in the
+    // sentinel segment
+    AdsbStream.labelBatchIntoGroupState(
+      Seq((2L, "a")).toDF("doc_id", "text"), 3L, "doc_id", "text", 4, dir, wordBands)
+    val want2 = batchLabelsVia(wordBands,
+      union.unionByName(Seq((2L, "a")).toDF("doc_id", "text")))
+    assert(want2.filterKeys(Set(2L, 10L, 11L, 20L, 21L, 40L)).forall(_._2 == 2L))
+    assert(streamed == want2, "post-compaction bridge failed to reconcile")
+
+    // canonical selection over the streamed labels (the P6 read-out):
+    // highest quality wins, ties to min id; singletons self-canonical
+    val docsQ = union.unionByName(Seq((2L, "a")).toDF("doc_id", "text"))
+      .withColumn("quality", (col("doc_id") % 7).cast("double"))
+    val canon = AdsbStream.canonicalFromLabels(spark, dir, docsQ, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    // cluster 2 = {2,10,11,20,21,40}: qualities 2,3,4,6,0,5 → keep 20 (6.0)
+    // cluster 5 = {5,30}: qualities 5,2 → keep 5; singleton 41 → keeps itself
+    assert(canon == Set((2L, 20L, 6.0, 6L), (5L, 5L, 5.0, 2L),
+      (41L, 41L, 6.0, 1L)), s"canonical selection wrong: $canon")
+  }
+
+  test("J26 on the default minhash family: exact twins group across batches, label-state rows stay paired-doc-bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_j26m").toString
+    val t1 = "the quick brown fox jumps over the lazy dog tonight again"
+    val t2 = "completely different text about spark engines and scale limits today"
+    val b0 = Seq((1L, t1), (2L, t2),
+      (3L, "unique filler content with no twin anywhere in this stream")).toDF("doc_id", "text")
+    val b1 = Seq((4L, t1), (5L, t2),
+      (6L, "another unique document that matches nothing else at all")).toDF("doc_id", "text")
+    AdsbStream.labelBatchIntoGroupState(b0, 0L, "doc_id", "text", 4, dir)
+    AdsbStream.labelBatchIntoGroupState(b1, 1L, "doc_id", "text", 4, dir)
+    val got = AdsbStream.readNearDupLabels(spark, dir, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 4L -> 1L, 2L -> 2L, 5L -> 2L),
+      s"exact twins must group, uniques must stay out of the log: $got")
+    // the log carries rows for PAIRED docs only — never one per event
+    val logRows = spark.read.parquet(s"$dir/labels").count()
+    assert(logRows <= 4L, s"label log not paired-doc-bounded: $logRows")
+  }
 }

@@ -170,6 +170,64 @@ class SubstringDedupSpec extends SparkSpecBase {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("grid kernel: every doubling level bit-equal to the direct k-window hashes") {
+    // The f14c one-scan fold's exactness claim: composing
+    // h_2k(p) = (h_k(p)·B^k + h_k(p+k)) mod P per prime stream
+    // reproduces the direct 2k-token Horner fold EXACTLY, at every
+    // level, for every doc shape — including docs shorter than a
+    // level's k (that level must emit nothing, like the direct
+    // kernel's empty array) and docs landing exactly on a boundary.
+    val rnd = new scala.util.Random(41)
+    val words = Vector("alpha", "beta", "Gamma", "δοκιμή", "x1", "→", "the", "of")
+    val docs = Seq("", "one", "a b c", "a b c d", "a b c d e f g h",
+      (0 until 16).map(i => s"t$i").mkString(" ")) ++
+      (1 to 8).map(_ => Seq.fill(1 + rnd.nextInt(30))(
+        words(rnd.nextInt(words.length))).mkString(" "))
+    for (doc <- docs; k0 <- Seq(1, 2, 5)) {
+      val grid = spark.createDataset(Seq(doc))
+        .select(explode(HashFunctions.tokenWindowHashGrid(col("value"), k0, 3))
+          .as("kw"))
+        .select(col("kw.k"), col("kw.pos"), col("kw.h"))
+        .as[(Int, Int, Long)].collect().toSeq
+      for (lvl <- 0 until 3) {
+        val k = k0 << lvl
+        val got = grid.filter(_._1 == k).sortBy(_._2)
+        assert(got.map(_._2) == got.indices.map(identity),
+          s"positions not contiguous at k=$k doc=$doc")
+        assert(got.map(_._3) == refWindows(doc, k), s"k0=$k0 k=$k doc=$doc")
+      }
+    }
+  }
+
+  test("one-scan window-length report equals the per-k three-pass spelling") {
+    // fold ≡ direct at the REPORT level: the same corpus through
+    // substringWindowLengthReport(Seq(4, 8, 16)) and through three
+    // independent substringDedupStats passes aggregated per k.
+    val t = (0 until 60).map(i => s"w$i")
+    val docs = Seq(
+      (1L, t.mkString(" ")),
+      (2L, (t.slice(7, 40) ++ Seq("zz") ++ t.slice(3, 25)).mkString(" ")),
+      (3L, Seq.fill(5)("rep token run of eight words here").mkString(" ")),
+      (4L, "short doc only"),
+      (5L, "")).toDF("doc_id", "text")
+    val ks = Seq(4, 8, 16)
+    val got = Dedup.substringWindowLengthReport(docs, "doc_id", "text", ks)
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = ks.map { k =>
+      val s = Dedup.substringDedupStats(docs, "doc_id", "text", k)
+        .agg(sum("n_windows"), sum("n_dup_windows"), sum("n_dup_tokens"))
+        .head()
+      (k, s.getLong(0), s.getLong(1), s.getLong(2))
+    }
+    assert(got == want)
+    // guard rails: duplicates and non-doubling chains refuse
+    intercept[IllegalArgumentException](
+      Dedup.substringWindowLengthReport(docs, "doc_id", "text", Seq(4, 4, 8)))
+    intercept[IllegalArgumentException](
+      Dedup.substringWindowLengthReport(docs, "doc_id", "text", Seq(4, 8, 12)))
+  }
+
   test("short docs emit zero windows and survive with zeroed stats") {
     val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     val got = Dedup.substringDedupStats(df, "doc_id", "text", 50)

@@ -481,9 +481,12 @@ object StreamBench {
               expr("""concat_ws(' ', transform(sequence(1, 8),
                       j -> concat('t', CAST(pmod(id, 500) AS STRING), '_', j)))""")))
             .otherwise(
+              // every token carries the batch: a batch-independent
+              // token run would leave ≥4-token shingles shared across
+              // batches and MinHash would pair the "unique" docs
               concat(lit(s"unique content batch$b "),
-                expr("""concat_ws(' ', transform(sequence(1, 8),
-                        j -> concat('u', CAST(id AS STRING), '_', j)))""")))
+                expr(s"""concat_ws(' ', transform(sequence(1, 8),
+                        j -> concat('u', CAST(id AS STRING), '_', j, '_b$b')))""")))
             .as("text"))
       val t0 = System.nanoTime()
       val traj = (0 until batches).map { b =>

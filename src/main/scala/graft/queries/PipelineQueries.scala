@@ -204,6 +204,15 @@ object PipelineQueries {
   private val compMemo =
     scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
 
+  // The I11/I12 media pair list memo: the decode→DCT→band pipeline is
+  // the expensive half of crossModalFrames and its typed mapPartitions
+  // closure defeats plan-keyed cache dedup (a fresh closure instance
+  // per call ⇒ unequal plans), so the two consumers would pay the
+  // decode twice without an explicit memo. Same appId@dir keying and
+  // eviction as compMemo.
+  private val mediaPairsMemo =
+    scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]()
+
   /** The (doc_id, token) explode, persisted — the shared subplan of
     * h7 (3 consumers), h8 (2) and p7 (2). All three build the frame
     * IDENTICALLY, so Spark's plan-keyed CacheManager resolves them to
@@ -350,8 +359,13 @@ object PipelineQueries {
           graft.operators.Multimodal.MediaRecord(id + 300000, re, "image", "jpeg"))
       } else Iterator(orig)
     })
-    val mediaPairs = graft.operators.Multimodal
-      .mediaNearDupPairsReal(s, recs, maxHamming = 7).select("a", "b")
+    // memoized: i11 and i12 both consume this list; the typed decode
+    // closure defeats plan-keyed cache dedup, so without the memo the
+    // second consumer would re-decode the whole corpus
+    val mediaPairs = mediaPairsMemo.getOrElseUpdate(
+      installEvictor(s) + "@" + dir,
+      graft.operators.TrackedCache.persist(graft.operators.Multimodal
+        .mediaNearDupPairsReal(s, recs, maxHamming = 7).select("a", "b")))
     (corpus, textPairs, mediaPairs)
   }
 
@@ -362,18 +376,24 @@ object PipelineQueries {
   private val evictorInstalled =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def componentsFor(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private def installEvictor(s: org.apache.spark.sql.SparkSession): String = {
     val appId = s.sparkContext.applicationId
     if (evictorInstalled.add(appId)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          compMemo.keySet.filter(_.startsWith(appId + "@"))
-            .foreach(compMemo.remove)
+          Seq(compMemo, mediaPairsMemo).foreach { memo =>
+            memo.keySet.filter(_.startsWith(appId + "@")).foreach(memo.remove)
+          }
           evictorInstalled.remove(appId)
         }
       })
     }
+    appId
+  }
+
+  private def componentsFor(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val appId = installEvictor(s)
     // Routed through the Auto policy (round 10): near-dup graphs are
     // star-like so this IS MinLabel's round loop; a corpus whose
     // boilerplate CHAINS components past the 5-round cap falls over

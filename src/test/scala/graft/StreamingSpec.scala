@@ -865,6 +865,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(!audit3.getBoolean(4), "tampered shard passed the content audit")
   }
 
+  test("J24 replay with a changed shard budget prunes stale higher-numbered shard dirs") {
+    // tokensPerShard is contractually immutable for a store's life,
+    // but a replay that plans FEWER shards (budget raised between
+    // attempts) must not leave the old higher-numbered shard dirs as
+    // orphans that only surface later as audit failures — the emit
+    // heals them by pruning above the new plan's max before writing
+    def docs: org.apache.spark.sql.DataFrame =
+      (0 until 60).map { i =>
+        (i.toLong, s"doc $i " + ("tok word " * 6), s"src${i % 3}")
+      }.toDF("doc_id", "text", "source")
+    val path = java.nio.file.Files.createTempDirectory("graft_j24p").toString
+    AdsbStream.emitShardBatch(docs, 0L, path, tokensPerShard = 32L)
+    val shardsSmall = new java.io.File(s"$path/shards/batch_id=0")
+      .listFiles().count(_.getName.startsWith("shard="))
+    assert(shardsSmall > 4, s"expect many small-budget shards, got $shardsSmall")
+    // replay with a 10x budget: far fewer shards planned
+    AdsbStream.emitShardBatch(docs, 0L, path, tokensPerShard = 320L)
+    val dirsAfter = new java.io.File(s"$path/shards/batch_id=0")
+      .listFiles().filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    val manifest = spark.read.parquet(s"$path/manifest")
+      .filter(col("batch_id") === 0L)
+    val planned = manifest.count()
+    assert(dirsAfter.length == planned,
+      s"stale shard dirs survived: ${dirsAfter.mkString(",")} vs $planned planned")
+    // store still holds every doc exactly once and audits clean
+    val stored = spark.read.parquet(s"$path/shards")
+    assert(stored.count() == 60 && stored.select("doc_id").distinct().count() == 60)
+    val audit = AdsbStream.auditShardStore(spark, path).collect()
+    assert(audit.forall(r => r.getBoolean(4) && r.getBoolean(5)),
+      audit.mkString("\n"))
+  }
+
   test("streaming token-distribution state: drift report equals one-shot batch h22, replay idempotent (J25)") {
     import graft.operators.TextOps
     // three sources with different token mixes, delivered across two

@@ -797,7 +797,14 @@ object AdsbStream {
     */
   def readNearDupLabels(spark: SparkSession, path: String,
                         idCol: String): DataFrame = {
-    val log = spark.read.parquet(s"$path/labels").select(col(idCol), col("label"))
+    import spark.implicits._
+    // a stream that never produced a pair has an empty (or absent)
+    // label log — the read-out is the empty frame, not a crash
+    // (every doc is its own singleton; canonicalFromLabels coalesces)
+    val log =
+      try spark.read.parquet(s"$path/labels").select(col(idCol), col("label"))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        Seq.empty[(Long, Long)].toDF(idCol, "label") }
     log.unionByName(log.select(col("label").as(idCol), col("label")).distinct())
       .groupBy(col(idCol)).agg(min(col("label")).as("label"))
   }

@@ -587,6 +587,20 @@ class PlanRegressionSpec extends SparkSpecBase {
     assert(count(finalSection, "ReusedExchange") >= 1, finalSection.take(3000))
   }
 
+  test("r14 additions: no cartesian, no sort aggregates anywhere") {
+    // p26's manifest assembly joins small mix frames onto the
+    // shard-grain aggregate; i12's keep-best crosses the best-frame
+    // back into the labeled corpus; p18 rides the refactored shared
+    // phase frame — all must stay hash-agg + broadcast/shuffle-hash
+    // joins, never CartesianProduct or SortAggregate
+    for (q <- Seq("p26_curriculum_shards", "i12_crossmodal_canonical",
+        "p18_curriculum_phases")) {
+      val p = executedPlan(q)
+      assert(count(p, "CartesianProduct") == 0, s"$q: ${p.take(400)}")
+      assert(count(p, "SortAggregate") == 0, s"$q: ${p.take(400)}")
+    }
+  }
+
   test("r13 additions: every small-frame join broadcasts — no cartesian anywhere") {
     // f16's component-size window, h22's JSD grid, p27's three-method
     // scoreboard, p28's threshold explode and g16's probe chain all

@@ -1032,5 +1032,16 @@ class StreamingSpec extends SparkSpecBase {
     // the log carries rows for PAIRED docs only — never one per event
     val logRows = spark.read.parquet(s"$dir/labels").count()
     assert(logRows <= 4L, s"label log not paired-doc-bounded: $logRows")
+
+    // a stream with NO pairs yet: the read-out is empty (not a
+    // crash) and canonical selection degrades to all-singletons
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_j26e").toString
+    val solo = Seq((7L, "entirely novel text with no twin present here at all"))
+      .toDF("doc_id", "text")
+    AdsbStream.labelBatchIntoGroupState(solo, 0L, "doc_id", "text", 4, dir2)
+    assert(AdsbStream.readNearDupLabels(spark, dir2, "doc_id").count() == 0L)
+    val c0 = AdsbStream.canonicalFromLabels(spark, dir2,
+      solo.withColumn("quality", lit(1.0)), "doc_id", "quality").collect()
+    assert(c0.length == 1 && c0.head.getLong(1) == 7L)
   }
 }

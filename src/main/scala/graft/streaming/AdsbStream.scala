@@ -831,6 +831,35 @@ object AdsbStream {
         col("__bq").as("best_quality"), col("n_members"))
   }
 
+  /** F16 SoftDeDup reweighting over the STREAMED labels (the other
+    * half of J26's read-out: P6 picks one canonical per cluster,
+    * this keeps every copy at weight 1/cluster-size — batch F16's
+    * exact frame, over clusters the STREAM discovered): per doc, its
+    * resolved label (singletons are themselves), the cluster size as
+    * a count window on the ONE label shuffle, the integer ppm weight
+    * and the effective token contribution — the frame a sampler
+    * joins at training time, maintained without ever re-running
+    * batch components over the accumulated corpus. Integer
+    * arithmetic end-to-end, identical to f16's spelling, so the
+    * parity spec compares frames directly.
+    */
+  def softWeightsFromLabels(spark: SparkSession, path: String,
+                            docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+    docs.select(col(idCol),
+        org.apache.spark.sql.functions.size(
+          graft.operators.TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(readNearDupLabels(spark, path, idCol), Seq(idCol), "left")
+      .withColumn("label", coalesce(col("label"), col(idCol)))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("weight_ppm", expr("1000000L div cluster_size"))
+      .withColumn("eff_tokens",
+        expr("(n_tokens * (1000000L div cluster_size)) div 1000000L"))
+      .select(col(idCol), col("label").as("component"), col("cluster_size"),
+        col("weight_ppm"), col("n_tokens"), col("eff_tokens"))
+  }
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, endUs: Long, n: Int)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Int)

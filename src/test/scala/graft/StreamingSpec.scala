@@ -1013,6 +1013,22 @@ class StreamingSpec extends SparkSpecBase {
     // cluster 5 = {5,30}: qualities 5,2 → keep 5; singleton 41 → keeps itself
     assert(canon == Set((2L, 20L, 6.0, 6L), (5L, 5L, 5.0, 2L),
       (41L, 41L, 6.0, 1L)), s"canonical selection wrong: $canon")
+
+    // F16 soft-dedup over the SAME streamed labels: every member of
+    // the 6-cluster weighs 166666 ppm, the pair weighs 500000, the
+    // singleton 1e6 — batch f16's exact arithmetic on stream-found
+    // clusters
+    val docsT = union.unionByName(Seq((2L, "a")).toDF("doc_id", "text"))
+    val weights = AdsbStream.softWeightsFromLabels(spark, dir, docsT,
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(weights.size == 9)
+    for (m <- Seq(2L, 10L, 11L, 20L, 21L, 40L))
+      assert(weights(m) == (2L, 6L, 166666L), s"$m: ${weights(m)}")
+    for (m <- Seq(5L, 30L))
+      assert(weights(m) == (5L, 2L, 500000L), s"$m: ${weights(m)}")
+    assert(weights(41L) == (41L, 1L, 1000000L))
   }
 
   test("J26 on the default minhash family: exact twins group across batches, label-state rows stay paired-doc-bounded") {

@@ -52,8 +52,17 @@ object Bench {
       try {
         val df = SparkEntry.queries(name)(spark, warmDir)
         run(df)
-        val ex = "Exchange".r
-          .findAllIn(df.queryExecution.executedPlan.toString).length
+        // Count only SHUFFLE exchanges: a bare "Exchange" regex also
+        // matches BroadcastExchange/ReusedExchange, so a broadcast-
+        // join-heavy compute-bound query (≥3 broadcasts) would be
+        // classified shuffle and normalized by the wrong anchor in
+        // tools/bench_diff.py. "Exchange hashpartitioning|range..."
+        // is the physical shuffle node's own print form.
+        // ShuffleExchangeExec prints as a bare "Exchange <partitioning>"
+        // node; Broadcast/Reused carry their prefix glued on, so a
+        // word-boundary-anchored match excludes them exactly.
+        val plan = df.queryExecution.executedPlan.toString
+        val ex = "(?<![A-Za-z])Exchange ".r.findAllIn(plan).length
         queryClass(name) = if (ex >= 3) "shuffle" else "compute"
       }
       catch { case _: Throwable => () }

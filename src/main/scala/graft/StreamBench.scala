@@ -642,6 +642,92 @@ object StreamBench {
         s""""compacted_partitions":$cParts}""")
     }
 
+    // ---- J29: targeted deletion from a LIVE streaming dedup store ---
+    // The P29 takedown propagated into the J11 screen loop's on-disk
+    // state: build a 100-batch band index + survivor store (compacted
+    // every 10 batches, so the purge must also cross J23's
+    // consolidated batch_id=-1 segment without disturbing its
+    // src_batch_id replay watermark), delete 1% of every batch's
+    // survivors, then PROVE the screens still work by probing:
+    // duplicates of DELETED docs must now pass (their bands are
+    // gone — the store has genuinely forgotten them), duplicates of
+    // surviving docs must still screen out, unique docs pass.
+    if (only("j29_deletion_purge")) {
+      import graft.operators.Deletion
+      import graft.streaming.StreamIndexCompaction
+      import org.apache.spark.sql.functions.col
+      val rate = 1000
+      val nB = 100
+      def text(b: Int, i: Int): String =
+        (0 until 30).map(w => s"w${b}_${i}_$w").mkString(" ")
+      def docBatch(b: Int): Seq[StreamDoc] = (0 until rate).map { i =>
+        val dup = b > 0 && i < rate / 10
+        val (ob, oi) = if (dup) (b - 1, rate / 10 + i) else (b, i)
+        StreamDoc(b.toLong * rate + i, text(ob, oi))
+      }
+      val (index, surv) = (s"$tmp/j29/index", s"$tmp/j29/surv")
+      val tb0 = System.nanoTime()
+      (0 until nB).foreach { b =>
+        AdsbStream.screenAndIndexBatch(docBatch(b).toDF("doc_id", "text"),
+          b, "doc_id", "text", 3, index, surv)
+        if (b % 10 == 9) {
+          StreamIndexCompaction.compactIndex(spark, index, keepRecent = 2)
+          StreamIndexCompaction.compactIndex(spark, surv, keepRecent = 2)
+        }
+      }
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      // 1% of each batch: the first rate/100 ids of its SURVIVOR
+      // region (i >= rate/10 — never the screened-out dup slots)
+      val delIds = (for {
+        b <- 0 until nB
+        i <- rate / 10 until rate / 10 + rate / 100
+      } yield b.toLong * rate + i).toDF("doc_id")
+      val idxBefore = spark.read.parquet(index).count()
+      val survBefore = spark.read.parquet(surv).count()
+      val d0 = System.nanoTime()
+      val ri = Deletion.purgeByKeys(spark, index, Seq("batch_id"),
+        "doc_id", delIds)
+      val rs = Deletion.purgeByKeys(spark, surv, Seq("batch_id"),
+        "doc_id", delIds)
+      val tDelete = (System.nanoTime() - d0) / 1e9
+      val idxAfter = spark.read.parquet(index).count()
+      val survAfter = spark.read.parquet(surv).count()
+      require(spark.read.parquet(index)
+        .join(delIds, Seq("doc_id")).count() == 0 &&
+        spark.read.parquet(surv)
+          .join(delIds, Seq("doc_id")).count() == 0,
+        "deletion residue in the streaming store")
+      // the replay watermark must survive the segment rewrite
+      require(StreamIndexCompaction.compactedThrough(spark, index) >= 0,
+        "purge lost the compacted segment's src_batch_id watermark")
+      // probe batch: 100 dups of deleted docs (must PASS now),
+      // 100 dups of surviving docs (must still screen OUT),
+      // 100 unique docs (pass)
+      val probe =
+        (0 until 100).map(b => StreamDoc(900000L + b, text(b, rate / 10))) ++
+        (0 until 100).map(b => StreamDoc(910000L + b, text(b, rate / 2))) ++
+        (0 until 100).map(i => StreamDoc(920000L + i, text(nB, i)))
+      AdsbStream.screenAndIndexBatch(probe.toDF("doc_id", "text"),
+        nB, "doc_id", "text", 3, index, surv)
+      val probeSurv = spark.read.parquet(surv)
+        .filter(col("batch_id") === nB).select("doc_id")
+        .as[Long].collect().toSet
+      require((900000L until 900100L).forall(probeSurv.contains),
+        "dup of a DELETED doc was still screened out — store didn't forget")
+      require((910000L until 910100L).forall(id => !probeSurv.contains(id)),
+        "dup of a SURVIVING doc passed the screen — deletion broke dedup")
+      require((920000L until 920100L).forall(probeSurv.contains),
+        "unique probe doc screened out")
+      println(s"""{"scenario":"j29_deletion_purge","rows_per_batch":$rate,""" +
+        s""""batches":$nB,"rows_in":${nB.toLong * rate},""" +
+        s""""build_s":${f"$tBuild%.2f"},"delete_s":${f"$tDelete%.2f"},""" +
+        s""""index_rows_before":$idxBefore,"index_rows_after":$idxAfter,""" +
+        s""""surv_rows_before":$survBefore,"surv_rows_after":$survAfter,""" +
+        s""""index_parts_rewritten":${ri.nRewritten},""" +
+        s""""surv_parts_rewritten":${rs.nRewritten},""" +
+        s""""probe_invariants":true}""")
+    }
+
     spark.stop()
   }
 }

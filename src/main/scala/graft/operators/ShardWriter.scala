@@ -34,7 +34,7 @@ object ShardWriter {
   /** P4's bin budget (tokens per shard). */
   val TokensPerShard = 4096L
 
-  private def withSignals(docs: DataFrame): DataFrame =
+  private[operators] def withSignals(docs: DataFrame): DataFrame =
     docs.withColumn("n_tokens",
         TextOps.bpeTokenCount(col("text")).cast("long"))
       .withColumn("doc_hash",

@@ -4,12 +4,25 @@ import graft.functions.HashFunctions
 import graft.operators.{Dedup, TextOps}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** F/H/I groups of SURVEY §2 — dedup family, text analysis and
   * multimodal metadata over the `documents` table. Oracle SQL mirrors
   * the exact same (md5-based, integer-exact) algorithms in DuckDB.
   */
 object PipelineQueries {
+
+  /** Per-session scratch dir for the shard-writer queries (p25/p26).
+    * Keyed by the Spark applicationId so two concurrent runs over the
+    * same corpus dir cannot race on one shared path (one overwriting
+    * shard files while the other reads back its manifest); `& MaxValue`
+    * instead of math.abs keeps Int.MinValue non-negative. Within one
+    * session the path is stable, so re-write byte-identity specs hold.
+    */
+  private def shardScratchDir(s: org.apache.spark.sql.SparkSession,
+      tag: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      s"${s.sparkContext.applicationId}_${dir.hashCode & Int.MaxValue}"
 
   /** DuckDB CTE producing the distinct word-4-gram shingle set
     * (mirror of TextOps.shingleSet with n=4).
@@ -1380,8 +1393,7 @@ object PipelineQueries {
     // each doc to its shard + shard-grain aggregations.
     QueryDef("p25_shard_manifest",
       (s, dir) => {
-        val out =
-          s"${sys.props("java.io.tmpdir")}/graft_p25_${math.abs(dir.hashCode)}"
+        val out = shardScratchDir(s, "p25", dir)
         val planned = graft.operators.ShardWriter
           .planShards(Tables.documents(s, dir))
         graft.operators.ShardWriter.writeShards(planned, out)
@@ -4361,8 +4373,7 @@ object PipelineQueries {
     // broadcast quantile boundaries).
     QueryDef("p26_curriculum_shards",
       (s, dir) => {
-        val out =
-          s"${sys.props("java.io.tmpdir")}/graft_p26_${math.abs(dir.hashCode)}"
+        val out = shardScratchDir(s, "p26", dir)
         val withPhase = Tables.documents(s, dir)
           .select("doc_id", "text", "source")
           .join(curriculumPhaseFrame(s, dir), "doc_id")
@@ -4764,7 +4775,190 @@ object PipelineQueries {
           ${rate("r2", 400000)}
           SELECT * FROM r1rep UNION ALL SELECT * FROM r2rep
           ORDER BY overlap_ppm, lang"""
-      })
+      }),
+
+    // P29/B15: targeted DELETION with propagation proof — the
+    // takedown / opt-out / right-to-be-forgotten operator. A
+    // deterministic keyset (doc_id % 41, vec_id % 41, user_id % 13)
+    // is deleted from four derived stores built here from the base
+    // tables: the P25 token-budget shard store (suffix re-pack from
+    // the first affected shard — graft.operators.Deletion
+    // .deleteFromShardStore), a batch_id-partitioned J11-style band
+    // index, a (batch_id, cell)-partitioned J21-style ANN store, and
+    // a B1 day layout over events (all three via Deletion
+    // .purgeByKeys: touched-partition discovery + staged-swap
+    // rewrite, emptied partitions DROPPED). The audit row per store
+    // is computed from the post-delete READ-BACK alone — row count,
+    // keyset residue (must be 0), XOR content hash RECOMPUTED from
+    // file contents, live partition count — plus the purge's own
+    // rewritten/dropped partition counts; the oracle derives every
+    // column independently from the base tables (survivor counts and
+    // hashes, partitions with survivors, partitions holding both
+    // deleted and surviving rows = rewritten, deleted-only = dropped,
+    // and the shard re-plan via the p25 prefix-sum CTE over the
+    // SURVIVING corpus — so a hash match proves the incremental
+    // delete left exactly the from-scratch-surviving content, with
+    // exactly the touched partitions rewritten). Scale: each purge
+    // reads (key, partition) columns once to find touched partitions
+    // (driver-bounded metadata), then rewrites only those leaf dirs;
+    // the shard re-pack re-plans only the suffix at/after the first
+    // affected shard. DeletionSpec pins untouched-partition and
+    // untouched-shard byte-identity plus incremental ≡ from-scratch.
+    QueryDef("p29_deletion_audit",
+      (s, dir) => {
+        import graft.operators.{CurrentState, Dedup, Deletion, ShardWriter}
+        val scratch = shardScratchDir(s, "p29", dir)
+        val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+        // floor at 200 so a PREFIX of shards is provably untouched
+        // (deleting doc 0 would make firstAffected = 0 and rewrite
+        // everything — legal, but then the audit never demonstrates
+        // the suffix-only property)
+        val delDocs = docs
+          .filter(col("doc_id") % 41 === 0 && col("doc_id") >= 200)
+          .select("doc_id")
+
+        val shardPath = s"$scratch/shards"
+        ShardWriter.writeShards(ShardWriter.planShards(docs), shardPath)
+        val (shRew, shStale) =
+          Deletion.deleteFromShardStore(s, shardPath, delDocs)
+
+        val bandPath = s"$scratch/bands"
+        Dedup.minhashBandsRowLocal(docs, "doc_id", "text", 4)
+          .withColumn("batch_id", pmod(col("doc_id"), lit(4L)))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(bandPath)
+        val bandRes =
+          Deletion.purgeByKeys(s, bandPath, Seq("batch_id"), "doc_id", delDocs)
+
+        val emb = Tables.embeddings(s, dir)
+        val annPath = s"$scratch/ann"
+        emb.select(col("vec_id").as("vid"), col("embedding"),
+            pmod(col("vec_id"), lit(3L)).as("batch_id"),
+            pmod(col("vec_id") * lit(2654435761L), lit(16L)).as("cell"))
+          .write.mode("overwrite").partitionBy("batch_id", "cell")
+          .parquet(annPath)
+        val delVecs = emb.filter(col("vec_id") % 41 === 0).select("vec_id")
+        val annRes = Deletion.purgeByKeys(s, annPath,
+          Seq("batch_id", "cell"), "vid", delVecs)
+
+        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+        val dayPath = s"$scratch/daylayout"
+        CurrentState.writePartitionedByDay(ev, "ts", "user_id", dayPath)
+        val delUsers = ev.filter(col("user_id") % 13 === 0)
+          .select("user_id").distinct()
+        val dayRes =
+          Deletion.purgeByKeys(s, dayPath, Seq("day"), "user_id", delUsers)
+
+        def auditRow(store: String, df: DataFrame, residue: Column,
+            hashC: Column, partC: Column, nRew: Long, nDrop: Long)
+            : DataFrame =
+          df.withColumn("__h", hashC).withColumn("__p", partC)
+            .agg(count(lit(1)).as("n_rows"),
+              coalesce(sum(when(residue, lit(1L)).otherwise(lit(0L))),
+                lit(0L)).as("n_residue"),
+              expr("bit_xor(__h)").as("content_xor"),
+              countDistinct(col("__p")).as("n_parts"))
+            .select(lit(store).as("store"), col("n_rows"),
+              col("n_residue"), col("content_xor"), col("n_parts"),
+              lit(nRew).as("n_rewritten"), lit(nDrop).as("n_dropped"))
+
+        import graft.functions.HashFunctions.md5prefix64
+        val shardsRow = auditRow("shards", s.read.parquet(shardPath),
+          col("doc_id") % 41 === 0 && col("doc_id") >= 200,
+          md5prefix64(concat(col("doc_id").cast("string"), lit(":"),
+            col("text"))),
+          col("shard").cast("long"), shRew.size.toLong, shStale.size.toLong)
+        val bandsRow = auditRow("bands", s.read.parquet(bandPath),
+          col("doc_id") % 41 === 0 && col("doc_id") >= 200,
+          md5prefix64(concat(col("doc_id").cast("string"), lit(":"),
+            col("band").cast("string"))),
+          col("batch_id").cast("long"),
+          bandRes.nRewritten, bandRes.nDropped)
+        val annRow = auditRow("ann", s.read.parquet(annPath),
+          col("vid") % 41 === 0,
+          md5prefix64(col("vid").cast("string")),
+          col("batch_id").cast("long") * 16 + col("cell").cast("long"),
+          annRes.nRewritten, annRes.nDropped)
+        val dayRow = auditRow("daylayout", s.read.parquet(dayPath),
+          col("user_id") % 13 === 0,
+          md5prefix64(col("event_id").cast("string")),
+          col("day").cast("long"), dayRes.nRewritten, dayRes.nDropped)
+        Seq(shardsRow, bandsRow, annRow, dayRow).reduce(_ unionByName _)
+          .orderBy("store")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, text, source,
+            doc_id % 41 = 0 AND doc_id >= 200 AS del,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT AS doc_hash
+          FROM documents),
+        sh AS (
+          SELECT doc_id, del, CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            / 4096.0) AS BIGINT) AS shard
+          FROM t),
+        f AS (SELECT MIN(shard) AS fa FROM sh WHERE del),
+        sh2 AS (
+          SELECT doc_id, CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            / 4096.0) AS BIGINT) AS shard
+          FROM t WHERE NOT del),
+        shards AS (SELECT 'shards' AS store,
+          (SELECT COUNT(*) FROM t WHERE NOT del) AS n_rows,
+          CAST(0 AS BIGINT) AS n_residue,
+          (SELECT bit_xor(doc_hash) FROM t WHERE NOT del) AS content_xor,
+          (SELECT COUNT(DISTINCT shard) FROM sh2) AS n_parts,
+          (SELECT COUNT(DISTINCT shard) FROM sh2 WHERE shard >= (SELECT fa FROM f)) AS n_rewritten,
+          (SELECT MAX(shard) FROM sh)
+            - greatest((SELECT MAX(shard) FROM sh2), (SELECT fa FROM f) - 1) AS n_dropped),
+        bp AS (
+          SELECT doc_id % 4 AS part,
+            SUM(CASE WHEN del THEN 1 ELSE 0 END) AS dels,
+            SUM(CASE WHEN del THEN 0 ELSE 1 END) AS keeps
+          FROM t GROUP BY 1),
+        bands AS (SELECT 'bands' AS store,
+          (SELECT 4 * COUNT(*) FROM t WHERE NOT del) AS n_rows,
+          CAST(0 AS BIGINT) AS n_residue,
+          (SELECT bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)), 1, 15))::BIGINT)
+            FROM t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+            WHERE NOT del) AS content_xor,
+          (SELECT COUNT(*) FROM bp WHERE keeps > 0) AS n_parts,
+          (SELECT COUNT(*) FROM bp WHERE dels > 0 AND keeps > 0) AS n_rewritten,
+          (SELECT COUNT(*) FROM bp WHERE dels > 0 AND keeps = 0) AS n_dropped),
+        at AS (
+          SELECT vec_id, vec_id % 41 = 0 AS del,
+            (vec_id % 3) * 16 + (vec_id * 2654435761) % 16 AS part
+          FROM embeddings),
+        ap AS (
+          SELECT part, SUM(CASE WHEN del THEN 1 ELSE 0 END) AS dels,
+            SUM(CASE WHEN del THEN 0 ELSE 1 END) AS keeps
+          FROM at GROUP BY part),
+        ann AS (SELECT 'ann' AS store,
+          (SELECT COUNT(*) FROM at WHERE NOT del) AS n_rows,
+          CAST(0 AS BIGINT) AS n_residue,
+          (SELECT bit_xor(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT)
+            FROM at WHERE NOT del) AS content_xor,
+          (SELECT COUNT(*) FROM ap WHERE keeps > 0) AS n_parts,
+          (SELECT COUNT(*) FROM ap WHERE dels > 0 AND keeps > 0) AS n_rewritten,
+          (SELECT COUNT(*) FROM ap WHERE dels > 0 AND keeps = 0) AS n_dropped),
+        et AS (
+          SELECT event_id, user_id % 13 = 0 AS del,
+            strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day
+          FROM events),
+        ep AS (
+          SELECT day, SUM(CASE WHEN del THEN 1 ELSE 0 END) AS dels,
+            SUM(CASE WHEN del THEN 0 ELSE 1 END) AS keeps
+          FROM et GROUP BY day),
+        daylayout AS (SELECT 'daylayout' AS store,
+          (SELECT COUNT(*) FROM et WHERE NOT del) AS n_rows,
+          CAST(0 AS BIGINT) AS n_residue,
+          (SELECT bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+            FROM et WHERE NOT del) AS content_xor,
+          (SELECT COUNT(*) FROM ep WHERE keeps > 0) AS n_parts,
+          (SELECT COUNT(*) FROM ep WHERE dels > 0 AND keeps > 0) AS n_rewritten,
+          (SELECT COUNT(*) FROM ep WHERE dels > 0 AND keeps = 0) AS n_dropped)
+        SELECT * FROM shards UNION ALL SELECT * FROM bands
+        UNION ALL SELECT * FROM ann UNION ALL SELECT * FROM daylayout
+        ORDER BY store"""))
   )
 
   /** h14's 64 feature-bucket weights — deterministic md5-derived

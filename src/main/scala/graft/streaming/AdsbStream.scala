@@ -537,7 +537,12 @@ object AdsbStream {
       // before writing; shard ids are a contiguous 0..max prefix sum,
       // so the numeric bound is the exact stale set. One tiny
       // driver-side max over the already-persisted plan.
-      val maxShard = planned.agg(max(col("shard"))).head.getLong(0)
+      // Empty microbatch ⇒ max() is NULL; getLong would NPE and kill
+      // the streaming query. -1 makes every existing shard= dir of
+      // this batch "stale" (correct: a replay that plans zero rows
+      // owns zero shards) and the writes below no-op.
+      val maxRow = planned.agg(max(col("shard"))).head
+      val maxShard = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
       val batchDir = new org.apache.hadoop.fs.Path(
         s"$path/shards/batch_id=$batchId")
       val fs = batchDir.getFileSystem(

@@ -84,6 +84,56 @@ def main() -> None:
         print("\nnew in B: " + ", ".join(
             f"{q} ({qb[q]:.2f}s, {classes.get(q, 'compute')})" for q in only_b))
 
+    # SENTINEL verdict (r14 verdict item 2): if B carries a
+    # round-boundary sentinel pair (graft.SentinelBench at round start
+    # and end, identical code, isolated JVMs), its start->end drift is
+    # a direct measurement of how much B's host window moved during
+    # the round. Battery-level A->B drift within the sentinel band is
+    # then attributable to the host without per-query hand audits;
+    # drift OUTSIDE the band needs a code explanation.
+    sent = b.get("sentinel")
+    if sent:
+        s_start, s_end = sent["start"], sent["end"]
+        s_classes = s_start.get("classes", {})
+        print("\nsentinel pair (round start vs end, identical code):")
+        for cls in ("compute", "shuffle"):
+            qs = [q for q in s_start["queries"]
+                  if s_classes.get(q, "compute") == cls
+                  and q in s_end["queries"]]
+            if not qs:
+                continue
+            sum_s = sum(s_start["queries"][q] for q in qs)
+            sum_e = sum(s_end["queries"][q] for q in qs)
+            print(f"  sentinel {cls}: n={len(qs)} start={sum_s:.2f}s "
+                  f"end={sum_e:.2f}s ratio={sum_e / sum_s:.3f}")
+        all_s = sum(s_start["queries"].values())
+        all_e = sum(s_end["queries"][q] for q in s_start["queries"]
+                    if q in s_end["queries"])
+        # battery drift over the same (sentinel) names, A battery vs
+        # B battery — the cross-round axis the pair calibrates
+        names = [q for q in s_start["queries"] if q in qa and q in qb]
+        bat_a = sum(qa[q] for q in names)
+        bat_b = sum(qb[q] for q in names)
+        bat = bat_b / bat_a if bat_a else float("nan")
+        intra = all_e / all_s
+        print(f"  intra-round host drift (sentinel start->end): "
+              f"{(intra - 1) * 100:+.1f}%")
+        print(f"  cross-round battery drift on sentinel names (A->B raw): "
+              f"{(bat - 1) * 100:+.1f}%")
+        full_a = sum(qa[q] for q in common)
+        full_b = sum(qb[q] for q in common)
+        full = full_b / full_a
+        lo, hi = sorted((1.0, intra))
+        margin = 0.05  # per-query noise floor observed across rounds
+        if lo - margin <= full <= hi + margin:
+            print(f"  VERDICT: whole-battery drift {(full - 1) * 100:+.1f}% "
+                  f"is WITHIN the sentinel host-window band "
+                  f"[{(lo - margin - 1) * 100:+.1f}%, {(hi + margin - 1) * 100:+.1f}%] — host, not code")
+        else:
+            print(f"  VERDICT: whole-battery drift {(full - 1) * 100:+.1f}% "
+                  f"is OUTSIDE the sentinel host-window band "
+                  f"[{(lo - margin - 1) * 100:+.1f}%, {(hi + margin - 1) * 100:+.1f}%] — needs a code-level cause")
+
 
 if __name__ == "__main__":
     main()

@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   *   J17 paragraph dedup-cut → J13 quality gate →
   *   J18 mixing gate → J12 bloom decontamination →
   *   J14 substring screen → J11 band near-dup screen
+  *   + J26 group labeler beside J11 → P6 keep-BEST canonicals
+  *
+  * J26 (r15): the group-label sink consumes the SAME J14-survivor
+  * stream the J11 screen does (same band family, same n), so the
+  * chain's output is no longer keep-FIRST: at the end,
+  * `canonicalFromLabels` selects the highest-quality member of every
+  * stream-discovered near-dup group. Invariants (asserted):
+  * canonical count == unpaired docs + distinct groups (conservation),
+  * and canonical count ≤ J11 survivor count — STRICTLY fewer when
+  * transitivity bites: the screen is pairwise-greedy against a
+  * SURVIVOR-only index, so a doc whose bands match only an
+  * already-killed dup (not the dup's surviving original) slips
+  * through keep-first, while the labeler's connected components
+  * correctly fold it into the group. The emitted `transitive_regroups`
+  * counts exactly those; `canon_better` counts groups where keep-best
+  * shipped a DIFFERENT doc than keep-first did.
   *
   * J17 runs FIRST (the CCNet order: paragraph boilerplate is cut
   * before any quality/dedup pass sees the text): every doc carries
@@ -72,6 +88,7 @@ object StreamChainBench {
       val idx17 = s"$tmp/c$rate/idx17"; val surv17 = s"$tmp/c$rate/surv17"
       val idx14 = s"$tmp/c$rate/idx14"; val surv14 = s"$tmp/c$rate/surv14"
       val idx11 = s"$tmp/c$rate/idx11"; val surv11 = s"$tmp/c$rate/surv11"
+      val j26 = s"$tmp/c$rate/j26"
       val nBan = rate / 100; val nSub = rate / 10; val nNear = rate / 20
 
       // three site footers (letter variants — digit variants would
@@ -107,6 +124,7 @@ object StreamChainBench {
       val idxTraj17 = new Array[Long](batches)
       val idxTraj14 = new Array[Long](batches)
       val idxTraj11 = new Array[Long](batches)
+      val labelTraj = new Array[Long](batches)
       val t0 = System.nanoTime()
       var prev: IndexedSeq[String] = IndexedSeq.empty
       for (b <- 0 until batches) {
@@ -146,10 +164,15 @@ object StreamChainBench {
         // J11: band near-dup screen + band-index append
         AdsbStream.screenAndIndexBatch(s14, b, "doc_id", "text", 3,
           idx11, surv11)
+        // J26: group labeler on the SAME stream the screen consumes
+        AdsbStream.labelBatchIntoGroupState(s14, b, "doc_id", "text", 3, j26)
         val s11 = spark.read.parquet(surv11)
           .filter(col("batch_id") === b).select("doc_id", "text")
         stageCounts(b) = Array(rate.toLong, s17.count(), gated.count(),
           mixed.count(), cleaned.count(), s14.count(), s11.count())
+        labelTraj(b) =
+          try spark.read.parquet(s"$j26/labels").count()
+          catch { case _: org.apache.spark.sql.AnalysisException => 0L }
         idxTraj17(b) = spark.read.parquet(idx17).count()
         idxTraj14(b) = spark.read.parquet(idx14).count()
         idxTraj11(b) = spark.read.parquet(idx11).count()
@@ -160,6 +183,30 @@ object StreamChainBench {
         s17.unpersist(); gated.unpersist(); mixed.unpersist()
         cleaned.unpersist(); s14.unpersist()
       }
+      // keep-BEST read-out over everything the labeler saw: quality =
+      // text length (deterministic, varies across a group: near-dup
+      // copies swap one token of different width)
+      val allSeen = spark.read.parquet(surv14)
+        .select(col("doc_id"), length(col("text")).cast("long").as("quality"))
+      val canon = AdsbStream.canonicalFromLabels(spark, j26, allSeen,
+        "doc_id", "quality").persist()
+      val canonCount = canon.count()
+      val finalSurvivors = spark.read.parquet(surv11).count()
+      require(canonCount <= finalSurvivors,
+        s"canonical count $canonCount > J11 survivor count $finalSurvivors")
+      // conservation: one canonical per stream-discovered group plus
+      // one per never-paired doc
+      val labels = AdsbStream.readNearDupLabels(spark, j26, "doc_id").persist()
+      val paired = labels.count()
+      val groups = labels.select("label").distinct().count()
+      labels.unpersist()
+      val allDocs = allSeen.count()
+      require(canonCount == allDocs - paired + groups,
+        s"canonical conservation broke: $canonCount != $allDocs - $paired + $groups")
+      val survivorIds = spark.read.parquet(surv11).select(col("doc_id"))
+      val canonBetter = canon.join(survivorIds,
+        canon("keep_id") === survivorIds("doc_id"), "left_anti").count()
+      canon.unpersist()
       val secs = (System.nanoTime() - t0) / 1e9
       val rowsIn = batches.toLong * rate
       def arr(sel: Int) = stageCounts.map(_(sel)).mkString("[", ",", "]")
@@ -171,7 +218,11 @@ object StreamChainBench {
         s""""footers_kept":${footersKept.mkString("[", ",", "]")},""" +
         s""""idx17_rows":${idxTraj17.mkString("[", ",", "]")},""" +
         s""""idx14_rows":${idxTraj14.mkString("[", ",", "]")},""" +
-        s""""idx11_rows":${idxTraj11.mkString("[", ",", "]")}}""")
+        s""""idx11_rows":${idxTraj11.mkString("[", ",", "]")},""" +
+        s""""label_rows":${labelTraj.mkString("[", ",", "]")},""" +
+        s""""canonicals":$canonCount,"final_survivors":$finalSurvivors,""" +
+        s""""transitive_regroups":${finalSurvivors - canonCount},""" +
+        s""""canon_better":$canonBetter}""")
     }
     spark.stop()
   }

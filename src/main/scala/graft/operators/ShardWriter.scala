@@ -49,11 +49,18 @@ object ShardWriter {
     * order and a staged training run consumes them sequentially.
     * Extra input columns (e.g. the phase label) ride through to the
     * plan for the shard files and manifest mixes.
+    *
+    * `bucketSpan` is the prefix sum's two-level bucket width in
+    * orderCol UNITS: 64 suits dense doc ids (≈64 docs/bucket); a
+    * HASH-valued order key (P30's seeded shuffle) spans [0, 2⁶⁰), so
+    * its span must be ~2⁶⁰/nBuckets or the offsets frame degenerates
+    * to one bucket per doc (a corpus-sized broadcast).
     */
   def planShards(docs: DataFrame,
                  tokensPerShard: Long = TokensPerShard,
-                 orderCol: String = "doc_id"): DataFrame =
-    ScaleOps.prefixSum(withSignals(docs), orderCol, "n_tokens", 64L)
+                 orderCol: String = "doc_id",
+                 bucketSpan: Long = 64L): DataFrame =
+    ScaleOps.prefixSum(withSignals(docs), orderCol, "n_tokens", bucketSpan)
       .withColumn("shard",
         floor((col("cum") - col("n_tokens")).cast("double") / tokensPerShard)
           .cast("long"))

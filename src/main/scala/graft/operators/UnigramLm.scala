@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** H23 — Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+  * unigram model): seed a candidate vocabulary from frequent
+  * substrings, iterate EM over best segmentations, prune to a target
+  * vocabulary, then tokenize by per-word Viterbi. This is the
+  * published alternative to H12's BPE: pieces carry log-likelihood
+  * scores and segmentation maximizes total score, instead of greedy
+  * merge application.
+  *
+  * EXACTNESS CONTRACT (what makes the train→apply loop oracle-able):
+  *  - Piece scores are integer MICRO log-likelihoods: score =
+  *    floor(ln(count/total)·10⁶ + 0.5) as BIGINT — one ln per piece
+  *    (the h15/h19 quantization precedent), after which every DP and
+  *    tie-break is integer arithmetic, bit-equal in any engine.
+  *  - The E-step is TIE-INCLUSIVE Viterbi: a piece occurrence (i, j)
+  *    counts iff fwd(i) + score + bwd(j) == best(word) — computed
+  *    from a forward AND a backward DP, no backtracking, so ties
+  *    need no arbitration at all (all maximal segmentations count;
+  *    closer to true EM's expected counts than a single
+  *    arbitrarily-broken path, and deterministic by construction).
+  *  - The M-step drops multi-char pieces with zero usage and floors
+  *    single chars at usage 1 (Kudo keeps the character alphabet so
+  *    every word stays segmentable).
+  *  - The final prune keeps the top `vocabSize` pieces by
+  *    (score desc, piece asc) plus all single characters.
+  *
+  * Scale shape: everything runs at DISTINCT-WORD grain (the h12
+  * precedent — corpus text is scanned once for word frequencies;
+  * 100 TB of text is tens of millions of distinct words, not
+  * trillions of rows), and the Viterbi DP is ROW-LOCAL: each word
+  * groups its scored substring slots into one array column and the
+  * DP unrolls over the ≤MaxWordLen positions as a flat expression
+  * tree in ONE whole-stage-codegen projection — no per-position
+  * joins, no driver segmentation loop. Per EM round the only
+  * shuffles are the slot→score join, the word-grain groupBy and the
+  * piece-grain usage aggregation. Words truncate to `MaxWordLen`
+  * chars for the model (the tail above 12 chars is noise at corpus
+  * scale; spelled identically in the oracle).
+  *
+  * Tokenization (apply side) runs the same row-local DP on the
+  * composed metric 64·score − 1 per piece: maximizing it maximizes
+  * score then minimizes piece count, and both components recover
+  * exactly (n = (−C) mod 64, S = (C + n)/64) — a single integer DP
+  * yields per-word piece counts and score sums, paid once per
+  * DISTINCT word; the corpus pass is a scan-bound token join.
+  */
+object UnigramLm {
+
+  val MaxPieceLen = 5
+  val MaxWordLen = 12
+
+  /** Unreachable-state sentinel: far below any reachable DP value
+    * (scores ≥ ln(1/total)·10⁶ ≈ −2·10⁷ micro per piece, ≤ 12 pieces,
+    * 64× the composed metric), far above long-overflow even chained
+    * 12 deep.
+    */
+  val NegInf = -1000000000000000L
+
+  /** micro-quantized ln(num/den) — the shared spelling. */
+  private def lnMicro(num: Column, den: Column): Column =
+    floor(log(num.cast("double") / den.cast("double")) * 1e6 + lit(0.5))
+      .cast("long")
+
+  /** (w, freq) at distinct-word grain, truncated to MaxWordLen. */
+  def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextOps.tokens(col(textCol))).as("w0"))
+      .select(substring(col("w0"), 1, MaxWordLen).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** All (w, freq, i, j, piece) substring slots, 0 ≤ i < j ≤ len,
+    * j − i ≤ MaxPieceLen.
+    */
+  def pieceSlots(words: DataFrame): DataFrame =
+    words
+      .withColumn("i", explode(sequence(lit(0), length(col("w")) - 1)))
+      .withColumn("j", explode(sequence(col("i") + 1,
+        least(col("i") + MaxPieceLen, length(col("w"))))))
+      .withColumn("piece", expr("substr(w, i + 1, j - i)"))
+
+  /** Seed scores: substring counts (freq-weighted, overlapping),
+    * top `seedCap` by (count desc, piece asc) plus all single chars,
+    * scored ln(count/total-over-kept) in micro units.
+    */
+  def seedScores(words: DataFrame, seedCap: Int): DataFrame = {
+    val cand = pieceSlots(words).groupBy("piece")
+      .agg(sum("freq").as("cnt"))
+    val kept = cand.orderBy(col("cnt").desc, col("piece")).limit(seedCap)
+      .unionByName(cand.filter(length(col("piece")) === 1))
+      .distinct()
+    val tot = kept.agg(sum(col("cnt")).as("__tot"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), lnMicro(col("cnt"), col("__tot")).as("s"))
+  }
+
+  /** Per-word slot array under `scores`: (w, freq, arr) where arr =
+    * [(i, j, s, piece)...] — the row-local DP's input.
+    */
+  private def slotArrays(words: DataFrame, scores: DataFrame): DataFrame =
+    pieceSlots(words).join(scores, "piece")
+      .groupBy("w", "freq")
+      .agg(collect_list(struct(col("i"), col("j"), col("s"), col("piece")))
+        .as("arr"))
+
+  /** s(i, j) lookup in the slot array; NULL when absent. */
+  private def slotScore(i: Int, j: Int): Column =
+    get(filter(col("arr"),
+      e => e.getField("i") === i && e.getField("j") === j), lit(0))
+      .getField("s")
+
+  /** Forward DP as a withColumn CHAIN: f(0)=0, f(j) = max over i of
+    * f(i) + s(i,j), NegInf when unreachable. Each stage is a NAMED
+    * column referencing the previous stages as attributes — the
+    * expression tree stays linear (an inlined recursive Column would
+    * blow up ~5^12 nodes; CollapseProject keeps multiply-referenced
+    * non-cheap aliases as separate projections, so each f_j is
+    * evaluated once per row).
+    */
+  private def withFwd(df: DataFrame, prefix: String = "f"): DataFrame = {
+    var out = df.withColumn(s"${prefix}0", lit(0L))
+    for (j <- 1 to MaxWordLen) {
+      val terms = (math.max(0, j - MaxPieceLen) until j).map(i =>
+        coalesce(col(s"$prefix$i") + slotScore(i, j), lit(NegInf)))
+      out = out.withColumn(s"$prefix$j",
+        greatest(terms :+ (lit(NegInf): Column): _*))
+    }
+    out.withColumn(s"${prefix}l",
+      array((0 to MaxWordLen).map(j => col(s"$prefix$j")): _*))
+  }
+
+  /** Backward DP, same chaining: g(len)=0, g(i) = max over j of
+    * s(i,j) + g(j). Positions past the word's length stay NegInf and
+    * never matter.
+    */
+  private def withBwd(df: DataFrame): DataFrame = {
+    var out = df.withColumn(s"g$MaxWordLen",
+      when(length(col("w")) === MaxWordLen, lit(0L)).otherwise(lit(NegInf)))
+    for (i <- MaxWordLen - 1 to 0 by -1) {
+      val terms = ((i + 1) to math.min(i + MaxPieceLen, MaxWordLen)).map(j =>
+        coalesce(slotScore(i, j) + col(s"g$j"), lit(NegInf)))
+      out = out.withColumn(s"g$i",
+        when(length(col("w")) === i, lit(0L))
+          .otherwise(greatest(terms :+ (lit(NegInf): Column): _*)))
+    }
+    out.withColumn("gl",
+      array((0 to MaxWordLen).map(i => col(s"g$i")): _*))
+  }
+
+  /** One tie-inclusive Viterbi E-step: per-piece usage (freq-weighted
+    * count of occurrences on SOME maximal segmentation) under the
+    * given scores.
+    */
+  def viterbiUsage(words: DataFrame, scores: DataFrame): DataFrame =
+    withBwd(withFwd(slotArrays(words, scores)))
+      .select(col("freq"), col("fl"), col("gl"),
+        element_at(col("fl"), length(col("w")) + 1).as("total"),
+        explode(col("arr")).as("e"))
+      .filter(element_at(col("fl"), col("e.i") + 1) + col("e.s") +
+        element_at(col("gl"), col("e.j") + 1) === col("total"))
+      .groupBy(col("e.piece").as("piece"))
+      .agg(sum("freq").as("usage"))
+
+  /** M-step: re-score from usages; multi-char zero-usage pieces drop
+    * out (they never appear in `usage`), single chars floor at 1.
+    */
+  def rescore(words: DataFrame, usage: DataFrame): DataFrame = {
+    val chars = pieceSlots(words).filter(col("j") - col("i") === 1)
+      .select(col("piece")).distinct()
+    val u = usage.filter(length(col("piece")) > 1)
+      .unionByName(chars
+        .join(usage.filter(length(col("piece")) === 1), Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("usage"), lit(1L)).as("usage")))
+    val tot = u.agg(sum(col("usage")).as("__tot"))
+    u.crossJoin(broadcast(tot))
+      .select(col("piece"), lnMicro(col("usage"), col("__tot")).as("s"))
+  }
+
+  /** Full training loop: seed → `rounds` × (E, M) → prune. Returns
+    * (piece, score_micro).
+    */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+            rounds: Int = 2, seedCap: Int = 200): DataFrame = {
+    val words = wordFreqs(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var scores = seedScores(words, seedCap)
+    for (_ <- 1 to rounds)
+      scores = rescore(words, viterbiUsage(words, scores))
+    val chars = pieceSlots(words).filter(col("j") - col("i") === 1)
+      .select(col("piece")).distinct()
+    val pruned = scores.orderBy(col("s").desc, col("piece")).limit(vocabSize)
+      .unionByName(scores.join(chars, "piece"))
+      .distinct()
+    val out = pruned.select(col("piece"), col("s").as("score_micro"))
+      .localCheckpoint()
+    words.unpersist(false)
+    out
+  }
+
+  /** Apply side: per-word piece count + score sum under `vocab` via
+    * the composed-metric DP (64·s − 1), then per-doc aggregation.
+    * Returns (doc_id, n_ws_tokens, n_pieces, score_micro_sum).
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: DataFrame): DataFrame = {
+    val words = wordFreqs(docs, textCol)
+    val composed = vocab.select(col("piece"),
+      (col("score_micro") * 64 - 1).as("s"))
+    val perWord = withFwd(slotArrays(words, composed))
+      .withColumn("best", element_at(col("fl"), length(col("w")) + 1))
+      .select(col("w"), pmod(-col("best"), lit(64L)).as("n_pieces"),
+        expr("(best + pmod(-best, 64L)) div 64").as("s_sum"))
+    docs.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("w0"))
+      .select(col(idCol), substring(col("w0"), 1, MaxWordLen).as("w"))
+      .join(perWord, "w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("s_sum")).as("score_micro_sum"))
+  }
+}

@@ -688,6 +688,88 @@ object AdsbQueries {
           ORDER BY event_id"""
       }),
 
+    // D16b: multi-polygon geofence JOIN — membership against a TABLE
+    // of 28 zones (incl. overlapping ones: a position can belong to
+    // several), the real airspace-alerting shape the single-literal
+    // d16 special-cases (the reference dashboards' receiver-relative
+    // region filter is d16's one-zone case). Scale spelling: one
+    // literal UNION-bbox pre-filter on the scan (parquet-min/max
+    // prunable were lat/lon physical columns), then a BROADCAST
+    // nested-loop join of positions against the 28-row zone dim on
+    // the per-zone bbox (the fact table never shuffles — plan-pinned
+    // in GeofenceSpec: BroadcastNestedLoopJoin, no CartesianProduct),
+    // then the row-local even-odd fold over the zone's broadcast edge
+    // array (functions.aggregate — codegen'd, no UDF). Zones and all
+    // edge literals render from ONE Scala list into both engines.
+    QueryDef("d16b_geofence_many",
+      (s, dir) => {
+        import GeofenceZones._
+        val (latC, lonC) = (
+          (col("value") % 90.0) - 45.0,
+          ((col("event_id") * 7) % 360).cast("double") - 179.5)
+        val pos = ev(s, dir)
+          .withColumn("lat", latC).withColumn("lon", lonC)
+          .filter(col("lat").between(gLatMin, gLatMax) &&
+            col("lon").between(gLonMin, gLonMax))
+          .select("event_id", "user_id", "lat", "lon")
+        val zonesDf = {
+          import s.implicits._
+          broadcast(withEdges.toDF(
+            "zone_id", "lat_min", "lat_max", "lon_min", "lon_max", "edges"))
+        }
+        // UNROLLED even-odd fold (every zone is a pentagon, exactly 5
+        // edges): plain expressions instead of a functions.aggregate
+        // lambda — a lambda's outer refs (lat/lon) are invisible to
+        // some optimizer rules' reference tracking, and
+        // ConvertToLocalRelation then tries to evaluate the fold
+        // against the 28-row zone relation alone (INTERNAL_ERROR);
+        // the unrolled spelling is also one flat codegen stage
+        val crossings = (1 to 5).map { i =>
+          val e = element_at(col("edges"), i)
+          when(
+            (e.getField("_1") > col("lat")) =!= (e.getField("_3") > col("lat")) &&
+              col("lon") < (e.getField("_4") - e.getField("_2")) *
+                (col("lat") - e.getField("_1")) /
+                (e.getField("_3") - e.getField("_1")) + e.getField("_2"),
+            1).otherwise(0)
+        }.reduce(_ + _)
+        // crossings lands in a Project ABOVE the join: a lambda
+        // function's outer refs (lat/lon) are invisible to predicate
+        // pushdown, which otherwise pushes the filter into the zone
+        // side and fails analysis
+        pos.join(zonesDf,
+            col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
+              col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
+          .withColumn("__crossings", crossings)
+          .filter(col("__crossings") % 2 === 1)
+          .groupBy("zone_id")
+          .agg(count(lit(1)).as("n_positions"),
+            countDistinct(col("user_id")).as("n_aircraft"))
+          .orderBy("zone_id")
+      },
+      Some {
+        import GeofenceZones._
+        val perZone = zones.map { case (id, vs) =>
+          val (laMin, laMax) = (vs.map(_._1).min, vs.map(_._1).max)
+          val (loMin, loMax) = (vs.map(_._2).min, vs.map(_._2).max)
+          s"""SELECT $id AS zone_id, COUNT(*) AS n_positions,
+            COUNT(DISTINCT user_id) AS n_aircraft
+          FROM boxed
+          WHERE lat BETWEEN ${dbl(laMin)} AND ${dbl(laMax)}
+            AND lon BETWEEN ${dbl(loMin)} AND ${dbl(loMax)}
+            AND (${sqlCross(id)}) % 2 = 1"""
+        }.mkString("\n UNION ALL \n")
+        s"""WITH pos AS (
+            SELECT event_id, user_id, (value % 90.0) - 45.0 AS lat,
+              CAST((event_id * 7) % 360 AS DOUBLE) - 179.5 AS lon
+            FROM events),
+          boxed AS (SELECT * FROM pos
+            WHERE lat BETWEEN ${dbl(gLatMin)} AND ${dbl(gLatMax)}
+              AND lon BETWEEN ${dbl(gLonMin)} AND ${dbl(gLonMax)})
+          $perZone
+          ORDER BY zone_id"""
+      }),
+
     // D19–D22: the DASHBOARD-PARITY PACK — the reference's four
     // user-facing Grafana dashboards (dashboards/examples/
     // Current_Positions_{Global_Opensky,Global_Stream,Regional,
@@ -895,6 +977,74 @@ object AdsbQueries {
   * on an edge or vertex latitude. Shared by the Spark and oracle
   * sides so both engines evaluate the same literals.
   */
+/** D16b's polygon TABLE — 28 pentagon zones (a 4×6 grid of varying
+  * radius plus 4 offset zones that OVERLAP their grid neighbours, so
+  * membership is a genuine join, not a partition). Vertices are
+  * driver-computed doubles rendered as literals into BOTH engines
+  * (Double.toString round-trips the exact IEEE value through either
+  * parser), so every edge test is the same arithmetic on both sides.
+  */
+private[graft] object GeofenceZones {
+  /** (zone_id, vertices) — pentagon around a grid center; radius
+    * cycles 9.5/13.2/16.9°, lon stretched 1.6×. The 4 extra zones sit
+    * between grid cells at max radius and overlap several neighbours.
+    */
+  val zones: Seq[(Int, Seq[(Double, Double)])] = {
+    def pentagon(latc: Double, lonc: Double, rad: Double): Seq[(Double, Double)] =
+      (0 until 5).map { k =>
+        val th = 2 * math.Pi * k / 5 + 0.4
+        (latc + rad * math.sin(th), lonc + 1.6 * rad * math.cos(th))
+      }
+    val grid = for (r <- 0 until 4; c <- 0 until 6) yield {
+      val id = r * 6 + c
+      (id, pentagon(-30.0 + r * 20 + 0.13, -145.0 + c * 58 + 0.29,
+        9.5 + (id % 3) * 3.7))
+    }
+    val overlapping = (0 until 4).map { k =>
+      (24 + k, pentagon(-20.0 + k * 20 + 0.37, -116.0 + k * 58 + 0.41, 16.9))
+    }
+    grid ++ overlapping
+  }
+
+  /** Edge list per zone as (yi, xi, yj, xj) plus the zone's bbox. */
+  val withEdges: Seq[(Int, Double, Double, Double, Double,
+      Seq[(Double, Double, Double, Double)])] =
+    zones.map { case (id, vs) =>
+      val edges = vs.indices.map { i =>
+        val (yi, xi) = vs(i)
+        val (yj, xj) = vs((i + 1) % vs.length)
+        (yi, xi, yj, xj)
+      }
+      (id, vs.map(_._1).min, vs.map(_._1).max,
+        vs.map(_._2).min, vs.map(_._2).max, edges)
+    }
+
+  /** Union bbox over all zones — the literal scan pre-filter. */
+  val (gLatMin, gLatMax, gLonMin, gLonMax) =
+    (zones.flatMap(_._2.map(_._1)).min, zones.flatMap(_._2.map(_._1)).max,
+      zones.flatMap(_._2.map(_._2)).min, zones.flatMap(_._2.map(_._2)).max)
+
+  /** Double literal for DuckDB: E-notation forces DOUBLE parsing
+    * (a bare 17-digit literal parses as DECIMAL(18,17) and overflows
+    * on comparison); the mantissa is Double.toString, so the parsed
+    * value is bit-identical to the Scala double Spark gets.
+    */
+  def dbl(x: Double): String =
+    if (x.toString.contains("E")) x.toString else x.toString + "E0"
+
+  /** Per-zone even-odd crossing-count SQL (d16's spelling). */
+  def sqlCross(zoneId: Int): String = {
+    val vs = zones.find(_._1 == zoneId).get._2
+    vs.indices.map { i =>
+      val (yi, xi) = vs(i)
+      val (yj, xj) = vs((i + 1) % vs.length)
+      s"""(CASE WHEN ((${dbl(yi)} > lat) != (${dbl(yj)} > lat))
+          AND lon < (${dbl(xj)} - ${dbl(xi)}) * (lat - ${dbl(yi)}) / (${dbl(yj)} - ${dbl(yi)}) + ${dbl(xi)}
+          THEN 1 ELSE 0 END)"""
+    }.mkString(" + ")
+  }
+}
+
 private[graft] object GeofencePoly {
   val vertices: Seq[(Double, Double)] = Seq(
     (10.3, -40.7), (25.9, -10.1), (5.7, 20.3), (-15.1, 10.9), (-20.3, -25.7))

@@ -4958,8 +4958,235 @@ object PipelineQueries {
           (SELECT COUNT(*) FROM ep WHERE dels > 0 AND keeps = 0) AS n_dropped)
         SELECT * FROM shards UNION ALL SELECT * FROM bands
         UNION ALL SELECT * FROM ann UNION ALL SELECT * FROM daylayout
-        ORDER BY store"""))
+        ORDER BY store""")),
+
+    // P30: SEEDED GLOBAL SHUFFLE order for shards — the standard
+    // non-curriculum pipeline shuffles examples reproducibly BEFORE
+    // sharding (P25 packs in doc_id order, P26 in curriculum order;
+    // a plain training run wants neither — it wants a deterministic
+    // random permutation so adjacent shards don't share provenance).
+    // One orderCol spelling through the UNCHANGED planShards: okey =
+    // md5prefix64(seed ‖ ':' ‖ doc_id) — a keyed 60-bit hash IS the
+    // seeded permutation, reproducible across engines and runs, no
+    // RNG state; the prefix sum's bucketSpan widens to 2^50 so the
+    // hash-valued key still yields ~1024 bounded offset buckets
+    // (doc_id's dense-unit span of 64 would make one bucket per doc —
+    // a corpus-sized broadcast). Result = the p25 round-trip proof on
+    // the shuffled layout: Spark recomputes the manifest from the
+    // read-back FILES, DuckDB from the PLAN (same window, ORDER BY
+    // the same md5 key). Spec: same seed ⇒ byte-identical re-write;
+    // different seed ⇒ different packing, identical totals
+    // (doc/token conservation + XOR-of-content-hash invariance).
+    QueryDef("p30_shuffled_shards",
+      (s, dir) => {
+        val out = shardScratchDir(s, "p30", dir)
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "text", "source")
+          .withColumn("okey", graft.functions.HashFunctions.md5prefix64(
+            concat(lit("s42:"), col("doc_id").cast("string"))))
+        val planned = graft.operators.ShardWriter.planShards(docs,
+          orderCol = "okey", bucketSpan = 1L << 50)
+        graft.operators.ShardWriter.writeShards(planned, out)
+        graft.operators.ShardWriter.manifestFromFiles(s, out)
+          .orderBy("shard")
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, source,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT AS doc_hash,
+            ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS okey
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens, doc_hash,
+            SUM(n_tokens) OVER (ORDER BY okey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+        sh AS (
+          SELECT doc_id, source, n_tokens, doc_hash,
+            CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard
+          FROM c),
+        mixs AS (
+          SELECT shard, string_agg(source || ':' || n, ',' ORDER BY source || ':' || n) AS source_mix
+          FROM (SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM sh GROUP BY shard, source)
+          GROUP BY shard),
+        m AS (
+          SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+            bit_xor(doc_hash) AS content_hash
+          FROM sh GROUP BY shard)
+        SELECT m.shard, n_docs, min_doc_id, max_doc_id, n_tokens,
+          content_hash, source_mix
+        FROM m JOIN mixs USING (shard) ORDER BY shard""")),
+
+    // H23: UNIGRAM-LM tokenizer TRAINING (Kudo 2018 — the
+    // SentencePiece unigram model, the published alternative to
+    // h12's BPE): substring-seeded candidate vocab, tie-inclusive
+    // Viterbi hard-EM rounds (forward + backward DP — a piece counts
+    // iff fwd + score + bwd == best, so ties need no arbitration and
+    // no backtracking exists to replicate), score-pruned final vocab.
+    // Integer-micro ln scores (the h15/h19 quantization), all DP
+    // arithmetic integer — the oracle replays seeding, BOTH EM
+    // rounds and the prune in DuckDB and must land on the identical
+    // (piece, score) table. Scale: everything at distinct-word grain
+    // (h12's precedent), and the Viterbi DP is ROW-LOCAL: per word,
+    // scored substring slots gather into one array column and the DP
+    // unrolls over ≤MaxWordLen positions as chained named columns in
+    // one codegen stage — no per-position joins, no driver loop.
+    QueryDef("h23_unigram_train",
+      (s, dir) => graft.operators.UnigramLm
+        .train(Tables.documents(s, dir), "text", vocabSize = 40)
+        .orderBy(col("score_micro").desc, col("piece")),
+      Some(unigramTrainSql +
+        """ SELECT piece, s AS score_micro FROM vocab
+         ORDER BY score_micro DESC, piece""")),
+
+    // H23b: unigram-LM TOKENIZATION with the trained vocab — the
+    // apply side: per-doc whitespace-token count, total piece count
+    // and total score under per-word Viterbi segmentation, via ONE
+    // composed-metric DP (64·score − 1: maximize score, then fewest
+    // pieces; n = (−C) mod 64 and S = (C + n) / 64 recover both
+    // exactly). The oracle re-trains via the same staged CTEs and
+    // tokenizes by joining doc tokens to the per-WORD DP results —
+    // segmentation cost is paid once per distinct word, the corpus
+    // join is scan-bound, exactly how a production tokenizer pass
+    // amortizes at 100 TB.
+    QueryDef("h23b_unigram_tokenize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.UnigramLm.tokenStats(docs, "doc_id", "text",
+            graft.operators.UnigramLm.train(docs, "text", vocabSize = 40))
+          .orderBy("doc_id")
+      },
+      Some(unigramTrainSql + s""",
+        arrT AS MATERIALIZED (
+          SELECT sl.w, list(struct_pack(i := sl.i, j := sl.j,
+            s := v.s * 64 - 1, piece := sl.piece)) AS arr
+          FROM slots sl JOIN vocab v USING (piece)
+          GROUP BY sl.w),
+        ${unigramFwdChain("t", "arrT")},
+        perword AS (
+          SELECT w,
+            ((-(best) % 64) + 64) % 64 AS n_pieces,
+            (best + ((-(best) % 64) + 64) % 64) // 64 AS s_sum
+          FROM (SELECT w, fl[CAST(length(w) + 1 AS INT)] AS best FROM tfl) pb),
+        dtok AS (
+          SELECT doc_id, substr(w0, 1, 12) AS w FROM (
+            SELECT doc_id, unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS w0
+            FROM documents) dt)
+        SELECT doc_id, COUNT(*) AS n_ws_tokens,
+          CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+          CAST(SUM(s_sum) AS BIGINT) AS score_micro_sum
+        FROM dtok JOIN perword USING (w)
+        GROUP BY doc_id ORDER BY doc_id"""))
   )
+
+  /** Shared h23/h23b training CTEs: word freqs → substring slots →
+    * seed scores → two tie-inclusive Viterbi EM rounds → pruned
+    * vocab. Mirrors [[graft.operators.UnigramLm]] stage for stage
+    * (MaxWordLen = 12, MaxPieceLen = 5, seedCap = 200, vocab = 40):
+    * each word's scored slots gather into one LIST column and the DP
+    * unrolls as chained projections (f0..f12, g12..g0) — the same
+    * row-local fold the Spark side runs, no per-position joins.
+    */
+  private def unigramLookup(i: Int, j: Int): String =
+    s"(list_filter(arr, e -> e.i = $i AND e.j = $j)[1]).s"
+
+  private def unigramFwdChain(tag: String, src: String): String = {
+    val stages = (1 to 12).map { j =>
+      val terms = (math.max(0, j - 5) until j).map(i =>
+        s"COALESCE(f$i + ${unigramLookup(i, j)}, -1000000000000000)")
+      s"""${tag}f$j AS (SELECT *, greatest(${terms.mkString(", ")}) AS f$j
+          FROM ${if (j == 1) s"${tag}f0" else s"${tag}f${j - 1}"})"""
+    }.mkString(",\n        ")
+    s"""${tag}f0 AS (SELECT *, CAST(0 AS BIGINT) AS f0 FROM $src),
+        $stages,
+        ${tag}fl AS (SELECT *, list_value(${(0 to 12).map("f" + _).mkString(", ")}) AS fl FROM ${tag}f12)"""
+  }
+
+  private def unigramBwdChain(tag: String, src: String): String = {
+    val stages = (0 to 11).reverse.map { i =>
+      val terms = ((i + 1) to math.min(i + 5, 12)).map(j =>
+        s"COALESCE(${unigramLookup(i, j)} + g$j, -1000000000000000)")
+      s"""${tag}g$i AS (SELECT *, CASE WHEN length(w) = $i THEN CAST(0 AS BIGINT)
+            ELSE greatest(${terms.mkString(", ")}) END AS g$i
+          FROM ${if (i == 11) s"${tag}g12" else s"${tag}g${i + 1}"})"""
+    }.mkString(",\n        ")
+    s"""${tag}g12 AS (SELECT *, CASE WHEN length(w) = 12 THEN CAST(0 AS BIGINT)
+          ELSE CAST(-1000000000000000 AS BIGINT) END AS g12 FROM $src),
+        $stages,
+        ${tag}gl AS (SELECT *, list_value(${(0 to 12).map("g" + _).mkString(", ")}) AS gl FROM ${tag}g0)"""
+  }
+
+  private def unigramEmRound(r: Int): String =
+    s"""arr$r AS MATERIALIZED (
+          SELECT sl.w, sl.freq,
+            list(struct_pack(i := sl.i, j := sl.j, s := sc.s, piece := sl.piece)) AS arr
+          FROM slots sl JOIN s${r - 1} sc USING (piece)
+          GROUP BY sl.w, sl.freq),
+        ${unigramFwdChain(s"r$r", s"arr$r")},
+        ${unigramBwdChain(s"r$r", s"r${r}fl")},
+        usage$r AS (
+          SELECT (e).piece AS piece, CAST(SUM(freq) AS BIGINT) AS usage
+          FROM (SELECT freq, fl, gl, fl[CAST(length(w) + 1 AS INT)] AS total,
+                  unnest(arr) AS e
+                FROM r${r}gl) q
+          WHERE fl[CAST((e).i + 1 AS INT)] + (e).s
+              + gl[CAST((e).j + 1 AS INT)] = total
+          GROUP BY (e).piece),
+        u$r AS (
+          SELECT piece, usage FROM usage$r WHERE length(piece) > 1
+          UNION ALL
+          SELECT c.piece, COALESCE(uu.usage, 1) AS usage
+          FROM chars c LEFT JOIN (
+            SELECT piece, usage FROM usage$r WHERE length(piece) = 1) uu
+            USING (piece)),
+        s$r AS MATERIALIZED (
+          SELECT piece, CAST(floor(ln(CAST(usage AS DOUBLE)
+            / CAST((SELECT SUM(usage) FROM u$r) AS DOUBLE)) * 1000000.0
+            + 0.5) AS BIGINT) AS s
+          FROM u$r)"""
+
+  private lazy val unigramTrainSql: String =
+    s"""WITH w0 AS (
+          SELECT substr(t.w0, 1, 12) AS w FROM (
+            SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS w0
+            FROM documents) t),
+        wfreq AS MATERIALIZED (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM w0 GROUP BY w),
+        slots AS MATERIALIZED (
+          SELECT w, freq, CAST(u.i AS INT) AS i, CAST(u.j AS INT) AS j,
+            substr(w, CAST(u.i + 1 AS INT), CAST(u.j - u.i AS INT)) AS piece
+          FROM (
+            SELECT w, freq, unnest(flatten(list_transform(
+              range(0, length(w)),
+              i -> list_transform(range(i + 1, least(i + 5, length(w)) + 1),
+                j -> {'i': i, 'j': j})))) AS u
+            FROM wfreq) q),
+        chars AS (SELECT DISTINCT piece FROM slots WHERE j - i = 1),
+        cand AS (
+          SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM slots GROUP BY piece),
+        keptseed AS (
+          SELECT DISTINCT piece, cnt FROM (
+            (SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece LIMIT 200)
+            UNION ALL
+            SELECT piece, cnt FROM cand WHERE length(piece) = 1) ks),
+        s0 AS MATERIALIZED (
+          SELECT piece, CAST(floor(ln(CAST(cnt AS DOUBLE)
+            / CAST((SELECT SUM(cnt) FROM keptseed) AS DOUBLE)) * 1000000.0
+            + 0.5) AS BIGINT) AS s
+          FROM keptseed),
+        ${unigramEmRound(1)},
+        ${unigramEmRound(2)},
+        vocab AS (
+          SELECT DISTINCT piece, s FROM (
+            (SELECT piece, s FROM s2 ORDER BY s DESC, piece LIMIT 40)
+            UNION ALL
+            SELECT s2.piece, s2.s FROM s2 JOIN chars USING (piece)) vv)"""
 
   /** h14's 64 feature-bucket weights — deterministic md5-derived
     * integers in [-1000, 1000], the stand-in for a trained linear

@@ -64,3 +64,67 @@ class GeofenceSpec extends SparkSpecBase {
     assert(expect.count(identity) > 10 && expect.count(!_) > 10)
   }
 }
+
+/** d16b's multi-zone membership join: zone-count invariants, a
+  * plain-Scala per-zone cross-check, overlap coverage (at least one
+  * probe point belongs to ≥2 zones — the overlapping layout is real),
+  * and the scale plan pins: the fact side joins the 28-row zone table
+  * by BROADCAST nested loop (never a CartesianProduct, never a
+  * fact-side shuffle before the join).
+  */
+class GeofenceManySpec extends SparkSpecBase {
+  import graft.queries.GeofenceZones
+  import org.apache.spark.sql.functions._
+
+  private def refInside(vs: Seq[(Double, Double)], lat: Double,
+      lon: Double): Boolean = {
+    var c = false
+    var i = 0
+    while (i < vs.length) {
+      val (yi, xi) = vs(i)
+      val (yj, xj) = vs((i + 1) % vs.length)
+      if (((yi > lat) != (yj > lat)) &&
+        lon < (xj - xi) * (lat - yi) / (yj - yi) + xi) c = !c
+      i += 1
+    }
+    c
+  }
+
+  test("d16b query: zone counts match a plain-Scala ray-cast; overlaps exist") {
+    val rows = SparkEntry.queries("d16b_geofence_many")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // reference counts straight off the same events derivation
+    val ev = sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pts = ev.map { case (eid, _, v) =>
+      ((v % 90.0) - 45.0, ((eid * 7) % 360).toDouble - 179.5)
+    }
+    val expected = GeofenceZones.zones.map { case (id, vs) =>
+      id -> pts.count { case (la, lo) => refInside(vs, la, lo) }.toLong
+    }.toMap
+    val populated = expected.filter(_._2 > 0)
+    assert(populated.nonEmpty)
+    populated.foreach { case (id, n) =>
+      assert(rows.get(id).contains(n), s"zone $id: got ${rows.get(id)}, want $n")
+    }
+    // overlap is real: some position belongs to >= 2 zones
+    val multi = pts.exists { case (la, lo) =>
+      GeofenceZones.zones.count { case (_, vs) => refInside(vs, la, lo) } >= 2
+    }
+    assert(multi, "no probe point fell in two zones — overlap layout broken")
+  }
+
+  test("d16b plan: broadcast nested-loop join, no cartesian, no fact shuffle before join") {
+    val plan = SparkEntry.queries("d16b_geofence_many")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+    // the only shuffles are the post-join aggregation/sort ones: the
+    // scan side reaches the join through filter/project alone
+    val joinIdx = plan.indexOf("BroadcastNestedLoopJoin")
+    val below = plan.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      "fact side shuffled before the polygon join")
+  }
+}

@@ -145,4 +145,37 @@ class ShardWriterSpec extends SparkSpecBase {
     assert(diff.length == 1 && diff.head.getAs[Long]("shard") == 0L,
       "tampering must surface as exactly the touched shard mismatching")
   }
+
+  test("p30 seeded shuffle: same seed byte-identical; different seed reorders but conserves content") {
+    def planFor(seed: String) = ShardWriter.planShards(
+      docsDf.withColumn("okey", graft.functions.HashFunctions.md5prefix64(
+        concat(lit(seed + ":"), col("doc_id").cast("string")))),
+      512L, orderCol = "okey", bucketSpan = 1L << 50)
+    val (a1, a2, b) = (
+      java.nio.file.Files.createTempDirectory("graft_p30a").toString,
+      java.nio.file.Files.createTempDirectory("graft_p30a2").toString,
+      java.nio.file.Files.createTempDirectory("graft_p30b").toString)
+    ShardWriter.writeShards(planFor("s42"), a1)
+    ShardWriter.writeShards(planFor("s42"), a2)
+    ShardWriter.writeShards(planFor("s43"), b)
+    val (ha, ha2, hb) = (fileHashes(a1), fileHashes(a2), fileHashes(b))
+    assert(ha.nonEmpty && ha == ha2, "same seed not byte-identical")
+    assert(ha != hb, "different seed produced identical shards")
+    // conservation: totals and the XOR-union of content hashes agree
+    def totals(path: String): (Long, Long, Long) = {
+      val m = ShardWriter.manifestFromFiles(spark, path)
+        .agg(sum("n_docs"), sum("n_tokens"),
+          org.apache.spark.sql.functions.expr("bit_xor(content_hash)"))
+        .head()
+      (m.getLong(0), m.getLong(1), m.getLong(2))
+    }
+    assert(totals(a1) == totals(b),
+      "different seed changed the corpus content totals")
+    // the permutation is real: per-shard doc-id ranges differ
+    val ra = ShardWriter.manifestFromFiles(spark, a1)
+      .select("shard", "min_doc_id", "max_doc_id").collect().toSeq.map(_.toString).sorted
+    val rb = ShardWriter.manifestFromFiles(spark, b)
+      .select("shard", "min_doc_id", "max_doc_id").collect().toSeq.map(_.toString).sorted
+    assert(ra != rb, "seeds produced the same packing order")
+  }
 }

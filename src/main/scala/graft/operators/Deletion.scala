@@ -92,7 +92,8 @@ object Deletion {
     * so the per-leaf job count is too.
     */
   def purgeByKeys(spark: SparkSession, path: String, partCols: Seq[String],
-                  keyCol: String, keys: DataFrame): PurgeResult = {
+                  keyCol: String, keys: DataFrame,
+                  uniformSchema: Boolean = false): PurgeResult = {
     val store = spark.read.parquet(path)
     val delKeys = broadcast(
       keys.select(keys.columns.head).toDF("__del_key").distinct())
@@ -107,6 +108,49 @@ object Deletion {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leafRel(t: Seq[Any]): String =
       partCols.zip(t).map { case (c, v) => s"$c=$v" }.mkString("/")
+
+    if (uniformSchema) {
+      // fast path for single-schema stores (the common case: day
+      // layouts, band indexes, ANN cell stores that have never been
+      // J23-compacted): ONE job scans exactly the touched leaves
+      // (tuple-predicate partition pruning) and writes every
+      // surviving leaf into a hidden staging subtree; the driver
+      // then swaps leaves in (absent staged leaf = emptied ⇒ drop).
+      // Touched-leaf count no longer costs a job each.
+      val pred = touched.map(t =>
+          partCols.zip(t).map { case (c, v) => col(c) === lit(v) }
+            .reduce(_ && _))
+        .reduce(_ || _)
+      val staged = new org.apache.hadoop.fs.Path(root, ".purge_staging")
+      fs.delete(staged, true)
+      store.filter(pred)
+        .join(delKeys, col(keyCol) === col("__del_key"), "left_anti")
+        .write.mode("overwrite").partitionBy(partCols: _*)
+        .parquet(staged.toString)
+      val (rewritten, dropped) = touched.partition(t =>
+        fs.exists(new org.apache.hadoop.fs.Path(staged, leafRel(t))))
+      rewritten.foreach { t =>
+        val rel = leafRel(t)
+        val src = new org.apache.hadoop.fs.Path(staged, rel)
+        val dst = new org.apache.hadoop.fs.Path(root, rel)
+        val old = new org.apache.hadoop.fs.Path(
+          dst.getParent, s".old_${dst.getName}")
+        fs.delete(old, true)
+        if (fs.exists(dst)) renameOrThrow(fs, dst, old)
+        fs.mkdirs(dst.getParent)
+        renameOrThrow(fs, src, dst)
+        fs.delete(old, true)
+      }
+      dropped.foreach(t =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, leafRel(t)), true))
+      fs.delete(staged, true)
+      return PurgeResult(touched, rewritten, dropped)
+    }
+
+    // general path: each touched leaf rewritten INDEPENDENTLY from
+    // its own files' schema — required for schema-heterogeneous
+    // stores (J23's compacted batch_id=-1 segment carries
+    // src_batch_id; live partitions don't)
     val results = touched.map { t =>
       val rel = leafRel(t)
       val dst = new org.apache.hadoop.fs.Path(root, rel)

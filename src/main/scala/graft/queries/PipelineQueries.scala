@@ -4826,8 +4826,8 @@ object PipelineQueries {
         Dedup.minhashBandsRowLocal(docs, "doc_id", "text", 4)
           .withColumn("batch_id", pmod(col("doc_id"), lit(4L)))
           .write.mode("overwrite").partitionBy("batch_id").parquet(bandPath)
-        val bandRes =
-          Deletion.purgeByKeys(s, bandPath, Seq("batch_id"), "doc_id", delDocs)
+        val bandRes = Deletion.purgeByKeys(s, bandPath, Seq("batch_id"),
+          "doc_id", delDocs, uniformSchema = true)
 
         val emb = Tables.embeddings(s, dir)
         val annPath = s"$scratch/ann"
@@ -4838,15 +4838,15 @@ object PipelineQueries {
           .parquet(annPath)
         val delVecs = emb.filter(col("vec_id") % 41 === 0).select("vec_id")
         val annRes = Deletion.purgeByKeys(s, annPath,
-          Seq("batch_id", "cell"), "vid", delVecs)
+          Seq("batch_id", "cell"), "vid", delVecs, uniformSchema = true)
 
         val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
         val dayPath = s"$scratch/daylayout"
         CurrentState.writePartitionedByDay(ev, "ts", "user_id", dayPath)
         val delUsers = ev.filter(col("user_id") % 13 === 0)
           .select("user_id").distinct()
-        val dayRes =
-          Deletion.purgeByKeys(s, dayPath, Seq("day"), "user_id", delUsers)
+        val dayRes = Deletion.purgeByKeys(s, dayPath, Seq("day"),
+          "user_id", delUsers, uniformSchema = true)
 
         def auditRow(store: String, df: DataFrame, residue: Column,
             hashC: Column, partC: Column, nRew: Long, nDrop: Long)

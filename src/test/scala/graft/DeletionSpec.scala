@@ -122,4 +122,28 @@ class DeletionSpec extends SparkSpecBase {
       Seq(-5L).toDF("doc_id"), tps)
     assert(r2.isEmpty && s2.isEmpty && leafHashes(store) == after)
   }
+
+  test("purgeByKeys uniformSchema fast path: identical result to the per-leaf path") {
+    def build(dir: String): Unit =
+      docsDf.withColumn("batch_id", pmod(col("doc_id"), lit(4L)))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    val a = java.nio.file.Files.createTempDirectory("graft_del_u1").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_del_u2").toString
+    build(a); build(b)
+    val ids = (docsDf.filter(col("doc_id") % 4 === 3).select("doc_id")
+      .as[Long].collect().toSeq ++ Seq(1L, 5L)).toDF("doc_id")
+    val ra = Deletion.purgeByKeys(spark, a, Seq("batch_id"), "doc_id", ids)
+    val rb = Deletion.purgeByKeys(spark, b, Seq("batch_id"), "doc_id", ids,
+      uniformSchema = true)
+    assert(ra.touched.map(_.map(_.toString)).sortBy(_.mkString) ==
+      rb.touched.map(_.map(_.toString)).sortBy(_.mkString))
+    assert(ra.dropped.map(_.map(_.toString)) == rb.dropped.map(_.map(_.toString)))
+    val (da, db) = (spark.read.parquet(a), spark.read.parquet(b))
+    assert(da.count() == db.count())
+    assert(da.unionByName(db).except(da.intersect(db)).count() == 0 ||
+      da.except(db).count() + db.except(da).count() == 0,
+      "fast path and per-leaf path diverged in surviving rows")
+    // untouched partitions stay byte-identical on the fast path too
+    assert(!new java.io.File(s"$b/batch_id=3").exists)
+  }
 }

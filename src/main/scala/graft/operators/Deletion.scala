@@ -179,6 +179,22 @@ object Deletion {
       results.collect { case (t, false) => t })
   }
 
+  /** Resolve a CONTENT-fingerprint deletion request to doc ids: a
+    * takedown usually arrives as the content (or its hash), not as
+    * ids — and content deletion must remove EVERY copy, not one doc.
+    * `fps` is a single-column frame of md5prefix64(text) fingerprints
+    * (request-sized, broadcast); the corpus joins once on its own
+    * text fingerprint — row-local hash, no text ever shuffles — and
+    * every matching id comes back, exact duplicates included.
+    */
+  def resolveByFingerprint(corpus: DataFrame, idCol: String,
+                           textCol: String, fps: DataFrame): DataFrame =
+    corpus.select(col(idCol),
+        graft.functions.HashFunctions.md5prefix64(col(textCol)).as("__fp"))
+      .join(broadcast(fps.select(fps.columns.head).toDF("__del_fp")
+        .distinct()), col("__fp") === col("__del_fp"))
+      .select(col(idCol))
+
   /** Delete `keys` (doc ids) from a [[ShardWriter]] store, re-packing
     * ONLY the suffix of shards at or after the first shard containing
     * a deleted doc. The suffix's prefix-sum base is the recomputed

@@ -5020,6 +5020,80 @@ object PipelineQueries {
           content_hash, source_mix
         FROM m JOIN mixs USING (shard) ORDER BY shard""")),
 
+    // P29b: deletion by CONTENT FINGERPRINT — the takedown request's
+    // real shape (P29's keyset clause, closed): the request arrives
+    // as md5prefix64(text) fingerprints, resolveByFingerprint maps
+    // them to EVERY doc id carrying that content (exact copies
+    // included — content deletion removes all of them, where id
+    // deletion would leave twins behind), and the shard-store purge
+    // + audit run unchanged. Residue here is counted BY FINGERPRINT
+    // over the read-back TEXT — the strictest form: any surviving
+    // content copy fails the audit even under a fresh doc id. The
+    // oracle derives the fingerprint set, the resolved survivor set
+    // and the suffix re-plan independently from the base table.
+    QueryDef("p29b_fingerprint_deletion",
+      (s, dir) => {
+        import graft.operators.{Deletion, ShardWriter}
+        import graft.functions.HashFunctions.md5prefix64
+        val scratch = shardScratchDir(s, "p29b", dir)
+        val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+        // the request side: fingerprints of the takedown content
+        // (synthesized deterministically; >= 200 keeps an untouched
+        // shard prefix, as in p29)
+        val fps = docs
+          .filter(col("doc_id") % 53 === 0 && col("doc_id") >= 200)
+          .select(md5prefix64(col("text")).as("fp"))
+        val shardPath = s"$scratch/shards"
+        ShardWriter.writeShards(ShardWriter.planShards(docs), shardPath)
+        val resolved = Deletion.resolveByFingerprint(
+          docs, "doc_id", "text", fps)
+        val (rew, stale) =
+          Deletion.deleteFromShardStore(s, shardPath, resolved)
+        s.read.parquet(shardPath)
+          .withColumn("__h", md5prefix64(concat(col("doc_id").cast("string"),
+            lit(":"), col("text"))))
+          .withColumn("__fp", md5prefix64(col("text")))
+          .join(broadcast(fps.withColumnRenamed("fp", "__del_fp")),
+            col("__fp") === col("__del_fp"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(when(col("__del_fp").isNotNull, lit(1L))
+              .otherwise(lit(0L))), lit(0L)).as("n_residue"),
+            expr("bit_xor(__h)").as("content_xor"),
+            countDistinct(col("shard").cast("long")).as("n_parts"))
+          .select(lit("shards_by_fp").as("store"), col("n_rows"),
+            col("n_residue"), col("content_xor"), col("n_parts"),
+            lit(rew.size.toLong).as("n_rewritten"),
+            lit(stale.size.toLong).as("n_dropped"))
+      },
+      Some("""WITH fps AS (
+          SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+          FROM documents WHERE doc_id % 53 = 0 AND doc_id >= 200),
+        t AS (
+          SELECT doc_id, text, source,
+            ('0x' || substr(md5(text), 1, 15))::BIGINT IN (SELECT fp FROM fps) AS del,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+            ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT AS doc_hash
+          FROM documents),
+        sh AS (
+          SELECT doc_id, del, CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            / 4096.0) AS BIGINT) AS shard
+          FROM t),
+        f AS (SELECT MIN(shard) AS fa FROM sh WHERE del),
+        sh2 AS (
+          SELECT doc_id, CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+            / 4096.0) AS BIGINT) AS shard
+          FROM t WHERE NOT del)
+        SELECT 'shards_by_fp' AS store,
+          (SELECT COUNT(*) FROM t WHERE NOT del) AS n_rows,
+          CAST(0 AS BIGINT) AS n_residue,
+          (SELECT bit_xor(doc_hash) FROM t WHERE NOT del) AS content_xor,
+          (SELECT COUNT(DISTINCT shard) FROM sh2) AS n_parts,
+          (SELECT COUNT(DISTINCT shard) FROM sh2 WHERE shard >= (SELECT fa FROM f)) AS n_rewritten,
+          (SELECT MAX(shard) FROM sh)
+            - greatest((SELECT MAX(shard) FROM sh2), (SELECT fa FROM f) - 1) AS n_dropped""")),
+
     // H23: UNIGRAM-LM tokenizer TRAINING (Kudo 2018 — the
     // SentencePiece unigram model, the published alternative to
     // h12's BPE): substring-seeded candidate vocab, tie-inclusive

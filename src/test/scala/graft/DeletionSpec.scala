@@ -146,4 +146,26 @@ class DeletionSpec extends SparkSpecBase {
     // untouched partitions stay byte-identical on the fast path too
     assert(!new java.io.File(s"$b/batch_id=3").exists)
   }
+
+  test("resolveByFingerprint: content deletion catches every copy, id-based would not") {
+    // two ids share identical content; the request carries ONE
+    // fingerprint and both ids must resolve
+    val docs = Seq((1L, "alpha beta gamma", "s0"), (2L, "delta epsilon", "s0"),
+      (3L, "alpha beta gamma", "s1"), (4L, "zeta eta", "s1"))
+      .toDF("doc_id", "text", "source")
+    val fps = docs.filter(col("doc_id") === 1)
+      .select(graft.functions.HashFunctions.md5prefix64(col("text")).as("fp"))
+    val ids = Deletion.resolveByFingerprint(docs, "doc_id", "text", fps)
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"resolved $ids")
+    // propagated: a store purged by the resolved set holds no copy
+    val out = java.nio.file.Files.createTempDirectory("graft_del_fp").toString
+    docs.withColumn("batch_id", pmod(col("doc_id"), lit(2L)))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(out)
+    Deletion.purgeByKeys(spark, out, Seq("batch_id"), "doc_id",
+      ids.toSeq.toDF("doc_id"))
+    val back = spark.read.parquet(out)
+    assert(back.filter(col("text") === "alpha beta gamma").count() == 0)
+    assert(back.count() == 2)
+  }
 }

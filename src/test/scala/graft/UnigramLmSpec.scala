@@ -125,4 +125,24 @@ class UnigramLmSpec extends SparkSpecBase {
     assert(stats.getLong(1) == 5)
     assert(stats.getLong(2) <= 3 + 2 + 2)
   }
+
+  test("EM learns shared stems: multi-char pieces for morphological families") {
+    // a corpus with real subword structure: two verb stems under
+    // four suffixes each — the published unigram-LM behavior is that
+    // frequent stems survive EM as multi-char pieces and the
+    // tokenizer segments stem+suffix rather than char-spelling
+    val text = Seq("playing played player plays",
+      "walking walked walker walks").mkString(" ")
+    val docs = Seq.tabulate(8)(i => (i.toLong, text)).toDF("doc_id", "text")
+    val vocab = UnigramLm.train(docs, "text", vocabSize = 20)
+    val pieces = vocab.select("piece").as[String].collect().toSet
+    assert(pieces.contains("play") && pieces.contains("walk"),
+      s"stems not learned; vocab=$pieces")
+    val st = UnigramLm.tokenStats(docs, "doc_id", "text", vocab).head()
+    val (nTok, nPieces) = (st.getLong(1), st.getLong(2))
+    assert(nTok == 8)
+    // 8 words, 47 chars: stem+suffix segmentation lands well under
+    // char spelling (<= 3 pieces per word)
+    assert(nPieces <= 24, s"tokenizer char-spelled: $nPieces pieces")
+  }
 }

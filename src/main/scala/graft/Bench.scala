@@ -270,11 +270,10 @@ object Bench {
       s""""slowest10":$slowest10,""" +
       s""""anchor":$anchor,""" +
       s""""total_sec":${fmt(total)},"sf":"$sfDir"}"""
-    println(json)
-    // ALSO write the complete artifact to a repo file: the driver's
-    // stdout capture keeps only a bounded TAIL (r10: 64 of 201
-    // queries diffable), so cross-round per-query regression diffs
-    // need a full copy on disk regardless of capture limits.
+    // Write the COMPLETE artifact to a repo file: the driver's stdout
+    // capture keeps only a bounded TAIL (r10: 64 of 201 queries
+    // diffable), so cross-round per-query regression diffs need a
+    // full copy on disk regardless of capture limits.
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (onlyPrefix.isDefined) None
         else repoRoot.map(r => s"$r/BENCH_LOCAL_latest.json"))
@@ -284,6 +283,24 @@ object Bench {
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
     }
+    // STDOUT gets a COMPACT line instead of the full artifact: the
+    // driver's capture kept ~2000 chars, so for three rounds the 31 kB
+    // full line tail-truncated to an unparseable fragment
+    // (BENCH_r{13,14,15}.json all `parsed: null`). Everything below
+    // fits the capture window whole — headline totals, the slowest-10
+    // tail, the host anchor, and a pointer to the on-disk full
+    // artifact for per-query diffs.
+    val nShuffle = results.count { case (k, _) =>
+      queryClass.getOrElse(k, "compute") == "shuffle" }
+    val stdoutJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_shuffle_class":$nShuffle,""" +
+      s""""max_query":"${mx._1}","max_sec":${fmt(mx._2)},""" +
+      s""""queries":$slowest10,""" +
+      s""""anchor":$anchor,""" +
+      s""""full_artifact":"${outPath.getOrElse("")}",""" +
+      s""""total_sec":${fmt(total)},"sf":"$sfDir"}"""
+    println(stdoutJson)
     spark.stop()
   }
 }

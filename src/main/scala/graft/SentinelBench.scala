@@ -80,6 +80,34 @@ object SentinelBench {
     val anchor = Calibration.measure(spark, cpus.toInt)
 
     def fmt(v: Double): String = f"$v%.3f"
+
+    // sf1 sentinel (r15 verdict item 7): three of the same fixed
+    // queries, min-of-3 at 10× data, so the sf1 ratio table can also
+    // separate host drift from code drift — without it only the sf0.1
+    // battery had a start/end instrument. Subset, not a new surface:
+    // one compute leg and two shuffle legs from `Sentinels`.
+    val sf1Sentinels = Seq("h18_gopher_repetition", "e4_star_join",
+      "d14_lttb_downsample")
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .orElse(Seq("testdata/sf1", "/root/repo/testdata/sf1")
+        .find(d => new java.io.File(s"$d/lineitem.parquet").exists))
+      .getOrElse("")
+    val sf1Json: String =
+      if (sf1Dir.isEmpty || !new java.io.File(s"$sf1Dir/documents.parquet").exists) ""
+      else {
+        def sf1Pass(): Map[String, Double] = sf1Sentinels.map { name =>
+          val t0 = System.nanoTime()
+          run(SparkEntry.queries(name)(spark, sf1Dir))
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+        val sp = (1 to 3).map { i => if (i > 1) System.gc(); sf1Pass() }
+        val qs1 = sf1Sentinels.map(n =>
+          "\"" + n + "\":" + fmt(sp.map(_(n)).min)).mkString("{", ",", "}")
+        val ps1 = sf1Sentinels.map(n =>
+          "\"" + n + "\":[" + sp.map(p => fmt(p(n))).mkString(",") + "]")
+          .mkString("{", ",", "}")
+        s""""sf1":$qs1,"sf1_passes":$ps1,"sf1_dir":"$sf1Dir","""
+      }
     val qs = Sentinels.map { case (name, _) =>
       "\"" + name + "\":" + fmt(passes.map(_(name)).min)
     }.mkString("{", ",", "}")
@@ -91,7 +119,7 @@ object SentinelBench {
     }.mkString("{", ",", "}")
     val json = s"""{"kind":"sentinel","when":"$when","sf":"$sfDir",""" +
       s""""queries":$qs,"passes":$passesJson,"classes":$classesJson,""" +
-      s""""anchor":$anchor}"""
+      sf1Json + s""""anchor":$anchor}"""
     println(json)
     args.drop(1).headOption.foreach { out =>
       val w = new java.io.PrintWriter(new java.io.File(out))

@@ -35,14 +35,22 @@ object BpeTrainer {
     * deterministic cross-engine.
     */
   def bpeTrain(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val vocab = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), concat(lit(" "),
         array_join(transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))), " ")).as("seq"))
+    trainLoop(docs.sparkSession, vocab, merges)
+  }
+
+  /** The merge loop shared by the char-grain (H12) and byte-grain
+    * (H12c) trainings: `vocab` is any (freq, seq) frame in the
+    * space-prefixed symbol encoding.
+    */
+  private def trainLoop(spark: org.apache.spark.sql.SparkSession,
+                        vocab: DataFrame, merges: Int): DataFrame = {
+    import spark.implicits._
     var seqs = TrackedCache.persist(vocab)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
@@ -99,6 +107,86 @@ object BpeTrainer {
       array_join(transform(sequence(lit(1), length(tok)),
         i => tok.substr(i, lit(1))), " "))
     val seqN = merges.foldLeft(seq0) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(" " + a + " " + b), lit(" " + a + b))
+    }
+    size(filter(split(seqN, " "), s => s =!= ""))
+  }
+
+  // ------------------------------------------------------------------
+  // H12c/H12d — BYTE-level BPE (the GPT-2 tokenizer class): the r15
+  // verdict's what-is-missing #4. H12 trains at char/word grain, so a
+  // character outside the seed alphabet is unsegmentable; the
+  // production spelling operates on UTF-8 BYTES with a 256-symbol
+  // base alphabet, so ANY text — non-Latin scripts, emoji, astral
+  // code points — segments by construction. Two deltas vs H12, both
+  // reusing the same trainLoop/replace machinery:
+  //
+  //  1. PRE-TOKENIZATION is the GPT-2-class regex (letters / digits /
+  //     punctuation runs, each with an optional attached leading
+  //     space) instead of whitespace split, and case is PRESERVED
+  //     (byte fidelity is the point). Deviation from the published
+  //     GPT-2 pattern, documented: the contraction alternatives
+  //     ('s|'t|…) and the `\s+(?!\S)` trailing-whitespace lookahead
+  //     are dropped — DuckDB's RE2 oracle has no lookahead, and the
+  //     remaining alternatives are first-char-DISJOINT so greedy
+  //     leftmost matching is engine-order-independent (residual
+  //     whitespace runs carry no merge statistics either way). Spark
+  //     and DuckDB run the IDENTICAL pattern string.
+  //
+  //  2. The symbol alphabet is the 256 two-hex-digit byte spellings:
+  //     seq0 = lower(hex(utf8_bytes(w))) split into 2-char groups,
+  //     space-prefix-encoded. Both engines build it from the SAME
+  //     builtin chain (`hex(encode(w))`), so a multi-byte char ("é" →
+  //     "c3 a9", "𝄞" → "f0 9d 84 9e") contributes its real UTF-8
+  //     bytes — no codepoint arithmetic, no custom expression, fully
+  //     codegen'd. Merged symbols concatenate hex pairs ("c3a9"), and
+  //     the prefix-space replace trick is unchanged.
+  // ------------------------------------------------------------------
+
+  /** GPT-2-class pre-tokenization pattern (shared verbatim with the
+    * DuckDB oracle — keep RE2-compatible: no lookahead, no backrefs).
+    */
+  val BytePretokenPattern: String =
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Pre-token array of one text under [[BytePretokenPattern]]. */
+  def pretokens(text: Column): Column =
+    regexp_extract_all(text, lit(BytePretokenPattern), lit(0))
+
+  /** Space-prefixed byte-symbol sequence of one pre-token:
+    * " 63 61 74" for "cat", " 20 c3 a9" for " é".
+    */
+  def byteSeq(tok: Column): Column = {
+    val h = lower(hex(encode(tok, "UTF-8")))
+    concat(lit(" "), array_join(
+      transform(sequence(lit(1), (length(h) / 2).cast("int")),
+        i => h.substr(i * 2 - 1, lit(2))), " "))
+  }
+
+  /** Byte-level merge table, same shape/tie-break as [[bpeTrain]];
+    * lhs/rhs/merged are hex byte-run spellings.
+    */
+  def bpeTrainBytes(docs: DataFrame, textCol: String,
+                    merges: Int): DataFrame =
+    trainLoop(docs.sparkSession,
+      docs.select(explode(pretokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"), byteSeq(col("w")).as("seq")),
+      merges)
+
+  /** Collected byte-level merge list in rank order. */
+  def trainMergesBytes(docs: DataFrame, textCol: String,
+                       merges: Int): Seq[(String, String)] =
+    bpeTrainBytes(docs, textCol, merges).orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Symbol count of ONE pre-token under a trained byte-level merge
+    * list — row-local replace chain over the byte-symbol encoding,
+    * zero joins; defined for ANY input string (256-symbol base
+    * alphabet), which is the whole point vs [[bpeSymbolCount]].
+    */
+  def byteSymbolCount(tok: Column, merges: Seq[(String, String)]): Column = {
+    val seqN = merges.foldLeft(byteSeq(tok)) { case (acc, (a, b)) =>
       call_function("replace", acc, lit(" " + a + " " + b), lit(" " + a + b))
     }
     size(filter(split(seqN, " "), s => s =!= ""))

@@ -73,6 +73,51 @@ object Deletion {
     if (!fs.rename(src, dst))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
 
+  /** Crash-window CONVERGENCE (the J23/`StreamIndexCompaction`
+    * discipline applied to the purge): every entry point first walks
+    * the store and heals any interrupted staged swap, so a rerun
+    * after a crash at ANY point converges to the same final state as
+    * an uninterrupted run (spec-pinned in `DeletionSpec`). The swap
+    * protocol is rename(dst → .old_X); rename(.purge_X/staged → dst);
+    * delete .old_X — its one dangerous window is between the two
+    * renames, where dst exists ONLY as the hidden `.old_` backup and
+    * a naive rerun would neither see the leaf nor re-stage it (the
+    * keys are unreachable). Healing rules, in order:
+    *
+    *   1. `.old_X` with X missing  → restore (rename back): the swap
+    *      died mid-window; the backup is the only copy. The
+    *      subsequent purge re-discovers and re-stages it.
+    *   2. `.old_X` with X present  → delete: the swap completed, only
+    *      the backup cleanup was lost.
+    *   3. any `.purge_*` leftover  → delete: staging is always
+    *      re-derivable from the (restored) store.
+    *
+    * Rule 1 MUST run before rule 3 — in the mid-window state both
+    * `.old_X` and `.purge_X` exist and the backup, not the stage, is
+    * authoritative (the stage may be half-written). Single-writer
+    * assumption, same as every staged-rename store here: two
+    * concurrent purges of one store race their renames.
+    */
+  private def recoverSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    val entries =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException => return }
+    val dirs = entries.filter(_.isDirectory).toSeq
+    dirs.filter(_.getPath.getName.startsWith(".old_")).foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(
+        dir, st.getPath.getName.stripPrefix(".old_"))
+      if (!fs.exists(dst)) renameOrThrow(fs, st.getPath, dst)
+      else fs.delete(st.getPath, true)
+    }
+    dirs.filter(_.getPath.getName.startsWith(".purge_"))
+      .foreach(st => fs.delete(st.getPath, true))
+    dirs.filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith(".") || n.startsWith("_")
+    }.foreach(st => recoverSwaps(fs, st.getPath))
+  }
+
   /** Delete all rows whose `keyCol` appears in `keys` (single-column
     * frame, any name — broadcast: a deletion keyset is request-sized,
     * never corpus-sized) from the partitioned parquet store at
@@ -94,6 +139,11 @@ object Deletion {
   def purgeByKeys(spark: SparkSession, path: String, partCols: Seq[String],
                   keyCol: String, keys: DataFrame,
                   uniformSchema: Boolean = false): PurgeResult = {
+    val root0 = new org.apache.hadoop.fs.Path(path)
+    val fs0 = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal any interrupted prior purge BEFORE reading: a mid-swap
+    // leaf is invisible to the scan and its keys would go undeleted
+    recoverSwaps(fs0, root0)
     val store = spark.read.parquet(path)
     val delKeys = broadcast(
       keys.select(keys.columns.head).toDF("__del_key").distinct())
@@ -117,10 +167,23 @@ object Deletion {
       // surviving leaf into a hidden staging subtree; the driver
       // then swaps leaves in (absent staged leaf = emptied ⇒ drop).
       // Touched-leaf count no longer costs a job each.
-      val pred = touched.map(t =>
-          partCols.zip(t).map { case (c, v) => col(c) === lit(v) }
-            .reduce(_ && _))
-        .reduce(_ || _)
+      //
+      // The predicate is ONE InSet over a composite string key, not
+      // an OR of per-tuple AND-chains: at a large takedown (10⁴
+      // touched leaves) the OR-tree is a Catalyst expression-tree-
+      // size hazard (the K20 lesson — quadratic analyze/canonicalize
+      // walls), while `isin` over >10 literals folds to a single
+      // InSet node with an O(1) hash probe. The key references only
+      // partition columns, so file-source partition pruning still
+      // evaluates it against partition VALUES at planning time and
+      // scans exactly the touched leaves (plan-pinned in
+      // DeletionSpec). String casts match hive-layout directory
+      // values (int/long/date all round-trip); partition values are
+      // non-null by store construction.
+      val sep = "\u0001"
+      val touchedKeys = touched.map(_.map(String.valueOf).mkString(sep))
+      val pred = concat_ws(sep, partCols.map(c => col(c).cast("string")): _*)
+        .isin(touchedKeys: _*)
       val staged = new org.apache.hadoop.fs.Path(root, ".purge_staging")
       fs.delete(staged, true)
       store.filter(pred)
@@ -204,11 +267,32 @@ object Deletion {
     * scratch, while shards before the first affected id are never
     * touched on disk (DeletionSpec pins both claims). Returns
     * (rewritten shard ids, pruned stale shard ids).
+    *
+    * `orderCol`/`bucketSpan` MUST match the `planShards` parameters
+    * the store was packed with: the prefix/suffix split is valid
+    * precisely because packing is a prefix sum in `orderCol` order
+    * (every doc in a shard below `firstAffected` precedes every
+    * deleted doc in THAT order). P25 stores use the defaults; a P26
+    * curriculum store passes its composed phase key, a P30 shuffled
+    * store its seeded hash key and wide span — deleting with the
+    * wrong order key would silently re-pack the suffix in the wrong
+    * order and break the incremental==from-scratch contract, so the
+    * order key rides through the survivors re-plan and the staged
+    * re-write.
     */
   def deleteFromShardStore(spark: SparkSession, path: String, keys: DataFrame,
-                           tokensPerShard: Long = ShardWriter.TokensPerShard)
+                           tokensPerShard: Long = ShardWriter.TokensPerShard,
+                           orderCol: String = "doc_id",
+                           bucketSpan: Long = 64L)
       : (Seq[Long], Seq[Long]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal any interrupted prior delete before reading (same
+    // convergence contract as purgeByKeys — see recoverSwaps)
+    recoverSwaps(fs, root)
     val store = spark.read.parquet(path)
+    require(orderCol == "doc_id" || store.columns.contains(orderCol),
+      s"shard store at $path does not carry order column '$orderCol'")
     val delKeys = broadcast(
       keys.select(keys.columns.head).toDF("__del_key").distinct())
     // partition discovery infers `shard=` as INT — cast before getLong
@@ -216,30 +300,33 @@ object Deletion {
       .agg(min(col("shard").cast("long"))).head()
     if (hit.isNullAt(0)) return (Nil, Nil)
     val firstAffected = hit.getLong(0)
+    val carry =
+      (Seq("doc_id", "text", "source") ++
+        (if (orderCol == "doc_id") Nil else Seq(orderCol))).distinct
     // prefix token base, recomputed from surviving text (the whole
-    // prefix survives: packing is doc_id-ordered, so every doc below
-    // the first affected shard precedes every deleted doc)
+    // prefix survives: packing is orderCol-ordered, so every doc
+    // below the first affected shard precedes every deleted doc in
+    // that order)
     val base = ShardWriter.withSignals(
         store.filter(col("shard") < firstAffected)
-          .select("doc_id", "text", "source"))
+          .select(carry.map(col): _*))
       .agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0)
     val survivors = store.filter(col("shard") >= firstAffected)
       .join(delKeys, col("doc_id") === col("__del_key"), "left_anti")
-      .select("doc_id", "text", "source")
+      .select(carry.map(col): _*)
     // same arithmetic as planShards with cum shifted by the base —
     // all-long addition, one double cast, so floor() agrees bit-wise
     // with the from-scratch plan
     val planned = ScaleOps.prefixSum(
-        ShardWriter.withSignals(survivors), "doc_id", "n_tokens", 64L)
+        ShardWriter.withSignals(survivors), orderCol, "n_tokens", bucketSpan)
       .withColumn("shard",
         floor((lit(base) + col("cum") - col("n_tokens")).cast("double")
           / tokensPerShard).cast("long"))
       .drop("cum")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staged = new org.apache.hadoop.fs.Path(root, ".purge_staging")
     fs.delete(staged, true)
-    ShardWriter.writeShards(planned, staged.toString)
+    ShardWriter.writeShards(planned, staged.toString,
+      extraCols = if (orderCol == "doc_id") Nil else Seq(orderCol))
     val newIds = fs.listStatus(staged).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
       .map(_.getPath.getName.stripPrefix("shard=").toLong).sorted

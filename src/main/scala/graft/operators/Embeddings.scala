@@ -243,10 +243,15 @@ object Embeddings {
                        mSub: Int, k: Int, subDim: Int,
                        iters: Int): Seq[Seq[Array[Double]]] = {
     require(iters >= 1, s"trainPqCodebooks needs iters >= 1, got $iters")
-    val subs = (0 until mSub).map { m =>
-      df.select(lit(m).as("__m"), col(idCol).as("__id"),
+    // r16: persist — `subs` feeds the seed AND every Lloyd iteration
+    // (2 evaluations per call before), and the whole final frame is
+    // plan-keyed so g7c/g8/g16's identical PQ training executes once
+    // per session (see kmeansCentroids)
+    val base = ScaleOps.spread(df.select(col(idCol), col(vecCol)))
+    val subs = TrackedCache.persist((0 until mSub).map { m =>
+      base.select(lit(m).as("__m"), col(idCol).as("__id"),
         slice(col(vecCol), m * subDim + 1, subDim).as("__sub"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
     // cluster is cast to long in the seed so the iters==1 collect path
     // (which returns the raw seed frame) has the same column type as
     // the post-aggregation path.
@@ -276,7 +281,8 @@ object Embeddings {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
           p => p.getField("mx")).as("cv"))
     }
-    val rows = cent.select(col("__m"), col("cluster"), col("cv")).collect()
+    val rows = TrackedCache.persist(
+      cent.select(col("__m"), col("cluster"), col("cv"))).collect()
     (0 until mSub).map { m =>
       rows.filter(_.getInt(0) == m).sortBy(_.getLong(1))
         .map(_.getSeq[Double](2).toArray).toSeq
@@ -587,12 +593,16 @@ object Embeddings {
     val codes = array(cbs.zipWithIndex.map { case (cb, m) =>
       VectorFunctions.pqSubCodeFrom(col(vecCol), cb, m, subDim)
     }: _*)
-    val index = TrackedCache.persist(corpus.select(col(idCol).as("cid"),
-      col(vecCol).as("cvec"),
-      VectorFunctions.ivfCellFold(col(vecCol), coarse).as("cell"),
-      codes.as("codes")))
-    val truth = knnBruteForce(corpus, queries, idCol, vecCol, k)
-      .select(col("qid"), col("cid"))
+    val index = TrackedCache.persist(
+      ScaleOps.spread(corpus.select(col(idCol).as("cid"),
+        col(vecCol).as("cvec"),
+        VectorFunctions.ivfCellFold(col(vecCol), coarse).as("cell"),
+        codes.as("codes"))))
+    // r16: persist — the brute-force truth set is rebuilt identically
+    // by g8 and g16 (plan-keyed, so it executes once per session)
+    val truth = TrackedCache.persist(
+      knnBruteForce(corpus, queries, idCol, vecCol, k)
+        .select(col("qid"), col("cid")))
     val perNp = nprobes.map { np =>
       val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         explode(VectorFunctions.ivfProbeCells(col(vecCol), coarse, np)).as("cell"))
@@ -917,13 +927,20 @@ object Embeddings {
     */
   def kmeansCentroids(df: DataFrame, init: DataFrame, idCol: String,
                       vecCol: String, iters: Int): DataFrame = {
-    val corpus = df.select(col(idCol), col(vecCol))
+    // r16: spread — the assignment kernel otherwise runs single-task
+    // off a one-file scan (identity on a properly split input)
+    val corpus = ScaleOps.spread(df.select(col(idCol), col(vecCol)))
     var cent = seedCentroids(init, idCol, vecCol)
     for (_ <- 1 until iters) {
       cent = kmeansUpdate(kmeansAssign(corpus, cent, idCol, vecCol),
         vecCol)
     }
-    cent
+    // r16: persist the trained centroid frame (k rows). CacheManager
+    // keys on the canonicalized plan, so the IDENTICAL training chain
+    // built by several consumers (g7b/g8/g16 share one coarse
+    // codebook spec) executes ONCE per session instead of once per
+    // consumer — train-once/serve-many, the production shape.
+    TrackedCache.persist(cent)
   }
 
   /** Centroid frame → driver-side literal codebook, ordered by

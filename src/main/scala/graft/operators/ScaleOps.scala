@@ -17,6 +17,32 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object ScaleOps {
 
+  /** Guarded scan SPREAD (guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read",
+    * §2.6 idle capacity): when `df`'s planned scan parallelism is
+    * below the session's default parallelism — the one-file /
+    * one-row-group shape of the benchmark inputs, and of any
+    * under-split input in production — insert ONE round-robin
+    * exchange of the (narrow, pre-heavy-work) input so the row-local
+    * compute that follows uses every core instead of one. Measured on
+    * local[32] at sf0.1: compute-heavy scans run at effective
+    * parallelism ~1 without it (StageProfile, OPTIMIZATION_r16.md).
+    *
+    * Scale-adaptive, not a local[32] constant: when the scan already
+    * yields >= defaultParallelism splits (any real multi-file /
+    * multi-row-group table at 100 TB), this is the identity — no
+    * exchange is added, so plan pins on production shapes still hold.
+    * Round-robin (not hash-on-key) spreads perfectly regardless of
+    * key skew; Spark's sort-before-repartition keeps task retries
+    * deterministic (SPARK-23207). Call it on the narrowest projection
+    * that still carries what downstream needs — the exchange then
+    * moves the fewest bytes (§2.3).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def withSalt(df: DataFrame, salts: Int): DataFrame =
     df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
 

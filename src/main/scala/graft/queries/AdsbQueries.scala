@@ -768,11 +768,15 @@ object AdsbQueries {
         val (latC, lonC) = (
           (col("value") % 90.0) - 45.0,
           ((col("event_id") * 7) % 360).cast("double") - 179.5)
-        val pos = ev(s, dir)
+        // guarded spread: the bench input is one file/one row group, so
+        // without it the whole 28-zone NLJ + even-odd fold runs as ONE
+        // task (measured par=1.0, 10.5 task-s at sf0.1); a real
+        // multi-split scan makes this the identity (ScaleOps.spread)
+        val pos = graft.operators.ScaleOps.spread(ev(s, dir)
           .withColumn("lat", latC).withColumn("lon", lonC)
           .filter(col("lat").between(gLatMin, gLatMax) &&
             col("lon").between(gLonMin, gLonMax))
-          .select("event_id", "user_id", "lat", "lon")
+          .select("event_id", "user_id", "lat", "lon"))
         val zonesDf = {
           import s.implicits._
           broadcast(withEdges.toDF(

@@ -1394,8 +1394,11 @@ object PipelineQueries {
     QueryDef("p25_shard_manifest",
       (s, dir) => {
         val out = shardScratchDir(s, "p25", dir)
+        // r16: spread — planShards evaluates the token-count regex +
+        // md5 signals twice (offsets + main branch) off the one-file
+        // scan, single-task without it (ScaleOps.spread)
         val planned = graft.operators.ShardWriter
-          .planShards(Tables.documents(s, dir))
+          .planShards(graft.operators.ScaleOps.spread(Tables.documents(s, dir)))
         graft.operators.ShardWriter.writeShards(planned, out)
         graft.operators.ShardWriter.manifestFromFiles(s, out)
           .orderBy("shard")
@@ -2224,12 +2227,24 @@ object PipelineQueries {
         val docs = Tables.documents(s, dir)
         val merges =
           graft.operators.BpeTrainer.trainMergesBytes(docs, "text", 8)
-        docs.select(col("doc_id"),
+        // r16: spread the one-file scan before the pretoken regex
+        // explode (measured single-task: par 2.9, 2.6 task-s at
+        // sf0.1), and evaluate the 8-deep replace chain once per
+        // DISTINCT pretoken, broadcast-joined back (the oracle's own
+        // wsym-join spelling) instead of once per occurrence — the
+        // h12b treatment; per-doc long sums are unchanged.
+        val tok = graft.operators.ScaleOps.spread(
+            docs.select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
             explode(graft.operators.BpeTrainer.pretokens(col("text"))).as("w"))
+        val wsym = tok.select("w").distinct()
+          .withColumn("__nsym",
+            graft.operators.BpeTrainer.byteSymbolCount(col("w"), merges)
+              .cast("long"))
+        tok.join(broadcast(wsym), "w")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_pretokens"),
-            sum(graft.operators.BpeTrainer.byteSymbolCount(col("w"), merges)
-              .cast("long")).as("n_byte_symbols"))
+            sum(col("__nsym")).as("n_byte_symbols"))
           .orderBy("doc_id")
       },
       Some {
@@ -2634,13 +2649,20 @@ object PipelineQueries {
         import s.implicits._
         val qr = graft.operators.QualityRules
         val battery = qr.BatteryDocs.toDF("doc_id", "text")
-        val docs = Tables.documents(s, dir).select("doc_id", "text")
-          .unionByName(battery)
-          .withColumn("fp", HashFunctions.md5prefix64(col("text")))
-          .withColumn("ntok", TextOps.tokenCount(col("text")).cast("long"))
+        // r16: spread the one-file scan, and persist the shared
+        // subtrees — the 5-stage funnel unions 5 aggregations over
+        // the same base/ruled frames, which otherwise re-compute the
+        // md5/tokenize/Gopher columns once per stage (par 2.6)
+        val docs = graft.operators.TrackedCache.persist(
+          graft.operators.ScaleOps.spread(
+              Tables.documents(s, dir).select("doc_id", "text")
+                .unionByName(battery))
+            .withColumn("fp", HashFunctions.md5prefix64(col("text")))
+            .withColumn("ntok", TextOps.tokenCount(col("text")).cast("long")))
         val keep = docs.groupBy("fp").agg(min("doc_id").as("doc_id"))
         val canon = docs.join(keep, Seq("fp", "doc_id"))
-        val ruled = qr.withRuleColumns(canon, "text")
+        val ruled = graft.operators.TrackedCache.persist(
+          qr.withRuleColumns(canon, "text"))
         val structural = ruled.filter(
           qr.GopherRules.take(6).map(col).reduce(_ && _))
         val gopher = structural.filter(col("gopher_pass"))
@@ -3872,7 +3894,9 @@ object PipelineQueries {
     QueryDef("p28_classifier_operating_report",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, dir)
+        // r16: spread — training tokenization and held-out scoring
+        // otherwise run single-task off the one-file scan (par 1.8)
+        val docs = graft.operators.ScaleOps.spread(Tables.documents(s, dir))
         val target = col("source").isin("src18", "src6", "src7")
         val isTrain = pmod(HashFunctions.md5prefix64(
           concat(lit("p28:"), col("doc_id").cast("string"))), lit(10L)) < 8
@@ -4176,8 +4200,11 @@ object PipelineQueries {
         import s.implicits._
         val battery = graft.operators.QualityRules.BatteryDocs
           .toDF("doc_id", "text")
-        val corpus = Tables.documents(s, dir).select("doc_id", "text")
-          .unionByName(battery)
+        // r16: spread the one-file scan — the whole Gopher/C4 HOF
+        // battery otherwise evaluates in a single task (par 0.9)
+        val corpus = graft.operators.ScaleOps.spread(
+          Tables.documents(s, dir).select("doc_id", "text")
+            .unionByName(battery))
         val outCols =
           Seq("doc_id", "n_words", "sum_wchars", "n_lines", "n_bullet_lines",
             "n_ellipsis_lines", "n_hash_chars", "n_ellipsis", "n_alpha_words",
@@ -4215,8 +4242,11 @@ object PipelineQueries {
         import s.implicits._
         val battery = graft.operators.QualityRules.RepBatteryDocs
           .toDF("doc_id", "text")
-        val corpus = Tables.documents(s, dir).select("doc_id", "text")
-          .unionByName(battery)
+        // r16: spread — the O(words²) repetition HOFs otherwise run
+        // in a single scan task (par 0.8)
+        val corpus = graft.operators.ScaleOps.spread(
+          Tables.documents(s, dir).select("doc_id", "text")
+            .unionByName(battery))
         val outCols = Seq("doc_id", "tchars", "n_lines", "n_paras",
           "dup_lines", "dup_paras", "line_chars", "para_chars",
           "dup_line_chars", "dup_para_chars",
@@ -4485,8 +4515,9 @@ object PipelineQueries {
     QueryDef("p26_curriculum_shards",
       (s, dir) => {
         val out = shardScratchDir(s, "p26", dir)
-        val withPhase = Tables.documents(s, dir)
-          .select("doc_id", "text", "source")
+        // r16: spread the one-file scan feeding the signal regexes
+        val withPhase = graft.operators.ScaleOps.spread(
+            Tables.documents(s, dir).select("doc_id", "text", "source"))
           .join(curriculumPhaseFrame(s, dir), "doc_id")
           .withColumn("okey",
             col("phase").cast("long") * lit(1000000000000000L) + col("doc_id"))
@@ -4919,7 +4950,10 @@ object PipelineQueries {
       (s, dir) => {
         import graft.operators.{CurrentState, Dedup, Deletion, ShardWriter}
         val scratch = shardScratchDir(s, "p29", dir)
-        val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+        // r16: spread — every section's signal/band computation reads
+        // this frame off the one-file scan
+        val docs = graft.operators.ScaleOps.spread(
+          Tables.documents(s, dir).select("doc_id", "text", "source"))
         // floor at 200 so a PREFIX of shards is provably untouched
         // (deleting doc 0 would make firstAffected = 0 and rewrite
         // everything — legal, but then the audit never demonstrates
@@ -4927,37 +4961,6 @@ object PipelineQueries {
         val delDocs = docs
           .filter(col("doc_id") % 41 === 0 && col("doc_id") >= 200)
           .select("doc_id")
-
-        val shardPath = s"$scratch/shards"
-        ShardWriter.writeShards(ShardWriter.planShards(docs), shardPath)
-        val (shRew, shStale) =
-          Deletion.deleteFromShardStore(s, shardPath, delDocs)
-
-        val bandPath = s"$scratch/bands"
-        Dedup.minhashBandsRowLocal(docs, "doc_id", "text", 4)
-          .withColumn("batch_id", pmod(col("doc_id"), lit(4L)))
-          .write.mode("overwrite").partitionBy("batch_id").parquet(bandPath)
-        val bandRes = Deletion.purgeByKeys(s, bandPath, Seq("batch_id"),
-          "doc_id", delDocs, uniformSchema = true)
-
-        val emb = Tables.embeddings(s, dir)
-        val annPath = s"$scratch/ann"
-        emb.select(col("vec_id").as("vid"), col("embedding"),
-            pmod(col("vec_id"), lit(3L)).as("batch_id"),
-            pmod(col("vec_id") * lit(2654435761L), lit(16L)).as("cell"))
-          .write.mode("overwrite").partitionBy("batch_id", "cell")
-          .parquet(annPath)
-        val delVecs = emb.filter(col("vec_id") % 41 === 0).select("vec_id")
-        val annRes = Deletion.purgeByKeys(s, annPath,
-          Seq("batch_id", "cell"), "vid", delVecs, uniformSchema = true)
-
-        val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
-        val dayPath = s"$scratch/daylayout"
-        CurrentState.writePartitionedByDay(ev, "ts", "user_id", dayPath)
-        val delUsers = ev.filter(col("user_id") % 13 === 0)
-          .select("user_id").distinct()
-        val dayRes = Deletion.purgeByKeys(s, dayPath, Seq("day"),
-          "user_id", delUsers, uniformSchema = true)
 
         def auditRow(store: String, df: DataFrame, residue: Column,
             hashC: Column, partC: Column, nRew: Long, nDrop: Long)
@@ -4973,28 +4976,84 @@ object PipelineQueries {
               lit(nRew).as("n_rewritten"), lit(nDrop).as("n_dropped"))
 
         import graft.functions.HashFunctions.md5prefix64
-        val shardsRow = auditRow("shards", s.read.parquet(shardPath),
-          col("doc_id") % 41 === 0 && col("doc_id") >= 200,
-          md5prefix64(concat(col("doc_id").cast("string"), lit(":"),
-            col("text"))),
-          col("shard").cast("long"), shRew.size.toLong, shStale.size.toLong)
-        val bandsRow = auditRow("bands", s.read.parquet(bandPath),
-          col("doc_id") % 41 === 0 && col("doc_id") >= 200,
-          md5prefix64(concat(col("doc_id").cast("string"), lit(":"),
-            col("band").cast("string"))),
-          col("batch_id").cast("long"),
-          bandRes.nRewritten, bandRes.nDropped)
-        val annRow = auditRow("ann", s.read.parquet(annPath),
-          col("vid") % 41 === 0,
-          md5prefix64(col("vid").cast("string")),
-          col("batch_id").cast("long") * 16 + col("cell").cast("long"),
-          annRes.nRewritten, annRes.nDropped)
-        val dayRow = auditRow("daylayout", s.read.parquet(dayPath),
-          col("user_id") % 13 === 0,
-          md5prefix64(col("event_id").cast("string")),
-          col("day").cast("long"), dayRes.nRewritten, dayRes.nDropped)
-        Seq(shardsRow, bandsRow, annRow, dayRow).reduce(_ unionByName _)
-          .orderBy("store")
+        // r16 (guide §2.6 overlap independent jobs): the four stores
+        // touch disjoint scratch subtrees and share no derived state,
+        // so their build→purge job chains run CONCURRENTLY from a
+        // 4-thread driver pool — each store's tail no longer leaves
+        // the host idle while the next store waits (measured: 52
+        // sequential single-task stages, wall ≈ Σ sections before).
+        // Results are the same four audit rows; the final union order
+        // is fixed by index, then orderBy(store) as before.
+        def shardsSection(): DataFrame = {
+          val shardPath = s"$scratch/shards"
+          ShardWriter.writeShards(ShardWriter.planShards(docs), shardPath)
+          val (shRew, shStale) =
+            Deletion.deleteFromShardStore(s, shardPath, delDocs)
+          auditRow("shards", s.read.parquet(shardPath),
+            col("doc_id") % 41 === 0 && col("doc_id") >= 200,
+            md5prefix64(concat(col("doc_id").cast("string"), lit(":"),
+              col("text"))),
+            col("shard").cast("long"), shRew.size.toLong, shStale.size.toLong)
+        }
+        def bandsSection(): DataFrame = {
+          val bandPath = s"$scratch/bands"
+          Dedup.minhashBandsRowLocal(docs, "doc_id", "text", 4)
+            .withColumn("batch_id", pmod(col("doc_id"), lit(4L)))
+            .write.mode("overwrite").partitionBy("batch_id").parquet(bandPath)
+          val bandRes = Deletion.purgeByKeys(s, bandPath, Seq("batch_id"),
+            "doc_id", delDocs, uniformSchema = true)
+          auditRow("bands", s.read.parquet(bandPath),
+            col("doc_id") % 41 === 0 && col("doc_id") >= 200,
+            md5prefix64(concat(col("doc_id").cast("string"), lit(":"),
+              col("band").cast("string"))),
+            col("batch_id").cast("long"),
+            bandRes.nRewritten, bandRes.nDropped)
+        }
+        def annSection(): DataFrame = {
+          val emb = Tables.embeddings(s, dir)
+          val annPath = s"$scratch/ann"
+          emb.select(col("vec_id").as("vid"), col("embedding"),
+              pmod(col("vec_id"), lit(3L)).as("batch_id"),
+              pmod(col("vec_id") * lit(2654435761L), lit(16L)).as("cell"))
+            .write.mode("overwrite").partitionBy("batch_id", "cell")
+            .parquet(annPath)
+          val delVecs = emb.filter(col("vec_id") % 41 === 0).select("vec_id")
+          val annRes = Deletion.purgeByKeys(s, annPath,
+            Seq("batch_id", "cell"), "vid", delVecs, uniformSchema = true)
+          auditRow("ann", s.read.parquet(annPath),
+            col("vid") % 41 === 0,
+            md5prefix64(col("vid").cast("string")),
+            col("batch_id").cast("long") * 16 + col("cell").cast("long"),
+            annRes.nRewritten, annRes.nDropped)
+        }
+        def daySection(): DataFrame = {
+          val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+          val dayPath = s"$scratch/daylayout"
+          CurrentState.writePartitionedByDay(ev, "ts", "user_id", dayPath)
+          val delUsers = ev.filter(col("user_id") % 13 === 0)
+            .select("user_id").distinct()
+          val dayRes = Deletion.purgeByKeys(s, dayPath, Seq("day"),
+            "user_id", delUsers, uniformSchema = true)
+          auditRow("daylayout", s.read.parquet(dayPath),
+            col("user_id") % 13 === 0,
+            md5prefix64(col("event_id").cast("string")),
+            col("day").cast("long"), dayRes.nRewritten, dayRes.nDropped)
+        }
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        val rows =
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            val fs = Seq(
+              scala.concurrent.Future(shardsSection()),
+              scala.concurrent.Future(bandsSection()),
+              scala.concurrent.Future(annSection()),
+              scala.concurrent.Future(daySection()))
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(fs),
+              scala.concurrent.duration.Duration.Inf)
+          } finally pool.shutdown()
+        rows.reduce(_ unionByName _).orderBy("store")
       },
       Some("""WITH t AS (
           SELECT doc_id, text, source,
@@ -5097,8 +5156,9 @@ object PipelineQueries {
     QueryDef("p30_shuffled_shards",
       (s, dir) => {
         val out = shardScratchDir(s, "p30", dir)
-        val docs = Tables.documents(s, dir)
-          .select("doc_id", "text", "source")
+        // r16: spread the one-file scan feeding the signal regexes
+        val docs = graft.operators.ScaleOps.spread(
+            Tables.documents(s, dir).select("doc_id", "text", "source"))
           .withColumn("okey", graft.functions.HashFunctions.md5prefix64(
             concat(lit("s42:"), col("doc_id").cast("string"))))
         val planned = graft.operators.ShardWriter.planShards(docs,
@@ -5153,7 +5213,10 @@ object PipelineQueries {
         import graft.operators.{Deletion, ShardWriter}
         import graft.functions.HashFunctions.md5prefix64
         val scratch = shardScratchDir(s, "p29b", dir)
-        val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+        // r16: spread — the plan/write/resolve signal computations all
+        // read this frame off the one-file scan
+        val docs = graft.operators.ScaleOps.spread(
+          Tables.documents(s, dir).select("doc_id", "text", "source"))
         // the request side: fingerprints of the takedown content
         // (synthesized deterministically; >= 200 keeps an untouched
         // shard prefix, as in p29)

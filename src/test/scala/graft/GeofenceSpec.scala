@@ -115,16 +115,20 @@ class GeofenceManySpec extends SparkSpecBase {
     assert(multi, "no probe point fell in two zones — overlap layout broken")
   }
 
-  test("d16b plan: broadcast nested-loop join, no cartesian, no fact shuffle before join") {
+  test("d16b plan: broadcast nested-loop join, no cartesian, no fact key-shuffle before join") {
     val plan = SparkEntry.queries("d16b_geofence_many")(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
     assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
-    // the only shuffles are the post-join aggregation/sort ones: the
-    // scan side reaches the join through filter/project alone
+    // the only KEY shuffles are the post-join aggregation/sort ones:
+    // the scan side reaches the join through filter/project plus at
+    // most the guarded ScaleOps.spread round-robin exchange (a no-op
+    // whenever the scan already fills the cluster — it exists only
+    // because the bench input is one file/one row group, which would
+    // otherwise run the whole NLJ+fold as a single task)
     val joinIdx = plan.indexOf("BroadcastNestedLoopJoin")
     val below = plan.substring(joinIdx)
     assert(!below.contains("Exchange hashpartitioning"),
-      "fact side shuffled before the polygon join")
+      "fact side key-shuffled before the polygon join")
   }
 }

@@ -705,7 +705,14 @@ object Embeddings {
     */
   def kmeansLloyd(df: DataFrame, init: DataFrame, idCol: String,
                   vecCol: String, iters: Int): DataFrame = {
-    val corpus = df.select(col(idCol), col(vecCol))
+    // r16: same spread spelling as kmeansCentroids — beyond the
+    // parallel assignment kernel, the inner update(assign(seed))
+    // chain is then PLAN-IDENTICAL to the centroid frame the trainers
+    // persist, so a Lloyd run after any trained-codebook consumer
+    // reuses its materialization (and its generated code) instead of
+    // recomputing the chain (measured: g5 regressed 4x in-battery
+    // when only the trainers were spread)
+    val corpus = ScaleOps.spread(df.select(col(idCol), col(vecCol)))
     var assigned = kmeansAssign(corpus, seedCentroids(init, idCol, vecCol),
       idCol, vecCol)
     for (_ <- 1 until iters) {
@@ -724,7 +731,8 @@ object Embeddings {
     */
   def kmeansAssignments(df: DataFrame, init: DataFrame, idCol: String,
                         vecCol: String, iters: Int): DataFrame = {
-    val corpus = df.select(col(idCol), col(vecCol))
+    // r16: spread — see kmeansLloyd
+    val corpus = ScaleOps.spread(df.select(col(idCol), col(vecCol)))
     kmeansAssign(corpus, kmeansCentroids(df, init, idCol, vecCol, iters),
       idCol, vecCol)
   }

@@ -777,36 +777,31 @@ object AdsbQueries {
           .filter(col("lat").between(gLatMin, gLatMax) &&
             col("lon").between(gLonMin, gLonMax))
           .select("event_id", "user_id", "lat", "lon"))
-        val zonesDf = {
-          import s.implicits._
-          broadcast(withEdges.toDF(
-            "zone_id", "lat_min", "lat_max", "lon_min", "lon_max", "edges"))
-        }
-        // UNROLLED even-odd fold (every zone is a pentagon, exactly 5
-        // edges): plain expressions instead of a functions.aggregate
-        // lambda — a lambda's outer refs (lat/lon) are invisible to
-        // some optimizer rules' reference tracking, and
-        // ConvertToLocalRelation then tries to evaluate the fold
-        // against the 28-row zone relation alone (INTERNAL_ERROR);
-        // the unrolled spelling is also one flat codegen stage
-        val crossings = (1 to 5).map { i =>
-          val e = element_at(col("edges"), i)
-          when(
-            (e.getField("_1") > col("lat")) =!= (e.getField("_3") > col("lat")) &&
-              col("lon") < (e.getField("_4") - e.getField("_2")) *
-                (col("lat") - e.getField("_1")) /
-                (e.getField("_3") - e.getField("_1")) + e.getField("_2"),
-            1).otherwise(0)
-        }.reduce(_ + _)
-        // crossings lands in a Project ABOVE the join: a lambda
-        // function's outer refs (lat/lon) are invisible to predicate
-        // pushdown, which otherwise pushes the filter into the zone
-        // side and fails analysis
-        pos.join(zonesDf,
-            col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
-              col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
-          .withColumn("__crossings", crossings)
-          .filter(col("__crossings") % 2 === 1)
+        // r16 (guide §1.2 algorithm first, §4 codegen): the 28 zones
+        // are PLAN-TIME literals, so membership needs no join at all.
+        // The previous broadcast-NLJ spelling let the optimizer push
+        // the even-odd fold INTO the join condition, evaluating the
+        // full 5-edge fold for every (position, zone) PAIR — bbox
+        // misses included (measured ~50 task-s at sf0.1). This
+        // spelling is one codegen'd projection per position: per
+        // zone, a literal-coefficient bbox screen AND-short-circuits
+        // the fold (codegen And evaluates the fold only on bbox
+        // hits), matching ids explode, and the same rows reach the
+        // same aggregation — identical results (oracle-gated), no
+        // join, no below-agg shuffle beyond the guarded spread.
+        val zoneHits = array(withEdges.map {
+          case (id, laMin, laMax, loMin, loMax, edges) =>
+            val crossings = edges.map { case (yi, xi, yj, xj) =>
+              when((lit(yi) > col("lat")) =!= (lit(yj) > col("lat")) &&
+                col("lon") < (lit(xj) - lit(xi)) * (col("lat") - lit(yi)) /
+                  (lit(yj) - lit(yi)) + lit(xi), 1).otherwise(0)
+            }.reduce(_ + _)
+            when(col("lat") >= laMin && col("lat") <= laMax &&
+              col("lon") >= loMin && col("lon") <= loMax &&
+              crossings % 2 === 1, lit(id)).otherwise(lit(null))
+        }: _*)
+        pos.select(col("user_id"),
+            explode(filter(zoneHits, z => z.isNotNull)).as("zone_id"))
           .groupBy("zone_id")
           .agg(count(lit(1)).as("n_positions"),
             countDistinct(col("user_id")).as("n_aircraft"))

@@ -1946,6 +1946,8 @@ object PipelineQueries {
         val ip = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
         val tel = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
         Tables.documents(s, dir)
+          // r16: sort-then-project — see h17's note
+          .select("doc_id", "text").orderBy("doc_id")
           .withColumn("__full", concat(col("text"),
             lit(" contact u"), col("doc_id").cast("string"),
             lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com"),
@@ -1967,7 +1969,6 @@ object PipelineQueries {
           .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
             md5(col("red")).as("red_fp"),
             expr("substring(red, greatest(length(red) - 49, 1), 50)").as("tail_preview"))
-          .orderBy("doc_id")
       },
       Some("""WITH full0 AS (
           SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
@@ -2288,10 +2289,11 @@ object PipelineQueries {
     // H1: token counting (whitespace + BPE-ish regex).
     QueryDef("h1_token_count",
       (s, dir) => Tables.documents(s, dir)
+        // r16: sort-then-project — see h17's note
+        .select("doc_id", "text").orderBy("doc_id")
         .select(col("doc_id"),
           TextOps.tokenCount(col("text")).as("n_ws_tokens"),
-          TextOps.bpeTokenCount(col("text")).cast("int").as("n_bpe_tokens"))
-        .orderBy("doc_id"),
+          TextOps.bpeTokenCount(col("text")).cast("int").as("n_bpe_tokens")),
       Some("""SELECT doc_id,
         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
@@ -2310,12 +2312,13 @@ object PipelineQueries {
         val punctRatio = punct.cast("double") / n
         val stopRatio = stops.cast("double") / nWords
         Tables.documents(s, dir)
+          // r16: sort-then-project — see h17's note
+          .select("doc_id", "text").orderBy("doc_id")
           .select(col("doc_id"), n.as("n_chars_real"),
             alphaRatio.as("alpha_ratio"), punctRatio.as("punct_ratio"),
             stopRatio.as("stop_ratio"),
             (lit(0.5) * stopRatio + lit(0.3) * alphaRatio +
               lit(0.2) * (lit(1.0) - punctRatio)).as("quality"))
-          .orderBy("doc_id")
       },
       Some("""WITH f AS (
           SELECT doc_id,
@@ -2336,10 +2339,11 @@ object PipelineQueries {
         val scores = TextOps.langScores(col("text"))
         val Seq(en, es, de, fr) = scores.map(_._2)
         Tables.documents(s, dir)
+          // r16: sort-then-project — see h17's note
+          .select("doc_id", "text").orderBy("doc_id")
           .select(col("doc_id"),
             en.as("en"), es.as("es"), de.as("de"), fr.as("fr"),
             TextOps.langPredict(en, es, de, fr).as("pred_lang"))
-          .orderBy("doc_id")
       },
       Some("""WITH w AS (
           SELECT doc_id,
@@ -2364,14 +2368,15 @@ object PipelineQueries {
     // text). Row-local HOF work like the rest of the H group.
     QueryDef("h6_repetition",
       (s, dir) => Tables.documents(s, dir)
+        // r16: sort-then-project — see h17's note
+        .select("doc_id", "text").orderBy("doc_id")
         .withColumn("__ws", TextOps.tokens(col("text")))
         .withColumn("__gs", TextOps.shinglesFromTokens(col("__ws"), 2))
         .select(col("doc_id"),
           size(col("__gs")).as("n_2grams"),
           size(array_distinct(col("__gs"))).as("n_distinct"),
           (lit(1.0) - size(array_distinct(col("__gs"))).cast("double") / size(col("__gs")))
-            .as("rep_ratio"))
-        .orderBy("doc_id"),
+            .as("rep_ratio")),
       Some("""WITH words AS (
           SELECT doc_id,
             list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w != '') AS ws
@@ -2402,10 +2407,11 @@ object PipelineQueries {
     // H5: aggressive text normalization.
     QueryDef("h5_text_normalize",
       (s, dir) => Tables.documents(s, dir)
+        // r16: sort-then-project — see h17's note
+        .select("doc_id", "text").orderBy("doc_id")
         .select(col("doc_id"),
           substring(TextOps.normalizeText(col("text")), 1, 40).as("preview"),
-          length(TextOps.normalizeText(col("text"))).as("clean_len"))
-        .orderBy("doc_id"),
+          length(TextOps.normalizeText(col("text"))).as("clean_len")),
       Some("""WITH c AS (
           SELECT doc_id,
             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS cleaned
@@ -3763,6 +3769,9 @@ object PipelineQueries {
         // semantics (they emit no group there; here they'd divide
         // by zero under ANSI).
         Tables.documents(s, dir)
+          // r16: sort-then-project — see h17's note (the post-sort
+          // filter preserves the sorted order)
+          .select("doc_id", "text").orderBy("doc_id")
           .withColumn("__cs",
             graft.functions.HashFunctions.classifierScore(col("text"), weights))
           .select(col("doc_id"), col("__cs.n_tokens").as("n_tokens"),
@@ -3771,7 +3780,6 @@ object PipelineQueries {
           .withColumn("label", col("score") > 0)
           .withColumn("score_per_tok",
             col("score").cast("double") / col("n_tokens"))
-          .orderBy("doc_id")
       },
       Some {
         val wlist = PipelineQueries.classifierWeights.mkString("[", ", ", "]")
@@ -4200,20 +4208,25 @@ object PipelineQueries {
         import s.implicits._
         val battery = graft.operators.QualityRules.BatteryDocs
           .toDF("doc_id", "text")
-        // r16: spread the one-file scan — the whole Gopher/C4 HOF
-        // battery otherwise evaluates in a single task (par 0.9)
-        val corpus = graft.operators.ScaleOps.spread(
-          Tables.documents(s, dir).select("doc_id", "text")
-            .unionByName(battery))
+        val corpus = Tables.documents(s, dir).select("doc_id", "text")
+          .unionByName(battery)
         val outCols =
           Seq("doc_id", "n_words", "sum_wchars", "n_lines", "n_bullet_lines",
             "n_ellipsis_lines", "n_hash_chars", "n_ellipsis", "n_alpha_words",
             "n_req_stops", "n_sentences") ++
           graft.operators.QualityRules.RuleOrder.map(_._1) ++
           Seq("gopher_pass", "c4_pass", "pass", "first_fail")
-        graft.operators.QualityRules.withRuleColumns(corpus, "text")
+        // r16 (guide §2.4 accidental double work under a global sort):
+        // sort FIRST, project the HOF battery AFTER — a global orderBy
+        // range-samples its child and then shuffles it, executing the
+        // child TWICE; with the sort below, the double-executed part
+        // is the bare scan and the battery evaluates once, in the
+        // range exchange's parallel partitions (which also replaces
+        // the r16 spread this query briefly carried). Identical rows,
+        // identical total order (doc_id is the sort key either way).
+        graft.operators.QualityRules.withRuleColumns(
+            corpus.orderBy("doc_id"), "text")
           .select(outCols.map(col): _*)
-          .orderBy("doc_id")
       },
       Some(s"""WITH $corpusBatteryCte,
         $gopherRuleCtes
@@ -4242,11 +4255,8 @@ object PipelineQueries {
         import s.implicits._
         val battery = graft.operators.QualityRules.RepBatteryDocs
           .toDF("doc_id", "text")
-        // r16: spread — the O(words²) repetition HOFs otherwise run
-        // in a single scan task (par 0.8)
-        val corpus = graft.operators.ScaleOps.spread(
-          Tables.documents(s, dir).select("doc_id", "text")
-            .unionByName(battery))
+        val corpus = Tables.documents(s, dir).select("doc_id", "text")
+          .unionByName(battery)
         val outCols = Seq("doc_id", "tchars", "n_lines", "n_paras",
           "dup_lines", "dup_paras", "line_chars", "para_chars",
           "dup_line_chars", "dup_para_chars",
@@ -4255,9 +4265,12 @@ object PipelineQueries {
           "dup9_chars", "dup10_chars") ++
           graft.operators.QualityRules.RepRuleOrder.map(_._1) ++
           Seq("rep_pass", "rep_first_fail")
-        graft.operators.QualityRules.withRepetitionColumns(corpus, "text")
+        // r16: sort-then-project (h17's treatment — see its note): the
+        // O(words²) repetition HOFs evaluate once, after the range
+        // exchange, instead of twice around it
+        graft.operators.QualityRules.withRepetitionColumns(
+            corpus.orderBy("doc_id"), "text")
           .select(outCols.map(col): _*)
-          .orderBy("doc_id")
       },
       Some {
         def sl(l: String) =

@@ -115,20 +115,22 @@ class GeofenceManySpec extends SparkSpecBase {
     assert(multi, "no probe point fell in two zones — overlap layout broken")
   }
 
-  test("d16b plan: broadcast nested-loop join, no cartesian, no fact key-shuffle before join") {
+  test("d16b plan: join-free — zone membership is one codegen'd projection") {
     val plan = SparkEntry.queries("d16b_geofence_many")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    // r16: the 28 zones are plan-time literals, so membership needs
+    // NO join at all — the strongest form of the original pin (no
+    // cartesian, no fact shuffle before membership): the fact side
+    // reaches the aggregation through filter/project/generate plus
+    // at most the guarded ScaleOps.spread round-robin exchange (a
+    // no-op whenever the scan already fills the cluster; it exists
+    // only because the bench input is one file/one row group)
+    assert(!plan.contains("Join"), "zone membership should be join-free")
     assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
-    // the only KEY shuffles are the post-join aggregation/sort ones:
-    // the scan side reaches the join through filter/project plus at
-    // most the guarded ScaleOps.spread round-robin exchange (a no-op
-    // whenever the scan already fills the cluster — it exists only
-    // because the bench input is one file/one row group, which would
-    // otherwise run the whole NLJ+fold as a single task)
-    val joinIdx = plan.indexOf("BroadcastNestedLoopJoin")
-    val below = plan.substring(joinIdx)
+    val genIdx = plan.indexOf("Generate explode")
+    assert(genIdx >= 0, plan.take(500))
+    val below = plan.substring(genIdx)
     assert(!below.contains("Exchange hashpartitioning"),
-      "fact side key-shuffled before the polygon join")
+      "fact side key-shuffled below the membership projection")
   }
 }

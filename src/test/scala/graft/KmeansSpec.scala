@@ -63,4 +63,23 @@ class KmeansSpec extends SparkSpecBase {
     assert(foldCells.join(dfCells.withColumnRenamed("cell", "cell2"), "vec_id")
       .filter(col("cell") =!= col("cell2")).count() == 0)
   }
+
+  test("r16 trainer persistence: a second identical training returns identical artifacts") {
+    // kmeansCentroids / trainPqCodebooks now persist their plan-keyed
+    // frames so repeat consumers (g7b/g8/g16 share one spec) reuse one
+    // materialization — the persisted path must be result-invisible.
+    val emb = Tables.embeddings(spark, sf)
+    val init = emb.filter(col("vec_id") < 8)
+    val cb1 = Embeddings.collectCodebook(
+      Embeddings.kmeansCentroids(emb, init, "vec_id", "embedding", 2))
+    val cb2 = Embeddings.collectCodebook(
+      Embeddings.kmeansCentroids(emb, init, "vec_id", "embedding", 2))
+    assert(cb1.length == cb2.length &&
+      cb1.zip(cb2).forall { case (a, b) => a.sameElements(b) })
+    val pq1 = Embeddings.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 16, 2)
+    val pq2 = Embeddings.trainPqCodebooks(emb, "vec_id", "embedding", 4, 16, 16, 2)
+    assert(pq1.size == pq2.size && pq1.zip(pq2).forall { case (s1, s2) =>
+      s1.size == s2.size && s1.zip(s2).forall { case (a, b) => a.sameElements(b) }
+    })
+  }
 }

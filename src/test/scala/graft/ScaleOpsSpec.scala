@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
 class ScaleOpsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("spread parallelizes an under-split scan and is the identity otherwise") {
+    // one-file scan: fewer planned partitions than defaultParallelism
+    // -> one round-robin exchange up to the default parallelism
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val target = spark.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) {
+      val s = ScaleOps.spread(docs)
+      assert(s.rdd.getNumPartitions == target)
+      // rows are preserved exactly (same multiset)
+      assert(s.groupBy("doc_id").count().filter(col("count") =!= 1).isEmpty)
+      assert(s.count() == docs.count())
+    }
+    // already-parallel input: identity — no exchange added (the
+    // production / 100 TB shape, where scans split naturally)
+    val wide = docs.repartition(target + 4)
+    val s2 = ScaleOps.spread(wide)
+    assert(s2 eq wide)
+  }
+
   test("salted aggregation returns exactly the plain aggregation") {
     val e = Tables.events(spark, sf)
     val plain = e.groupBy("event_type").agg(count(lit(1)).as("n"))
